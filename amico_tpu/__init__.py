@@ -1,0 +1,34 @@
+"""amico_tpu — TPU-native microstructure-imaging framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of AMICO
+(Accelerated Microstructure Imaging via Convex Optimization): per-voxel
+dictionary fits of diffusion-MRI microstructure models as massively batched
+non-negative least-squares / elastic-net solves on TPU.
+
+Public API mirrors the reference package surface
+(/root/reference/amico/__init__.py:1-9): ``Evaluation``, ``setup``,
+``set_verbose``/``get_verbose``, plus the scheme converters and the model zoo.
+"""
+from .utils.logging import AmicoError, get_verbose, set_verbose
+from .io.scheme import Scheme, fsl2scheme, sandi2scheme
+
+__version__ = '0.1.0'
+
+__all__ = [
+    'Evaluation', 'setup', 'set_verbose', 'get_verbose', 'AmicoError',
+    'Scheme', 'fsl2scheme', 'sandi2scheme', 'core', 'models', '__version__',
+]
+
+
+def __getattr__(name):
+    # lazy imports keep `import amico_tpu` light (no jax import) for tools
+    # that only need the scheme/logging layers
+    if name in ('Evaluation', 'setup', 'core'):
+        from . import core
+        if name == 'core':
+            return core
+        return getattr(core, name)
+    if name == 'models':
+        from . import models
+        return models
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -1,0 +1,4 @@
+from . import nifti
+from .scheme import GAMMA, Scheme, fsl2scheme, sandi2scheme
+
+__all__ = ['nifti', 'GAMMA', 'Scheme', 'fsl2scheme', 'sandi2scheme']

@@ -1,0 +1,220 @@
+"""Pure-NumPy NIfTI-1 I/O.
+
+The reference delegates image I/O to ``nibabel`` (/root/reference/amico/core.py:9,
+135-150, 542-609).  nibabel is not a dependency of this framework, so we
+implement the small subset of NIfTI-1 needed by the pipeline:
+
+* read ``.nii`` / ``.nii.gz`` single-file images (magic ``n+1``),
+  honoring dtype, dims, ``scl_slope``/``scl_inter`` rescale
+  (reference core.py:146-150) and returning data in Fortran (x fastest) order
+  like nibabel's ``get_fdata``;
+* write float32 images with affine (qform/sform), ``descrip``,
+  ``cal_min``/``cal_max`` header fields (reference core.py:542-609).
+
+Only the NIfTI-1 348-byte header, single-file layout, is supported; this is
+what the AMICO ecosystem's demo data uses.
+"""
+from __future__ import annotations
+
+import gzip
+import struct
+
+import numpy as np
+
+_HDR_SIZE = 348
+_MAGIC = b'n+1\x00'
+
+# NIfTI-1 datatype codes -> numpy dtypes
+_DTYPES = {
+    2: np.uint8,
+    4: np.int16,
+    8: np.int32,
+    16: np.float32,
+    64: np.float64,
+    256: np.int8,
+    512: np.uint16,
+    768: np.uint32,
+    1024: np.int64,
+    1280: np.uint64,
+}
+_DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+class Nifti1Header:
+    """Parsed NIfTI-1 header fields we care about."""
+
+    def __init__(self):
+        self.dim = np.ones(8, dtype=np.int64)
+        self.datatype = 16
+        self.bitpix = 32
+        self.pixdim = np.ones(8, dtype=np.float64)
+        self.vox_offset = 352.0
+        self.scl_slope = 1.0
+        self.scl_inter = 0.0
+        self.cal_min = 0.0
+        self.cal_max = 0.0
+        self.descrip = b''
+        self.qform_code = 0
+        self.sform_code = 1
+        self.quatern = np.zeros(3)
+        self.qoffset = np.zeros(3)
+        self.srow = np.zeros((3, 4))
+        self.xyzt_units = 10  # mm | sec
+        self.endian = '<'
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        nd = int(self.dim[0])
+        return tuple(int(d) for d in self.dim[1:1 + nd])
+
+    def get_zooms(self) -> tuple[float, ...]:
+        nd = int(self.dim[0])
+        return tuple(float(z) for z in self.pixdim[1:1 + nd])
+
+    @property
+    def affine(self) -> np.ndarray:
+        aff = np.eye(4)
+        if self.sform_code > 0:
+            aff[:3, :] = self.srow
+        elif self.qform_code > 0:
+            b, c, d = self.quatern
+            a2 = 1.0 - (b * b + c * c + d * d)
+            a = np.sqrt(max(a2, 0.0))
+            R = np.array([
+                [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+                [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+                [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+            ])
+            qfac = -1.0 if self.pixdim[0] == -1.0 else 1.0
+            zooms = np.array([self.pixdim[1], self.pixdim[2], qfac * self.pixdim[3]])
+            aff[:3, :3] = R * zooms
+            aff[:3, 3] = self.qoffset
+        else:
+            aff[:3, :3] = np.diag(self.pixdim[1:4])
+        return aff
+
+
+class Nifti1Image:
+    """Thin image container mirroring the nibabel API surface used by the
+    reference (``get_fdata``, ``affine``, ``header``, ``shape``)."""
+
+    def __init__(self, dataobj: np.ndarray, affine: np.ndarray | None = None,
+                 header: Nifti1Header | None = None):
+        self._data = np.asarray(dataobj)
+        self.header = header if header is not None else Nifti1Header()
+        if affine is not None:
+            self.header.srow = np.asarray(affine, dtype=np.float64)[:3, :]
+            self.header.sform_code = 1
+        self.header.dim[:] = 1
+        self.header.dim[0] = self._data.ndim
+        self.header.dim[1:1 + self._data.ndim] = self._data.shape
+
+    @property
+    def affine(self) -> np.ndarray:
+        return self.header.affine
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self._data.shape
+
+    @property
+    def ndim(self) -> int:
+        return self._data.ndim
+
+    def get_fdata(self, dtype=np.float64) -> np.ndarray:
+        # nibabel applies scl_slope/inter in get_fdata; our loader keeps raw
+        # data and exposes the scaling via the header so the pipeline can
+        # reproduce the reference's explicit rescale (core.py:146-150).
+        return self._data.astype(dtype)
+
+
+def _read_bytes(filename: str) -> bytes:
+    opener = gzip.open if str(filename).endswith('.gz') else open
+    with opener(filename, 'rb') as f:
+        return f.read()
+
+
+def load(filename: str) -> Nifti1Image:
+    """Load a .nii or .nii.gz single-file NIfTI-1 image (raw, unscaled data)."""
+    raw = _read_bytes(filename)
+    if len(raw) < _HDR_SIZE:
+        raise ValueError(f'{filename}: too small to be a NIfTI-1 file')
+    hdr = Nifti1Header()
+    sizeof_hdr = struct.unpack('<i', raw[0:4])[0]
+    endian = '<'
+    if sizeof_hdr != _HDR_SIZE:
+        sizeof_hdr = struct.unpack('>i', raw[0:4])[0]
+        if sizeof_hdr != _HDR_SIZE:
+            raise ValueError(f'{filename}: bad sizeof_hdr')
+        endian = '>'
+    hdr.endian = endian
+    u = lambda fmt, off: struct.unpack(endian + fmt, raw[off:off + struct.calcsize(fmt)])
+
+    hdr.dim = np.array(u('8h', 40), dtype=np.int64)
+    hdr.datatype = u('h', 70)[0]
+    hdr.bitpix = u('h', 72)[0]
+    hdr.pixdim = np.array(u('8f', 76), dtype=np.float64)
+    hdr.vox_offset = u('f', 108)[0]
+    hdr.scl_slope = u('f', 112)[0]
+    hdr.scl_inter = u('f', 116)[0]
+    hdr.cal_max = u('f', 124)[0]
+    hdr.cal_min = u('f', 128)[0]
+    hdr.descrip = raw[148:228].split(b'\x00')[0]
+    hdr.qform_code = u('h', 252)[0]
+    hdr.sform_code = u('h', 254)[0]
+    hdr.quatern = np.array(u('3f', 256), dtype=np.float64)
+    hdr.qoffset = np.array(u('3f', 268), dtype=np.float64)
+    hdr.srow = np.array(u('12f', 280), dtype=np.float64).reshape(3, 4)
+    hdr.xyzt_units = raw[123]
+
+    if hdr.datatype not in _DTYPES:
+        raise ValueError(f'{filename}: unsupported NIfTI datatype {hdr.datatype}')
+    dtype = np.dtype(_DTYPES[hdr.datatype]).newbyteorder(endian)
+    shape = hdr.shape
+    count = int(np.prod(shape)) if shape else 0
+    off = int(hdr.vox_offset)
+    data = np.frombuffer(raw, dtype=dtype, count=count, offset=off)
+    # NIfTI voxel data is Fortran-ordered (x fastest)
+    data = data.reshape(shape, order='F')
+    return Nifti1Image(data, header=hdr)
+
+
+def save(img: Nifti1Image, filename: str) -> None:
+    """Write a single-file NIfTI-1 image (.nii or .nii.gz)."""
+    data = np.asarray(img._data)
+    if data.dtype not in _DTYPE_CODES:
+        data = data.astype(np.float32)
+    hdr = img.header
+    code = _DTYPE_CODES[np.dtype(data.dtype)]
+    bitpix = data.dtype.itemsize * 8
+
+    buf = bytearray(352)
+    struct.pack_into('<i', buf, 0, _HDR_SIZE)
+    dim = np.ones(8, dtype=np.int16)
+    dim[0] = data.ndim
+    dim[1:1 + data.ndim] = data.shape
+    struct.pack_into('<8h', buf, 40, *dim)
+    struct.pack_into('<h', buf, 70, code)
+    struct.pack_into('<h', buf, 72, bitpix)
+    pixdim = np.asarray(hdr.pixdim, dtype=np.float32).copy()
+    struct.pack_into('<8f', buf, 76, *pixdim)
+    struct.pack_into('<f', buf, 108, 352.0)
+    struct.pack_into('<f', buf, 112, float(hdr.scl_slope) if np.isfinite(hdr.scl_slope) else 1.0)
+    struct.pack_into('<f', buf, 116, float(hdr.scl_inter) if np.isfinite(hdr.scl_inter) else 0.0)
+    struct.pack_into('<f', buf, 124, float(hdr.cal_max))
+    struct.pack_into('<f', buf, 128, float(hdr.cal_min))
+    buf[123] = hdr.xyzt_units
+    descrip = bytes(hdr.descrip)[:79]
+    buf[148:148 + len(descrip)] = descrip
+    struct.pack_into('<h', buf, 252, int(hdr.qform_code))
+    struct.pack_into('<h', buf, 254, max(int(hdr.sform_code), 1))
+    struct.pack_into('<3f', buf, 256, *np.asarray(hdr.quatern, dtype=np.float32))
+    struct.pack_into('<3f', buf, 268, *np.asarray(hdr.qoffset, dtype=np.float32))
+    srow = np.asarray(hdr.srow, dtype=np.float32).reshape(-1)
+    struct.pack_into('<12f', buf, 280, *srow)
+    buf[344:348] = _MAGIC
+
+    payload = bytes(buf) + data.tobytes(order='F')
+    opener = gzip.open if str(filename).endswith('.gz') else open
+    with opener(filename, 'wb') as f:
+        f.write(payload)

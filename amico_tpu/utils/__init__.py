@@ -1,0 +1,8 @@
+from .logging import AmicoError, ERROR, LOG, NOTE, PRINT, WARNING, get_verbose, set_verbose
+from .progress import ProgressBar
+from .timers import StageTimers
+
+__all__ = [
+    'AmicoError', 'ERROR', 'LOG', 'NOTE', 'PRINT', 'WARNING',
+    'get_verbose', 'set_verbose', 'ProgressBar', 'StageTimers',
+]

@@ -1,0 +1,35 @@
+"""Stage timing + optional JAX profiler hooks.
+
+The reference records coarse wall-clock stage timings into its CONFIG dict
+(/root/reference/amico/core.py:127,195,374-377,449-468).  We keep the same
+stage-timing dict and add ``jax.profiler`` trace annotation when enabled
+(SURVEY.md section 5.1).
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+
+
+class StageTimers:
+    """Accumulates named wall-clock stage durations (seconds)."""
+
+    def __init__(self):
+        self.times: dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str, profile: bool = False):
+        ctx = contextlib.nullcontext()
+        if profile:
+            try:
+                import jax.profiler
+                ctx = jax.profiler.TraceAnnotation(name)
+            except Exception:  # pragma: no cover - profiler unavailable
+                ctx = contextlib.nullcontext()
+        t0 = time.time()
+        with ctx:
+            yield
+        self.times[name] = self.times.get(name, 0.0) + (time.time() - t0)
+
+    def get(self, name: str) -> float | None:
+        return self.times.get(name)

@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+SURVEY.md section 4: distributed tests without a cluster use JAX's standard
+trick of a CPU mesh via ``--xla_force_host_platform_device_count`` so
+``shard_map``/collectives are exercised without TPU hardware.
+Must run before the first ``import jax``.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()

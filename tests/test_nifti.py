@@ -1,0 +1,51 @@
+"""NIfTI-1 I/O tests for the pure-NumPy loader replacing nibabel
+(reference core.py:9,135-150)."""
+import numpy as np
+
+from amico_tpu.io import nifti
+
+
+def test_roundtrip_nii(tmp_path):
+    data = np.random.RandomState(0).rand(4, 5, 6, 7).astype(np.float32)
+    img = nifti.Nifti1Image(data, affine=np.diag([2.0, 2.0, 2.0, 1.0]))
+    img.header.pixdim[1:4] = [2.0, 2.0, 2.0]
+    fn = str(tmp_path / 'x.nii')
+    nifti.save(img, fn)
+    img2 = nifti.load(fn)
+    assert img2.shape == data.shape
+    np.testing.assert_allclose(img2.get_fdata(), data, rtol=1e-6)
+    np.testing.assert_allclose(img2.affine[:3, :3], np.diag([2.0, 2.0, 2.0]))
+    assert img2.header.get_zooms()[:3] == (2.0, 2.0, 2.0)
+
+
+def test_roundtrip_nii_gz(tmp_path):
+    data = (np.random.RandomState(1).rand(3, 4, 5) * 100).astype(np.int16)
+    img = nifti.Nifti1Image(data)
+    fn = str(tmp_path / 'x.nii.gz')
+    nifti.save(img, fn)
+    img2 = nifti.load(fn)
+    assert img2._data.dtype == np.int16
+    np.testing.assert_array_equal(np.asarray(img2._data), data)
+
+
+def test_fortran_order_layout(tmp_path):
+    # x must be the fastest-varying index on disk
+    data = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    img = nifti.Nifti1Image(data)
+    fn = str(tmp_path / 'x.nii')
+    nifti.save(img, fn)
+    raw = open(fn, 'rb').read()
+    vals = np.frombuffer(raw[352:], dtype=np.float32)
+    np.testing.assert_array_equal(vals[:2], data[:, 0, 0])
+
+
+def test_descrip_and_cal(tmp_path):
+    data = np.zeros((2, 2, 2), dtype=np.float32)
+    img = nifti.Nifti1Image(data)
+    img.header.descrip = b'Neurite Density Index'
+    img.header.cal_min, img.header.cal_max = -1.0, 1.0
+    fn = str(tmp_path / 'x.nii.gz')
+    nifti.save(img, fn)
+    img2 = nifti.load(fn)
+    assert img2.header.descrip == b'Neurite Density Index'
+    assert img2.header.cal_min == -1.0 and img2.header.cal_max == 1.0

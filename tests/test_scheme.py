@@ -1,0 +1,105 @@
+"""Scheme-layer tests (SURVEY.md section 4: scheme parsing of both versions,
+b<->G round-trip reference scheme.py:79 vs util.py:223)."""
+import numpy as np
+import pytest
+
+from amico_tpu.io.scheme import GAMMA, Scheme, fsl2scheme, sandi2scheme
+from amico_tpu.utils.logging import AmicoError
+
+
+def _v0_table():
+    # 2 b0s + two shells of 3 directions each
+    dirs = np.array([
+        [0, 0, 0], [0, 0, 0],
+        [1, 0, 0], [0, 1, 0], [0, 0, 1],
+        [0.707, 0.707, 0], [0.707, 0, 0.707], [0, 0.707, 0.707],
+    ])
+    b = np.array([0, 0, 700, 700, 700, 2000, 2000, 2000], dtype=float)
+    return np.c_[dirs, b]
+
+
+def test_version0_parsing():
+    s = Scheme(_v0_table())
+    assert s.version == 0
+    assert s.nS == 8
+    assert s.b0_count == 2
+    assert s.dwi_count == 6
+    assert len(s.shells) == 2
+    assert s.shells[0]['b'] == 700
+    assert s.shells[1]['b'] == 2000
+    assert list(s.shells[0]['idx']) == [2, 3, 4]
+    assert s.shells[0]['G'] is None
+
+
+def test_version1_b_derivation():
+    G, Delta, delta, TE = 0.04, 0.03, 0.02, 0.06
+    row = np.array([[0, 0, 1, G, Delta, delta, TE]])
+    s = Scheme(np.vstack([np.array([[1, 0, 0, 0, 0, 0, 0]]), row]))
+    assert s.version == 1
+    expected = (GAMMA * G * delta) ** 2 * (Delta - delta / 3.0) * 1e-6
+    np.testing.assert_allclose(s.b[1], expected)
+    assert s.b0_count == 1 and s.dwi_count == 1
+
+
+def test_hemisphere_canonicalization():
+    tab = np.array([[0.5, -0.5, 0.3, 1000.0]])
+    s = Scheme(tab)
+    assert s.raw[0, 1] >= 0
+    np.testing.assert_allclose(s.raw[0, :3], [-0.5, 0.5, -0.3])
+
+
+def test_file_roundtrip(tmp_path):
+    tab = _v0_table()
+    fn = tmp_path / 'test.scheme'
+    np.savetxt(fn, tab, header='VERSION: BVECTOR', comments='')
+    s = Scheme(str(fn))
+    np.testing.assert_allclose(s.get_table(), Scheme(tab).get_table())
+
+
+def test_get_table_roundtrip():
+    s = Scheme(_v0_table())
+    t = s.get_table()
+    s2 = Scheme(t)
+    assert len(s2.shells) == len(s.shells)
+    np.testing.assert_allclose(s2.b, s.b)
+
+
+def test_bad_format_raises():
+    with pytest.raises(AmicoError):
+        Scheme(np.zeros((3, 5)))
+
+
+def test_fsl2scheme_and_b_roundtrip(tmp_path):
+    bvals = np.array([0, 1000, 2000, 1000], dtype=float)
+    bvecs = np.array([
+        [0, 1, 0, 0.6],
+        [0, 0, 1, 0.64],
+        [0, 0, 0, 0.48],
+    ])
+    bvals_fn, bvecs_fn = tmp_path / 'b.bval', tmp_path / 'b.bvec'
+    np.savetxt(bvals_fn, bvals)
+    np.savetxt(bvecs_fn, bvecs)
+    out = fsl2scheme(str(bvals_fn), str(bvecs_fn), str(tmp_path / 'o.scheme'))
+    s = Scheme(out)
+    assert s.version == 0
+    np.testing.assert_allclose(s.b, bvals, atol=1e-5)
+
+    # sandi2scheme: G derived from b must round-trip through the version-1
+    # b derivation (util.py:223 vs scheme.py:79)
+    out2 = sandi2scheme(str(bvals_fn), str(bvecs_fn), 0.03, 0.015,
+                        schemeFilename=str(tmp_path / 'o2.scheme'))
+    s2 = Scheme(out2)
+    assert s2.version == 1
+    np.testing.assert_allclose(s2.b, bvals, rtol=1e-3, atol=0.5)
+
+
+def test_bstep_shell_snapping(tmp_path):
+    bvals = np.array([3, 995, 2010], dtype=float)
+    bvecs = np.tile(np.array([[1.0], [0.0], [0.0]]), (1, 3))
+    bvals_fn, bvecs_fn = tmp_path / 'b.bval', tmp_path / 'b.bvec'
+    np.savetxt(bvals_fn, bvals)
+    np.savetxt(bvecs_fn, bvecs)
+    out = fsl2scheme(str(bvals_fn), str(bvecs_fn), str(tmp_path / 'o.scheme'),
+                     bStep=[0, 1000, 2000])
+    s = Scheme(out)
+    np.testing.assert_allclose(np.sort(np.unique(s.b)), [0, 1000, 2000])
