@@ -3,11 +3,20 @@
 SURVEY.md section 4: distributed tests without a cluster use JAX's standard
 trick of a CPU mesh via ``--xla_force_host_platform_device_count`` so
 ``shard_map``/collectives are exercised without TPU hardware.
-Must run before the first ``import jax``.
+
+NOTE on this environment: a sitecustomize hook registers the experimental
+'axon' TPU backend and imports jax at interpreter startup, so JAX env vars
+set here are already too late -- we must go through ``jax.config`` instead.
+The XLA_FLAGS for virtual host devices still work because the CPU backend
+itself initializes lazily.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.pop('JAX_PLATFORMS', None)
+
+import jax  # noqa: E402  (already imported by sitecustomize anyway)
+
+jax.config.update('jax_platforms', 'cpu')

@@ -1,0 +1,169 @@
+"""SH basis + LUT rotation engine tests.
+
+Covers SURVEY.md section 4: SH basis orthonormality, the zonal-rotation
+identity (the core trick of lut.pyx:129-138,258-264), direction quantization
+parity, resample projection.
+"""
+import os
+
+import numpy as np
+import pytest
+from scipy.special import lpmv
+
+from amico_tpu.io.scheme import Scheme
+from amico_tpu.lut import rotation as rot
+from amico_tpu.ops import sh as shmod
+from amico_tpu.ops import sphere as sph
+
+
+def test_assoc_legendre_vs_scipy():
+    x = np.linspace(-0.99, 0.99, 41)
+    P = shmod._assoc_legendre_all(8, x)
+    for l in range(9):
+        for m in range(l + 1):
+            np.testing.assert_allclose(P[l, m], lpmv(m, l, x), rtol=1e-10,
+                                       atol=1e-10, err_msg=f'l={l} m={m}')
+
+
+def test_sh_orthonormality():
+    # integrate Y_i Y_j over the sphere with a dense uniform grid
+    n = 200000
+    rng = np.random.RandomState(0)
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    _, theta, phi = shmod.cart2sphere(v[:, 0], v[:, 1], v[:, 2])
+    B = shmod.real_sh_basis(6, theta, phi)
+    G = (B.T @ B) * (4 * np.pi / n)
+    np.testing.assert_allclose(G, np.eye(B.shape[1]), atol=0.05)
+
+
+def test_addition_theorem():
+    # sum_m Y_lm(u) Y_lm(v) == (2l+1)/(4pi) P_l(u.v)
+    rng = np.random.RandomState(1)
+    u = rng.randn(3); u /= np.linalg.norm(u)
+    v = rng.randn(3); v /= np.linalg.norm(v)
+    _, tu, pu = shmod.cart2sphere(*u)
+    _, tv, pv = shmod.cart2sphere(*v)
+    lmax = 8
+    Bu = shmod.real_sh_basis(lmax, tu, pu)[0]
+    Bv = shmod.real_sh_basis(lmax, tv, pv)[0]
+    ls, _, _, _ = shmod.sh_degree_info(lmax)
+    for l in range(0, lmax + 1, 2):
+        msel = ls == l
+        got = np.sum(Bu[msel] * Bv[msel])
+        expected = (2 * l + 1) / (4 * np.pi) * lpmv(0, l, float(u @ v))
+        np.testing.assert_allclose(got, expected, rtol=1e-8, atol=1e-10)
+
+
+def test_sh_fit_condition():
+    # the 500-dir Fibonacci set must give a well-conditioned lmax=12 fit
+    grad = rot.highres_grad()
+    _, theta, phi = shmod.cart2sphere(grad[:, 0], grad[:, 1], grad[:, 2])
+    B = shmod.real_sh_basis(12, theta, phi)
+    s = np.linalg.svd(B, compute_uv=False)
+    assert s[0] / s[-1] < 20.0
+
+
+def _zeppelin_signal(g_dirs, b, d_par, d_perp, axis):
+    cos2 = (g_dirs @ axis) ** 2
+    return np.exp(-b * (d_perp + (d_par - d_perp) * cos2))
+
+
+def test_zonal_rotation_identity(tmp_path):
+    """rotate_kernel + resample must equal direct synthesis along the rotated
+    axis -- validates the whole generate->resample chain."""
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path)
+    sph._grad = None
+    lmax, ndirs = 12, 500
+    rot.precompute_rotation_matrices(lmax, ndirs)
+    aux = rot.load_precomputed_rotation_matrices(lmax, ndirs)
+    dirs = sph.load_directions(ndirs)
+
+    # synthetic subject scheme: 30 random dirs on one shell + 1 b0
+    rng = np.random.RandomState(2)
+    g = rng.randn(30, 3)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    b = np.full(30, 1000.0)
+    tab = np.vstack([np.array([[0, 0, 0, 0.0]]), np.c_[g, b]])
+    scheme = Scheme(tab)
+
+    # high-res z-aligned zeppelin kernel
+    hs = rot.create_high_resolution_scheme(scheme)
+    K = _zeppelin_signal(hs.raw[:, :3], hs.b, 1.7e-3, 0.5e-3,
+                         np.array([0, 0, 1.0]))
+
+    idx_in, idx_out = rot.aux_structures_generate(scheme, lmax)
+    KRlm = rot.rotate_kernel(K, aux, idx_in, idx_out, False, ndirs)
+    assert KRlm.shape == (ndirs, len(scheme.shells) * shmod.num_sh_coeff(lmax))
+
+    ridx, Ylm_out = rot.aux_structures_resample(scheme, lmax)
+    KR = rot.resample_kernel(KRlm, scheme.nS, ridx, Ylm_out, False, ndirs)
+    assert KR.shape == (ndirs, scheme.nS)
+
+    # check a handful of directions against direct synthesis
+    for i in [0, 57, 123, 400]:
+        axis = dirs[i]
+        direct = _zeppelin_signal(scheme.raw[:, :3], scheme.b, 1.7e-3, 0.5e-3, axis)
+        direct[scheme.b0_idx] = 1.0
+        np.testing.assert_allclose(KR[i], direct, atol=2e-3)
+
+
+def test_isotropic_kernel_roundtrip(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path)
+    lmax, ndirs = 12, 500
+    aux = rot.load_precomputed_rotation_matrices(lmax, ndirs)
+    g = sph.fibonacci_hemisphere(20)
+    tab = np.vstack([np.array([[0, 0, 0, 0.0]]), np.c_[g, np.full(20, 2000.0)]])
+    scheme = Scheme(tab)
+    hs = rot.create_high_resolution_scheme(scheme)
+    K = np.exp(-hs.b * 3.0e-3)  # ball
+    idx_in, idx_out = rot.aux_structures_generate(scheme, lmax)
+    KRlm = rot.rotate_kernel(K, aux, idx_in, idx_out, True, ndirs)
+    ridx, Ylm_out = rot.aux_structures_resample(scheme, lmax)
+    KR = rot.resample_kernel(KRlm, scheme.nS, ridx, Ylm_out, True, ndirs)
+    expected = np.exp(-scheme.b * 3.0e-3)
+    expected[scheme.b0_idx] = 1.0
+    np.testing.assert_allclose(KR, expected, atol=1e-5)
+
+
+def test_dir_to_lut_idx_quantization(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path)
+    ndirs = 500
+    dirs = sph.load_directions(ndirs)
+    ht = sph.load_precomputed_hash_table(ndirs)
+    # querying each LUT direction must return (a direction essentially
+    # identical to) itself
+    idx = rot.dir_to_lut_idx(dirs, ht)
+    got = dirs[idx]
+    dots = np.abs(np.sum(got * dirs, axis=1))
+    # 1-degree grid quantization -> within ~2 degrees of self
+    assert np.min(dots) > np.cos(np.deg2rad(3.0))
+
+
+def test_dir_to_lut_idx_matches_jax(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path)
+    ht = sph.load_precomputed_hash_table(500)
+    rng = np.random.RandomState(3)
+    d = rng.randn(1000, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ref = rot.dir_to_lut_idx(d, ht)
+    got = np.asarray(rot.dir_to_lut_idx_jax(d, ht))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_hash_table_grid_identity(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path)
+    # for ndirs=32761 the LUT directions ARE the grid: htable == arange
+    ht = sph.build_hash_table(sph.grid_directions())
+    # theta=0 rows all map to the pole (degenerate phi) -- just require that
+    # each grid point maps to a direction within 1 degree
+    grid = sph.grid_directions()
+    dots = np.abs(np.sum(grid[ht.astype(np.int64) % 32761] * grid, axis=1))
+    assert np.min(dots) > np.cos(np.deg2rad(1.5))
+
+
+def test_valid_dirs_list():
+    v = rot.valid_dirs()
+    assert 500 in v and 10000 in v and 1 in v and 32761 in v
+    assert len(v) == 22
+    assert rot.is_valid(500) and not rot.is_valid(123)
