@@ -1,0 +1,220 @@
+"""Synthesis-layer tests (SURVEY.md section 4): closed-form tensor signals,
+GPD sums vs a scalar oracle, Watson SH coefficients across the three kappa
+regimes, and quadrature checks of the NODDI compartments."""
+import numpy as np
+import pytest
+from scipy.integrate import quad
+from scipy.special import eval_legendre
+
+from amico_tpu.io.scheme import GAMMA, Scheme
+from amico_tpu.ops.special import cylinder_gpd_roots, gpd_sum, sphere_gpd_roots
+from amico_tpu.synthesis import (
+    Astrosticks, Ball, CylinderGPD, NODDIExtraCellular, NODDIIntraCellular,
+    NODDIIsotropic, SphereGPD, Stick, Tensor, Zeppelin,
+    legendre_gaussian_integral, scheme2noddi, watson_SH_coeff,
+)
+
+
+def _scheme_v0(n=20, b=1000.0, seed=0):
+    rng = np.random.RandomState(seed)
+    g = rng.randn(n, 3)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    return Scheme(np.vstack([np.zeros((1, 4)), np.c_[g, np.full(n, b)]]))
+
+
+def _scheme_v1(n=10, b=3000.0, Delta=0.03, delta=0.01, seed=1):
+    rng = np.random.RandomState(seed)
+    g = rng.randn(n, 3)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    G = np.sqrt(b * 1e6 / (GAMMA ** 2 * delta ** 2 * (Delta - delta / 3.0)))
+    rows = np.c_[g, np.full(n, G), np.full(n, Delta), np.full(n, delta),
+                 np.full(n, Delta + delta)]
+    b0 = np.array([[0, 0, 0, 0, Delta, delta, Delta + delta]])
+    return Scheme(np.vstack([b0, rows]))
+
+
+# ---------------------------------------------------------------- tensors
+def test_tensor_closed_form():
+    s = _scheme_v0()
+    sig = Tensor(s).get_signal(1.7e-3, 0.4e-3, 0.2e-3)
+    D = np.diag([0.4e-3, 0.2e-3, 1.7e-3])
+    for i in range(s.nS):
+        g = s.raw[i, :3]
+        np.testing.assert_allclose(sig[i], np.exp(-s.b[i] * g @ D @ g), rtol=1e-12)
+
+
+def test_stick_zeppelin_ball_special_cases():
+    s = _scheme_v0()
+    np.testing.assert_allclose(Stick(s).get_signal(1.7e-3),
+                               Tensor(s).get_signal(1.7e-3, 0, 0))
+    np.testing.assert_allclose(Zeppelin(s).get_signal(1.7e-3, 0.5e-3),
+                               Tensor(s).get_signal(1.7e-3, 0.5e-3, 0.5e-3))
+    np.testing.assert_allclose(Ball(s).get_signal(3e-3), np.exp(-s.b * 3e-3))
+
+
+# ---------------------------------------------------------------- GPD roots
+def test_gpd_roots_match_published_values():
+    # first entries of the reference tables are standard Bessel constants
+    cyl = cylinder_gpd_roots()
+    np.testing.assert_allclose(cyl[:3], [1.84118378, 5.33144277, 8.53631637],
+                               rtol=1e-6)
+    sph = sphere_gpd_roots()
+    np.testing.assert_allclose(sph[:3], [2.08157598, 5.94036999, 9.20584014],
+                               rtol=1e-6)
+    assert len(cyl) == 60 and len(sph) == 60
+    assert np.all(np.diff(sph) > 2.5)  # no duplicated/skipped roots
+
+
+def test_gpd_sum_vs_scalar_oracle():
+    # scalar oracle: direct transcription of the GPD sum formula
+    def oracle(am, Delta, delta, diff, R, n):
+        out = 0.0
+        for a in am:
+            dam = diff * a * a
+            nom = (2 * dam * delta - 2 + 2 * np.exp(-dam * delta)
+                   + 2 * np.exp(-dam * Delta) - np.exp(-dam * (Delta - delta))
+                   - np.exp(-dam * (Delta + delta)))
+            den = dam * dam * a * a * (R * R * a * a - n)
+            out += nom / den
+        return out
+
+    R = 4e-6
+    am = cylinder_gpd_roots() / R
+    got = gpd_sum(am, 0.03, 0.01, 3e-9, R, 1)
+    np.testing.assert_allclose(got[0], oracle(am, 0.03, 0.01, 3e-9, R, 1),
+                               rtol=1e-10)
+
+
+def test_cylinder_limits():
+    s = _scheme_v1()
+    d_par = 0.6e-3
+    sig = CylinderGPD(s).get_signal(d_par, 1e-6)
+    # b0 sample = 1
+    assert sig[0] == 1.0
+    # tiny radius -> perpendicular restriction total, signal approx
+    # exp(-b d cos^2(angle to axis)) (stick-like)
+    stick = Stick(s).get_signal(d_par)
+    np.testing.assert_allclose(sig[1:], stick[1:], rtol=5e-3)
+
+
+def test_sphere_small_radius_saturates():
+    s = _scheme_v1()
+    sig_small = SphereGPD(s).get_signal(3.0e-3, 0.5e-6)
+    sig_large = SphereGPD(s).get_signal(3.0e-3, 12e-6)
+    assert np.all(sig_small[1:] > sig_large[1:])
+    assert np.all(sig_small[1:] > 0.98)  # tiny sphere: nearly no attenuation
+    assert sig_small[0] == 1.0
+
+
+def test_astrosticks_vs_orientation_average():
+    s = _scheme_v1()
+    d = 1.5e-3
+    sig = Astrosticks(s).get_signal(d)
+    # Monte-Carlo orientation average of stick signals
+    rng = np.random.RandomState(7)
+    n = rng.randn(200000, 3)
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    g = s.raw[5, :3]
+    b = s.b[5]
+    mc = np.mean(np.exp(-b * d * (n @ g) ** 2))
+    np.testing.assert_allclose(sig[5], mc, rtol=2e-3)
+
+
+# ---------------------------------------------------------------- NODDI
+def test_scheme2noddi_b_reconstruction():
+    s = _scheme_v0(n=12, b=2000.0)
+    p = scheme2noddi(s)
+    b_rec = (GAMMA * p['gradient_strength'] * p['smalldel']) ** 2 \
+        * (p['delta'] - p['smalldel'] / 3.0) * 1e-6
+    np.testing.assert_allclose(b_rec, s.b, rtol=1e-10)
+
+
+def test_legendre_gaussian_integral_vs_quadrature():
+    # NOTE: near the exact/approx switch (x just above 0.05) the exact
+    # recursion cancels catastrophically for high orders; this is inherent to
+    # the reference algorithm (synthesis.py:608-633), so the high orders get
+    # a loose tolerance there.
+    for x in [0.01, 0.04, 0.06, 0.5, 2.0, 10.0]:
+        L = legendre_gaussian_integral(np.array([x]), 6)[0]
+        for i in range(7):
+            ref, _ = quad(lambda t: np.exp(-x * t * t) * eval_legendre(2 * i, t),
+                          -1, 1, epsabs=1e-13)
+            tol = 2e-4 if (x > 0.3 or i <= 4) else 2e-3
+            assert abs(L[i] - ref) < tol, f'x={x} i={i}: {L[i]} vs {ref}'
+
+
+def test_watson_SH_coeff_regime_continuity():
+    # kappa=30 boundary: the log-poly fit matches the analytic branch closely
+    lo, hi = watson_SH_coeff(29.97), watson_SH_coeff(30.03)
+    np.testing.assert_allclose(lo, hi, rtol=0.02, atol=1e-4)
+    # kappa=0.1 boundary: the reference's analytic branch cancels
+    # catastrophically for C[5], C[6] at small kappa (denominators k^5, k^6
+    # with huge alternating sums, synthesis.py:714-725) -- an inherent
+    # property of the reference algorithm.  Low orders must still agree.
+    lo, hi = watson_SH_coeff(0.0999), watson_SH_coeff(0.1001)
+    np.testing.assert_allclose(lo[:5], hi[:5], rtol=0.02, atol=1e-6)
+
+
+def test_watson_SH_coeff_vs_quadrature():
+    # c_l must reproduce the Watson density expansion used in the IC signal:
+    # for the normalized Watson W(n) with axis z,
+    #   \int W(n) f(n.z) dn == sum_i c_i sqrt((4i+1)/(4pi)) L_i /2 style
+    # indirect check below via the full IC signal; here check c_0 and ratios
+    for kappa in [0.05, 0.5, 5.0, 50.0]:
+        C = watson_SH_coeff(kappa)
+        assert C[0] == pytest.approx(2 * np.sqrt(np.pi))
+        # coefficients decay with order
+        assert abs(C[6]) < abs(C[1]) or kappa > 30
+
+
+def test_noddi_ic_vs_quadrature():
+    """Full Watson-dispersed stick signal vs direct 2-D quadrature of
+    int W(n;kappa) exp(-b d (g.n)^2) dn -- validates watson_SH_coeff +
+    legendre_gaussian_integral + the SH assembly together."""
+    s = _scheme_v0(n=6, b=2500.0, seed=3)
+    kappa = 2.5
+    d_par = 1.7e-3
+    ic = NODDIIntraCellular(s)
+    sig = ic.get_signal(d_par, kappa)
+
+    p = ic.protocol_hr
+    d = d_par * 1e-6
+    modQ = GAMMA * p['smalldel'] * p['gradient_strength']
+    bd = modQ ** 2 * (p['delta'] - p['smalldel'] / 3.0) * d  # = b d in SI
+
+    # quadrature over the sphere
+    nt, nph = 400, 200
+    ct, wt = np.polynomial.legendre.leggauss(nt)
+    phi = np.linspace(0, 2 * np.pi, nph, endpoint=False)
+    st = np.sqrt(1 - ct ** 2)
+    nx = st[:, None] * np.cos(phi)[None, :]
+    ny = st[:, None] * np.sin(phi)[None, :]
+    nz = np.broadcast_to(ct[:, None], nx.shape)
+    W = np.exp(kappa * nz ** 2)
+    Z = np.sum(W * wt[:, None]) * (2 * np.pi / nph)
+    for i in range(1, s.nS):
+        g = p['grad_dirs'][i]
+        gn = nx * g[0] + ny * g[1] + nz * g[2]
+        integ = np.sum(W * np.exp(-bd[i] * gn ** 2) * wt[:, None]) * (2 * np.pi / nph)
+        np.testing.assert_allclose(sig[i], integ / Z, rtol=2e-3,
+                                   err_msg=f'sample {i}')
+
+
+def test_noddi_ec_limits():
+    s = _scheme_v0(n=8, b=1000.0, seed=4)
+    ec = NODDIExtraCellular(s)
+    # vol_ic=0 -> dPerp=dPar -> isotropic ball regardless of kappa
+    sig = ec.get_signal(1.7e-3, 3.0, 0.0)
+    np.testing.assert_allclose(sig[1:], np.exp(-s.b[1:] * 1.7e-3), rtol=1e-6)
+    # kappa -> inf: plain zeppelin along z
+    sig2 = ec.get_signal(1.7e-3, 1e5, 0.5)
+    cos2 = (s.raw[:, :3] @ [0, 0, 1.0]) ** 2
+    expected = np.exp(-s.b * (0.85e-3 + (1.7e-3 - 0.85e-3) * cos2))
+    np.testing.assert_allclose(sig2[1:], expected[1:], rtol=1e-2)
+
+
+def test_noddi_iso_is_ball():
+    s = _scheme_v0(n=8, b=2000.0, seed=5)
+    iso = NODDIIsotropic(s)
+    np.testing.assert_allclose(iso.get_signal(3.0e-3)[1:],
+                               np.exp(-s.b[1:] * 3.0e-3), rtol=1e-9)
