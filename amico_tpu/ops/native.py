@@ -1,0 +1,97 @@
+"""ctypes bindings to the native exact solvers (libamico_native.so).
+
+Native counterpart of the reference's SPAMS C++ dependency
+(/root/reference/amico/models.pyx:18; cyspams interfaces).  Built from
+``native/amico_native.cpp`` with ``make -C native``; auto-built on first use
+if the compiler is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), 'native')
+_LIB_PATH = os.path.join(_NATIVE_DIR, 'libamico_native.so')
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.isfile(_LIB_PATH):
+        try:
+            subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
+                           capture_output=True)
+        except Exception as e:  # pragma: no cover
+            raise RuntimeError(f'cannot build libamico_native.so: {e}') from e
+    lib = ctypes.CDLL(_LIB_PATH)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lib.amico_qp_nonneg.argtypes = [dptr, dptr, ctypes.c_int, dptr]
+    lib.amico_qp_nonneg.restype = ctypes.c_int
+    lib.amico_nnls.argtypes = [dptr, dptr, ctypes.c_int, ctypes.c_int, dptr, dptr]
+    lib.amico_nnls.restype = ctypes.c_int
+    lib.amico_lasso.argtypes = [dptr, dptr, ctypes.c_int, ctypes.c_int, dptr,
+                                ctypes.c_double, ctypes.c_double]
+    lib.amico_lasso.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except RuntimeError:
+        return False
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def qp_nonneg(G: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact min 0.5 x'Gx - b'x, x>=0 (active set)."""
+    lib = _load()
+    G = np.ascontiguousarray(G, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    n = b.shape[0]
+    x = np.zeros(n)
+    rc = lib.amico_qp_nonneg(_dp(G), _dp(b), n, _dp(x))
+    if rc < 0:
+        raise RuntimeError('amico_qp_nonneg did not converge')
+    return x
+
+
+def nnls(A: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, float]:
+    """Exact NNLS; returns (x, residual norm).  Mirrors the SPAMS nnls
+    signature used at reference models.pyx:911."""
+    lib = _load()
+    A = np.asfortranarray(A, np.float64)
+    y = np.ascontiguousarray(y, np.float64)
+    m, n = A.shape
+    x = np.zeros(n)
+    r = ctypes.c_double(0.0)
+    rc = lib.amico_nnls(_dp(A), _dp(y), m, n, _dp(x), ctypes.byref(r))
+    if rc < 0:
+        raise RuntimeError('amico_nnls did not converge')
+    return x, r.value
+
+
+def lasso(A: np.ndarray, y: np.ndarray, lambda1: float, lambda2: float) -> np.ndarray:
+    """Exact non-negative elastic net, SPAMS mode=2/pos semantics
+    (reference models.pyx:615,926,1238,1569)."""
+    lib = _load()
+    A = np.asfortranarray(A, np.float64)
+    y = np.ascontiguousarray(y, np.float64)
+    m, n = A.shape
+    x = np.zeros(n)
+    rc = lib.amico_lasso(_dp(A), _dp(y), m, n, _dp(x), lambda1, lambda2)
+    if rc < 0:
+        raise RuntimeError('amico_lasso did not converge')
+    return x

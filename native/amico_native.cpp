@@ -1,0 +1,190 @@
+// amico_native: exact host-side solvers for the TPU-native AMICO framework.
+//
+// The reference framework's only numerical solvers are SPAMS' C++ `nnls`
+// (active-set non-negative least squares) and `lasso` (non-negative
+// elastic net), called per voxel from Cython
+// (/root/reference/amico/models.pyx:18,615,911,926,940,1238,1569).
+// This library provides the TPU build's native counterpart: an exact
+// active-set solver for the generic strictly-convex non-negative QP
+//     min_x 0.5 x'Gx - b'x   s.t. x >= 0
+// which covers every reference solver call after the normal-equation
+// reduction (SURVEY.md section 2.3):
+//   * nnls(A, y):             G = A'A,          b = A'y
+//   * lasso(A, y, l1, l2):    G = A'A + l2 I,   b = A'y - l1
+// Used as (a) the correctness oracle for the batched TPU solvers and
+// (b) a CPU fallback path. Exported with a plain C ABI for ctypes.
+//
+// Build: make -C native   ->  libamico_native.so
+
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// Solve the symmetric positive-definite system M z = r for the active set
+// via Cholesky (sizes are tiny: n <= ~200).
+// Returns false if the factorization breaks down (singular submatrix).
+bool chol_solve(std::vector<double>& M, std::vector<double>& z, int k) {
+  // in-place Cholesky of the k x k matrix M (row-major)
+  for (int i = 0; i < k; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      double s = M[i * k + j];
+      for (int p = 0; p < j; ++p) s -= M[i * k + p] * M[j * k + p];
+      if (i == j) {
+        if (s <= 0.0) return false;
+        M[i * k + i] = std::sqrt(s);
+      } else {
+        M[i * k + j] = s / M[j * k + j];
+      }
+    }
+  }
+  // forward substitution: L u = z
+  for (int i = 0; i < k; ++i) {
+    double s = z[i];
+    for (int p = 0; p < i; ++p) s -= M[i * k + p] * z[p];
+    z[i] = s / M[i * k + i];
+  }
+  // backward substitution: L' z = u
+  for (int i = k - 1; i >= 0; --i) {
+    double s = z[i];
+    for (int p = i + 1; p < k; ++p) s -= M[p * k + i] * z[p];
+    z[i] = s / M[i * k + i];
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact non-negative QP: min 0.5 x'Gx - b'x, x >= 0.
+// G: n x n symmetric PSD (row-major), b: n, x: n (output).
+// Active-set iteration in the style of Lawson-Hanson NNLS.
+// Returns the number of outer iterations used, or -1 on failure.
+int amico_qp_nonneg(const double* G, const double* b, int n, double* x) {
+  std::vector<char> in_P(n, 0);
+  std::vector<int> P;
+  std::vector<double> w(n), z, M;
+  std::fill(x, x + n, 0.0);
+
+  const double tol = 1e-12;
+  int outer = 0;
+  const int max_outer = 30 * n + 100;
+
+  while (outer++ < max_outer) {
+    // w = b - Gx (negative gradient)
+    double wmax = -1.0;
+    int jmax = -1;
+    for (int i = 0; i < n; ++i) {
+      double wi = b[i];
+      for (int j = 0; j < n; ++j) wi -= G[i * n + j] * x[j];
+      w[i] = wi;
+      if (!in_P[i] && wi > wmax) { wmax = wi; jmax = i; }
+    }
+    // scale-aware stopping: |w| relative to |b|
+    double bscale = 0.0;
+    for (int i = 0; i < n; ++i) bscale = std::max(bscale, std::fabs(b[i]));
+    if (jmax < 0 || wmax <= tol * std::max(1.0, bscale)) return outer;
+
+    in_P[jmax] = 1;
+    P.push_back(jmax);
+
+    // inner loop: solve the unconstrained problem on P, step back if any
+    // component would go nonpositive
+    while (true) {
+      int k = static_cast<int>(P.size());
+      M.assign(k * k, 0.0);
+      z.assign(k, 0.0);
+      for (int a = 0; a < k; ++a) {
+        z[a] = b[P[a]];
+        for (int c = 0; c < k; ++c) M[a * k + c] = G[P[a] * n + P[c]];
+        // tiny ridge for numerical safety on nearly-collinear atoms
+        M[a * k + a] += 1e-13 * (M[a * k + a] + 1.0);
+      }
+      if (!chol_solve(M, z, k)) return -1;
+
+      bool all_pos = true;
+      double alpha = 1.0;
+      for (int a = 0; a < k; ++a) {
+        if (z[a] <= 0.0) {
+          all_pos = false;
+          double xa = x[P[a]];
+          double denom = xa - z[a];
+          if (denom > 0.0) alpha = std::min(alpha, xa / denom);
+        }
+      }
+      if (all_pos) {
+        for (int a = 0; a < k; ++a) x[P[a]] = z[a];
+        break;
+      }
+      // move x toward z by alpha, drop zeroed coordinates from P
+      for (int a = 0; a < k; ++a) x[P[a]] += alpha * (z[a] - x[P[a]]);
+      std::vector<int> P_new;
+      for (int a = 0; a < k; ++a) {
+        if (x[P[a]] > tol) {
+          P_new.push_back(P[a]);
+        } else {
+          x[P[a]] = 0.0;
+          in_P[P[a]] = 0;
+        }
+      }
+      P.swap(P_new);
+      if (P.empty()) break;
+    }
+  }
+  return -1;  // did not converge
+}
+
+// NNLS on (A: m x n column-major like the reference's Fortran buffers,
+// models.pyx:570-576): min ||y - Ax||_2, x >= 0.  r_norm receives the
+// residual 2-norm (the SPAMS nnls out-param, models.pyx:911).
+int amico_nnls(const double* A, const double* y, int m, int n, double* x,
+               double* r_norm) {
+  std::vector<double> G(n * n), b(n);
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      double s = 0.0;
+      for (int k = 0; k < m; ++k) s += A[i * m + k] * A[j * m + k];
+      G[i * n + j] = s;
+      G[j * n + i] = s;
+    }
+    double s = 0.0;
+    for (int k = 0; k < m; ++k) s += A[i * m + k] * y[k];
+    b[i] = s;
+  }
+  int it = amico_qp_nonneg(G.data(), b.data(), n, x);
+  if (r_norm) {
+    double rr = 0.0;
+    for (int k = 0; k < m; ++k) {
+      double r = y[k];
+      for (int i = 0; i < n; ++i) r -= A[i * m + k] * x[i];
+      rr += r * r;
+    }
+    *r_norm = std::sqrt(rr);
+  }
+  return it;
+}
+
+// Non-negative elastic net with SPAMS mode=2/pos semantics
+// (models.pyx:615,926):  min 0.5||y - Ax||^2 + l1 1'x + 0.5 l2 ||x||^2, x>=0.
+// A is m x n column-major.
+int amico_lasso(const double* A, const double* y, int m, int n, double* x,
+                double lambda1, double lambda2) {
+  std::vector<double> G(n * n), b(n);
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      double s = 0.0;
+      for (int k = 0; k < m; ++k) s += A[i * m + k] * A[j * m + k];
+      G[i * n + j] = s;
+      G[j * n + i] = s;
+    }
+    G[i * n + i] += lambda2;
+    double s = 0.0;
+    for (int k = 0; k < m; ++k) s += A[i * m + k] * y[k];
+    b[i] = s - lambda1;
+  }
+  return amico_qp_nonneg(G.data(), b.data(), n, x);
+}
+
+}  // extern "C"
