@@ -1,0 +1,117 @@
+"""Batched log-linear DTI fit for principal-direction estimation.
+
+The reference estimates per-voxel principal fiber directions with dipy's
+``TensorModel`` (/root/reference/amico/core.py:433-458, methods
+OLS/WLS/NLLS/RESTORE, config 'DTI_fit_method' core.py:95,419-420).  The TPU
+build replaces the dipy dependency with an in-framework batched closed-form
+fit (SURVEY.md section 7 'design deltas'): one design-matrix matmul + a
+batched symmetric 3x3 eigendecomposition, entirely on device.
+
+Supported methods: 'OLS'/'LS' (ordinary least squares on log signal) and
+'WLS' (weighted by the squared OLS-predicted signal, the standard
+Salvador/Chung weighting dipy uses).  'NLLS'/'RT'/'RESTORE' fall back to WLS
+with a warning -- the direction estimate feeds a 1-degree LUT quantization
+(lut.pyx:349-351), so solver differences beyond WLS are quantized away.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+MIN_SIGNAL = 1e-6  # clamp for log(); data is b0-normalized upstream
+
+
+def design_matrix(b: np.ndarray, g: np.ndarray) -> np.ndarray:
+    """(nS, 7) log-linear DTI design matrix.
+
+    Columns: Dxx, Dyy, Dzz, Dxy, Dxz, Dyz, log(S0) with
+    log S = -b (gx^2 Dxx + gy^2 Dyy + gz^2 Dzz + 2 gx gy Dxy
+              + 2 gx gz Dxz + 2 gy gz Dyz) + log S0.
+    """
+    b = np.asarray(b, np.float64)
+    g = np.asarray(g, np.float64)
+    B = np.empty((b.shape[0], 7))
+    B[:, 0] = -b * g[:, 0] ** 2
+    B[:, 1] = -b * g[:, 1] ** 2
+    B[:, 2] = -b * g[:, 2] ** 2
+    B[:, 3] = -2 * b * g[:, 0] * g[:, 1]
+    B[:, 4] = -2 * b * g[:, 0] * g[:, 2]
+    B[:, 5] = -2 * b * g[:, 1] * g[:, 2]
+    B[:, 6] = 1.0
+    return B
+
+
+def _tensors_from_params(p: jnp.ndarray) -> jnp.ndarray:
+    """(..., 7) params -> (..., 3, 3) symmetric tensors."""
+    Dxx, Dyy, Dzz, Dxy, Dxz, Dyz = (p[..., i] for i in range(6))
+    row0 = jnp.stack([Dxx, Dxy, Dxz], -1)
+    row1 = jnp.stack([Dxy, Dyy, Dyz], -1)
+    row2 = jnp.stack([Dxz, Dyz, Dzz], -1)
+    return jnp.stack([row0, row1, row2], -2)
+
+
+def principal_eigenvector(D: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the largest eigenvalue of symmetric (..., 3, 3) D.
+
+    Analytic (trigonometric) eigenvalues + product-of-shifted-matrices
+    eigenvector: columns of (D - l2 I)(D - l3 I) span the l1 eigenspace.
+    Degenerate (isotropic) voxels fall back to +z, matching how an
+    orientation-free voxel should hit the LUT pole.
+    """
+    dt = D.dtype
+    tr = jnp.trace(D, axis1=-2, axis2=-1)
+    q = tr / 3.0
+    I3 = jnp.eye(3, dtype=dt)
+    Dq = D - q[..., None, None] * I3
+    p2 = jnp.sum(Dq * Dq, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    Bm = Dq / p[..., None, None]
+    detB = jnp.linalg.det(Bm)
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    l1 = q + 2.0 * p * jnp.cos(phi)
+    l3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    l2 = tr - l1 - l3
+
+    M = (D - l2[..., None, None] * I3) @ (D - l3[..., None, None] * I3)
+    norms = jnp.linalg.norm(M, axis=-2)            # column norms
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(M, best[..., None, None], axis=-1)[..., 0]
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    ez = jnp.zeros_like(v).at[..., 2].set(1.0)
+    anisotropic = (p2 > 1e-24)[..., None] & (vn > 1e-20)
+    return jnp.where(anisotropic, v / jnp.maximum(vn, 1e-30), ez)
+
+
+def fit_dti(y: jnp.ndarray, b: np.ndarray, g: np.ndarray,
+            method: str = 'OLS') -> jnp.ndarray:
+    """Fit the diffusion tensor per voxel; return principal directions.
+
+    y: (N, nS) signals (clamped to MIN_SIGNAL before log); b, g: scheme.
+    Returns (N, 3) unit vectors (the reference's ``DIRs``, core.py:458).
+    """
+    Bd = design_matrix(b, g)
+    y = jnp.asarray(y)
+    dt = y.dtype
+    logy = jnp.log(jnp.maximum(y, MIN_SIGNAL))
+    prec = jax.lax.Precision.HIGHEST
+
+    pinv = jnp.asarray(np.linalg.pinv(Bd), dt)           # (7, nS)
+    params = jnp.einsum('pn,vn->vp', pinv, logy, precision=prec)
+
+    if method.upper() not in ('OLS', 'LS'):
+        # WLS: weights = squared OLS-predicted signal
+        Bj = jnp.asarray(Bd, dt)
+        pred = jnp.einsum('np,vp->vn', Bj, params, precision=prec)
+        w = jnp.exp(2.0 * pred)
+
+        BtW = Bj.T[None, :, :] * w[:, None, :]           # (N, 7, nS)
+        lhs = jnp.einsum('vpn,nq->vpq', BtW, Bj, precision=prec)
+        rhs = jnp.einsum('vpn,vn->vp', BtW, logy, precision=prec)
+        lhs = lhs + 1e-12 * jnp.eye(7, dtype=dt)
+        params = jnp.linalg.solve(lhs, rhs[..., None])[..., 0]
+
+    D = _tensors_from_params(params)
+    return principal_eigenvector(D)

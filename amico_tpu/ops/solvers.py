@@ -19,9 +19,11 @@ thousands of voxels:
    models.pyx:933-936) and fast tail convergence on the ill-conditioned
    NODDI dictionaries.
 
-``G`` may be per-problem ``(B, n, n)`` or shared ``(n, n)`` -- the shared
-form is the fast path when voxels are bucketed by LUT direction so the whole
-tile uses one dictionary (SURVEY.md section 7).
+Shapes use NumPy broadcasting: ``b`` is ``(..., n)`` and ``G`` is anything
+broadcastable to ``(..., n, n)``.  The fit engine's fast path buckets voxels
+by LUT direction into tiles that share one dictionary: ``G (T, 1, n, n)``
+against ``b (T, M, n)`` -- the Gram matrix is read once per tile instead of
+once per voxel (SURVEY.md section 7).
 
 An optional ``mask`` constrains coordinates to zero, which implements the
 reference's debias re-fit on the positive support (models.pyx:929-942)
@@ -29,7 +31,6 @@ without ragged shapes.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -37,16 +38,16 @@ import jax.numpy as jnp
 
 
 def power_iteration_L(G: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
-    """Largest eigenvalue of symmetric PSD G (…, n, n) -> (…,)."""
+    """Largest eigenvalue of symmetric PSD G (..., n, n) -> (...,)."""
     n = G.shape[-1]
-    v = jnp.ones(G.shape[:-1], G.dtype) / jnp.sqrt(n)
+    v = jnp.ones(G.shape[:-1], G.dtype) / jnp.sqrt(jnp.asarray(n, G.dtype))
 
     def body(_, v):
-        w = jnp.einsum('...ij,...j->...i', G, v)
+        w = jnp.squeeze(G @ v[..., None], -1)
         return w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-30)
 
     v = jax.lax.fori_loop(0, iters, body, v)
-    w = jnp.einsum('...ij,...j->...i', G, v)
+    w = jnp.squeeze(G @ v[..., None], -1)
     return jnp.sum(v * w, axis=-1)
 
 
@@ -56,53 +57,44 @@ class _FistaState(NamedTuple):
     t: jnp.ndarray
 
 
-def _matvec(G, x):
-    """G @ x with G either shared (n, n) or batched (B, n, n), x (B, n)."""
-    if G.ndim == 2:
-        return x @ G.T
-    return jnp.einsum('bij,bj->bi', G, x)
+def _mv(G, x):
+    """Broadcasting matvec: (..., n, n) @ (..., n) -> (..., n)."""
+    return jnp.squeeze(G @ x[..., None], -1)
 
 
 def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
                   fista_iters: int = 200, cd_sweeps: int = 40, x0=None):
     """Solve min_x 0.5 x'Gx - b'x + lam1 1'x + 0.5 lam2 |x|^2,  x >= 0
-    for a batch of problems.
+    for a broadcastable batch of problems.
 
     Parameters
     ----------
-    G : (n, n) shared or (B, n, n) per-problem Gram matrix
-    b : (B, n) linear terms (A'y)
-    lam1, lam2 : scalars or (B,) per-problem regularizers
-    mask : optional (B, n) {0,1}; coordinates with 0 are pinned to zero
-    L : optional (,) or (B,) Lipschitz constants (lam2 excluded); computed by
-        power iteration when None
+    G : broadcastable to (..., n, n) against b's batch dims (e.g. (n, n)
+        shared, (B, n, n) per-problem, or (T, 1, n, n) per-tile)
+    b : (..., n) linear terms (A'y)
+    lam1, lam2 : scalars (or arrays broadcastable to b)
+    mask : optional {0,1} array broadcastable to b; 0-coordinates pinned to 0
+    L : optional Lipschitz constants broadcastable to b's batch dims
+        (lam2 excluded); computed by power iteration when None
     """
     b = jnp.asarray(b)
     G = jnp.asarray(G, b.dtype)
-    B, n = b.shape
+    n = b.shape[-1]
+
     lam1 = jnp.asarray(lam1, b.dtype)
     lam2 = jnp.asarray(lam2, b.dtype)
-    lam1b = jnp.broadcast_to(jnp.atleast_1d(lam1)[:, None] if jnp.ndim(lam1) else lam1, (B, n)) \
-        if jnp.ndim(lam1) > 0 else lam1
-    lam2b = lam2[:, None] if jnp.ndim(lam2) > 0 else lam2
 
     if L is None:
         L = power_iteration_L(G)
     L = jnp.asarray(L, b.dtype)
-    if L.ndim == 1 and G.ndim == 3:
-        Lb = L[:, None]
-    else:
-        Lb = L
-    step = 1.0 / (Lb + (lam2b if jnp.ndim(lam2) > 0 else lam2) + 1e-30)
-    if jnp.ndim(step) == 0:
-        step = jnp.full((1, 1), step, b.dtype)
-    elif step.ndim == 1:
-        step = step[:, None] if step.shape[0] == B else step[None, :]
+    step = 1.0 / (L[..., None] + lam2 + 1e-30) if L.ndim else \
+        1.0 / (L + lam2 + 1e-30)
 
     if mask is not None:
         mask = jnp.asarray(mask, b.dtype)
 
-    x_init = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    x_init = jnp.zeros_like(b) if x0 is None else \
+        jnp.broadcast_to(jnp.asarray(x0, b.dtype), b.shape)
     if mask is not None:
         x_init = x_init * mask
 
@@ -113,62 +105,47 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
         return out
 
     def fista_body(_, s: _FistaState) -> _FistaState:
-        grad = _matvec(G, s.z) - b + (lam2b if jnp.ndim(lam2) > 0 else lam2) * s.z
-        x_new = prox(s.z - step * (grad + (lam1b if jnp.ndim(lam1) > 0 else lam1)))
+        grad = _mv(G, s.z) - b + lam2 * s.z
+        x_new = prox(s.z - step * (grad + lam1))
         # adaptive gradient restart (per problem)
         restart = jnp.sum((s.z - x_new) * (x_new - s.x), axis=-1) > 0.0
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * s.t * s.t))
         t_eff = jnp.where(restart, 1.0, t_new)
-        beta = jnp.where(restart, 0.0, (s.t - 1.0) / t_new)[:, None]
+        beta = jnp.where(restart, 0.0, (s.t - 1.0) / t_new)[..., None]
         z_new = x_new + beta * (x_new - s.x)
         return _FistaState(x_new, z_new, t_eff)
 
-    state = _FistaState(x_init, x_init, jnp.ones((B,), b.dtype))
+    state = _FistaState(x_init, x_init, jnp.ones(b.shape[:-1], b.dtype))
     if fista_iters > 0:
         state = jax.lax.fori_loop(0, fista_iters, fista_body, state)
     x = state.x
 
     # ---- coordinate-descent polish (exact coordinate minimization) ----
     if cd_sweeps > 0:
-        if G.ndim == 2:
-            Gdiag = jnp.diagonal(G)
+        Gdiag = jnp.diagonal(G, axis1=-2, axis2=-1)  # (..., n)
+        lam1_j = jnp.broadcast_to(lam1, b.shape) if lam1.ndim else lam1
+        lam2_j = jnp.broadcast_to(lam2, b.shape) if lam2.ndim else lam2
 
-            def cd_coord(j, carry):
-                x, q = carry
-                xj = x[:, j]
-                gjj = Gdiag[j]
-                rj = b[:, j] - (q[:, j] - gjj * xj) - (
-                    lam1b[:, j] if jnp.ndim(lam1) > 0 else lam1)
-                l2j = lam2b[:, 0] if jnp.ndim(lam2) > 0 else lam2
-                xj_new = jnp.maximum(rj / (gjj + l2j + 1e-30), 0.0)
-                if mask is not None:
-                    xj_new = xj_new * mask[:, j]
-                delta = xj_new - xj
-                q = q + delta[:, None] * G[j, :][None, :]
-                x = x.at[:, j].set(xj_new)
-                return x, q
-        else:
-            Gdiag = jnp.diagonal(G, axis1=-2, axis2=-1)
-
-            def cd_coord(j, carry):
-                x, q = carry
-                xj = x[:, j]
-                gjj = Gdiag[:, j]
-                rj = b[:, j] - (q[:, j] - gjj * xj) - (
-                    lam1b[:, j] if jnp.ndim(lam1) > 0 else lam1)
-                l2j = lam2b[:, 0] if jnp.ndim(lam2) > 0 else lam2
-                xj_new = jnp.maximum(rj / (gjj + l2j + 1e-30), 0.0)
-                if mask is not None:
-                    xj_new = xj_new * mask[:, j]
-                delta = xj_new - xj
-                q = q + delta[:, None] * G[:, j, :]
-                x = x.at[:, j].set(xj_new)
-                return x, q
+        def cd_coord(j, carry):
+            x, q = carry
+            xj = x[..., j]
+            gjj = Gdiag[..., j]
+            l1 = lam1_j[..., j] if lam1.ndim else lam1
+            l2 = lam2_j[..., j] if lam2.ndim else lam2
+            rj = b[..., j] - (q[..., j] - gjj * xj) - l1
+            xj_new = jnp.maximum(rj / (gjj + l2 + 1e-30), 0.0)
+            if mask is not None:
+                xj_new = xj_new * jnp.broadcast_to(mask, b.shape)[..., j]
+            delta = xj_new - xj
+            # row j of G broadcasts against the batch dims of delta
+            q = q + delta[..., None] * G[..., j, :]
+            x = x.at[..., j].set(xj_new)
+            return x, q
 
         def cd_sweep(_, carry):
             return jax.lax.fori_loop(0, n, cd_coord, carry)
 
-        q = _matvec(G, x)
+        q = _mv(G, x)
         x, _ = jax.lax.fori_loop(0, cd_sweeps, cd_sweep, (x, q))
     return x
 
@@ -182,9 +159,11 @@ def nneg_lasso_from_A(A, y, lam1=0.0, lam2=0.0, **kw):
     """Convenience wrapper: reference `lasso` semantics from (A, y) directly.
     A: (m, n) shared or (B, m, n); y: (B, m)."""
     prec = jax.lax.Precision.HIGHEST
+    A = jnp.asarray(A)
+    y = jnp.asarray(y)
     G = gram(A)
     if A.ndim == 2:
-        b = jnp.einsum('mi,bm->bi', A, y, precision=prec)
+        b = jnp.einsum('mi,...m->...i', A, y, precision=prec)
     else:
         b = jnp.einsum('bmi,bm->bi', A, y, precision=prec)
     return nneg_qp_batch(G, b, lam1=lam1, lam2=lam2, **kw)

@@ -1,0 +1,76 @@
+"""Batched DTI direction-estimation tests (replacing dipy TensorModel,
+reference core.py:433-458)."""
+import numpy as np
+import jax.numpy as jnp
+
+from amico_tpu.ops.dti import fit_dti, principal_eigenvector
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+
+
+def _synth(axes, b, g, d_par=1.7e-3, d_perp=0.3e-3, s0=1.0):
+    """Zeppelin signals along given axes."""
+    cos2 = (g @ axes.T) ** 2                    # (nS, N)
+    return (s0 * np.exp(-b[:, None] * (d_perp + (d_par - d_perp) * cos2))).T
+
+
+def test_principal_eigenvector_analytic():
+    rng = np.random.RandomState(0)
+    Ds = []
+    for _ in range(200):
+        Q, _ = np.linalg.qr(rng.randn(3, 3))
+        lam = np.sort(rng.rand(3))[::-1] + 0.1
+        Ds.append(Q @ np.diag(lam) @ Q.T)
+    D = np.stack(Ds)
+    v = np.asarray(principal_eigenvector(jnp.asarray(D)))
+    for i in range(200):
+        w, V = np.linalg.eigh(D[i])
+        ref = V[:, np.argmax(w)]
+        assert abs(abs(v[i] @ ref) - 1.0) < 1e-4
+
+
+def test_isotropic_fallback():
+    D = np.stack([np.eye(3) * 1e-3, np.eye(3) * 2e-3])
+    v = np.asarray(principal_eigenvector(jnp.asarray(D)))
+    np.testing.assert_allclose(np.abs(v[:, 2]), 1.0, atol=1e-6)
+
+
+def test_ols_exact_on_noiseless():
+    g = np.vstack([np.zeros((2, 3)), fibonacci_hemisphere(30)])
+    b = np.concatenate([np.zeros(2), np.full(30, 1000.0)])
+    axes = fibonacci_hemisphere(50)
+    y = _synth(axes, b, g)
+    dirs = np.asarray(fit_dti(jnp.asarray(y), b, g, 'OLS'))
+    dots = np.abs(np.sum(dirs * axes, axis=1))
+    assert dots.min() > 1 - 1e-5
+
+
+def test_wls_close_to_ols_and_robust():
+    rng = np.random.RandomState(1)
+    g = np.vstack([np.zeros((2, 3)), fibonacci_hemisphere(40)])
+    b = np.concatenate([np.zeros(2), np.full(40, 1500.0)])
+    axes = fibonacci_hemisphere(64)
+    y = _synth(axes, b, g)
+    y_noisy = np.abs(y + 0.02 * rng.randn(*y.shape))
+    for method in ('OLS', 'WLS'):
+        dirs = np.asarray(fit_dti(jnp.asarray(y_noisy), b, g, method))
+        dots = np.abs(np.sum(dirs * axes, axis=1))
+        # noisy fits must stay within a few degrees of truth
+        assert np.median(dots) > np.cos(np.deg2rad(4.0)), method
+
+
+def test_direction_quantization_roundtrip(tmp_path):
+    """DTI direction -> LUT index -> LUT direction within grid resolution."""
+    import os
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path)
+    from amico_tpu.lut import dir_to_lut_idx, load_directions, load_precomputed_hash_table
+    g = np.vstack([np.zeros((1, 3)), fibonacci_hemisphere(30)])
+    b = np.concatenate([np.zeros(1), np.full(30, 1000.0)])
+    axes = fibonacci_hemisphere(200)
+    y = _synth(axes, b, g)
+    dirs = np.asarray(fit_dti(jnp.asarray(y), b, g, 'OLS'))
+    ht = load_precomputed_hash_table(500)
+    lut_dirs = load_directions(500)
+    idx = dir_to_lut_idx(dirs, ht)
+    dots = np.abs(np.sum(lut_dirs[idx] * axes, axis=1))
+    # LUT has ~500 dirs over the hemisphere: nearest within ~7 degrees
+    assert np.percentile(dots, 5) > np.cos(np.deg2rad(8.0))
