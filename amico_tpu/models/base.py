@@ -1,0 +1,157 @@
+"""Model base class and shared fit plumbing.
+
+Mirrors the reference ``BaseModel`` contract
+(/root/reference/amico/models.pyx:75-217): ``set / get_params / set_solver /
+generate / resample / fit`` with identical signatures, so reference users
+can port scripts unchanged.  The chunking-for-threads logic
+(models.pyx:204-211) is replaced by the direction-bucketed tile plan of
+:mod:`amico_tpu.models.engine`.
+"""
+from __future__ import annotations
+
+import os
+from abc import ABC, abstractmethod
+from os.path import join as pjoin
+
+import numpy as np
+
+from .. import lut as _lut
+from ..utils.logging import ERROR
+from .engine import TilePlan, build_tile_plan, iter_tile_chunks, tile_voxels, untile_voxels
+
+# default solver iteration counts (validated against the exact native oracle
+# in tests/test_solvers.py and tests/test_models.py): FISTA + CD warm start
+# followed by batched active-set polish rounds
+DEFAULT_FISTA_ITERS = 100
+DEFAULT_CD_SWEEPS = 20
+DEFAULT_REFINE_ROUNDS = 12
+DEFAULT_CG_ITERS = 32
+
+
+class BaseModel(ABC):
+    """Base class for microstructure models (reference models.pyx:75-217)."""
+
+    @abstractmethod
+    def __init__(self):
+        self.id = 'BaseModel'
+        self.name = 'Base Model'
+        self.maps_name: list[str] = []
+        self.maps_descr: list[str] = []
+        self.scheme = None
+
+    @abstractmethod
+    def set(self, *args, **kwargs):
+        ...
+
+    @abstractmethod
+    def get_params(self):
+        ...
+
+    def set_solver(self, **kwargs):
+        """Initialize solver params; subclasses add model defaults
+        (reference models.pyx:124-134)."""
+        self.solver_params = {
+            'fista_iters': DEFAULT_FISTA_ITERS,
+            'cd_sweeps': DEFAULT_CD_SWEEPS,
+            'refine_rounds': DEFAULT_REFINE_ROUNDS,
+            'cg_iters': DEFAULT_CG_ITERS,
+        }
+
+    @abstractmethod
+    def generate(self, out_path, aux, idx_in, idx_out, ndirs):
+        ...
+
+    @abstractmethod
+    def resample(self, in_path, idx_out, Ylm_out, doMergeB0, ndirs):
+        ...
+
+    @abstractmethod
+    def fit(self, evaluation):
+        """Returns the reference result dict: 'estimates' (+'rmse', 'nrmse',
+        'y_corrected', 'estimates_mod') (models.pyx:186-203)."""
+        ...
+
+    # ------------------------------------------------------------ helpers
+    def _save_atom(self, out_path: str, idx: int, lm: np.ndarray) -> None:
+        """Kernel LUT file layout of the reference (models.pyx:308)."""
+        np.save(pjoin(out_path, f'A_{idx:03d}.npy'), lm)
+
+    def _load_atom(self, in_path: str, idx: int, ndirs: int,
+                   isotropic: bool = False) -> np.ndarray:
+        lm = np.load(pjoin(in_path, f'A_{idx:03d}.npy'))
+        if not isotropic and lm.shape[0] != ndirs:
+            ERROR('Outdated LUT. Call "generate_kernels( regenerate=True )" to update the LUT')
+        return lm
+
+    def _merge_idx(self, doMergeB0: bool):
+        """(nS, merge_idx) handling of the doMergeB0 option
+        (reference models.pyx:756-761)."""
+        if doMergeB0:
+            nS = 1 + self.scheme.dwi_count
+            merge_idx = np.hstack((self.scheme.b0_idx[0], self.scheme.dwi_idx))
+        else:
+            nS = self.scheme.nS
+            merge_idx = np.arange(self.scheme.nS)
+        return nS, merge_idx
+
+    def _common_configs(self, evaluation) -> dict:
+        """Reference models.pyx:213-217."""
+        return {
+            'compute_rmse': bool(evaluation.get_config('doComputeRMSE')),
+            'compute_nrmse': bool(evaluation.get_config('doComputeNRMSE')),
+        }
+
+    def _solver_kwargs(self) -> dict:
+        sp = getattr(self, 'solver_params', {})
+        return {
+            'fista_iters': int(sp.get('fista_iters', DEFAULT_FISTA_ITERS)),
+            'cd_sweeps': int(sp.get('cd_sweeps', DEFAULT_CD_SWEEPS)),
+            'refine_rounds': int(sp.get('refine_rounds', DEFAULT_REFINE_ROUNDS)),
+            'cg_iters': int(sp.get('cg_iters', DEFAULT_CG_ITERS)),
+        }
+
+    # ------------------------------------------------- tiled fit driver
+    def _run_tiled_fit(self, evaluation, fit_chunk_fn, n_outputs_like: dict,
+                       tile_size: int | None = None,
+                       voxels_per_chunk: int | None = None):
+        """Drive a jitted per-chunk tile fit over all voxels.
+
+        ``fit_chunk_fn(Y (C,M,nS) f32, dirs (C,) i32, valid (C,M) bool)``
+        must return a dict of arrays with leading dims (C, M).
+        ``n_outputs_like``: {name: trailing_shape_tuple} used to allocate
+        the untiled outputs.
+        Returns dict of (N, ...) numpy arrays in original voxel order.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        y = np.asarray(evaluation.y, np.float32)
+        lut_idx = _lut.dir_to_lut_idx(np.asarray(evaluation.DIRs, np.float64),
+                                      evaluation.htable)
+        tile_size = tile_size or int(evaluation.get_config('tile_size') or 128)
+        vpc = voxels_per_chunk or int(evaluation.get_config('voxels_per_chunk')
+                                      or 65536)
+        chunk_tiles = max(1, vpc // tile_size)
+
+        plan = build_tile_plan(lut_idx, tile_size)
+        Y = tile_voxels(plan, y)
+        dirs_t = plan.tile_dirs
+        valid_t = plan.valid
+
+        fit_jit = jax.jit(fit_chunk_fn)
+
+        out_tiles = {k: np.zeros((plan.n_tiles, tile_size) + shape, np.float32)
+                     for k, shape in n_outputs_like.items()}
+        for start, stop, pad in iter_tile_chunks(plan.n_tiles, chunk_tiles):
+            Yc = Y[start:stop]
+            dc = dirs_t[start:stop]
+            vc = valid_t[start:stop]
+            if pad:
+                Yc = np.concatenate([Yc, np.zeros((pad,) + Yc.shape[1:], Yc.dtype)])
+                dc = np.concatenate([dc, np.zeros(pad, dc.dtype)])
+                vc = np.concatenate([vc, np.zeros((pad,) + vc.shape[1:], bool)])
+            res = fit_jit(jnp.asarray(Yc), jnp.asarray(dc), jnp.asarray(vc))
+            for k, arr in res.items():
+                out_tiles[k][start:stop] = np.asarray(arr, np.float32)[:stop - start]
+
+        return {k: untile_voxels(plan, v) for k, v in out_tiles.items()}

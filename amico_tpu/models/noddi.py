@@ -1,0 +1,241 @@
+"""NODDI model -- the flagship fit.
+
+Parity with /root/reference/amico/models.pyx:656-991.  The three-stage
+per-voxel solve (models.pyx:910-942) becomes three batched tile solves:
+
+1. NNLS on the full dictionary for the CSF fraction (911);
+2. non-negative lasso on the norm-scaled DWI-only subproblem with the
+   isotropic (and exvivo dot) prediction subtracted and clipped >= 0
+   (914-926), defaults lambda1=5e-1 lambda2=1e-3 (721-724);
+3. debias: masked NNLS restricted to the positive support with the
+   isotropic (and dot) atoms forced in (928-942) -- the mask-pinned solve is
+   mathematically identical to the reference's column-subset re-fit
+   (verified in tests/test_solvers.py::test_masked_solve_equals_submatrix_solve).
+
+Maps: NDI/ODI/FWF (+dot if exvivo) per models.pyx:944-967, modulated maps
+per 976-979.
+
+References
+----------
+Zhang et al. (2012) NeuroImage 61: 1000-16.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import lut as _lut
+from ..synthesis import NODDIExtraCellular, NODDIIntraCellular, NODDIIsotropic
+from ..utils.logging import get_verbose
+from ..utils.progress import ProgressBar
+from ._fitops import error_maps, project
+from .base import BaseModel
+
+
+class NODDI(BaseModel):
+    def __init__(self):
+        self.id = 'NODDI'
+        self.name = 'NODDI'
+        self.maps_name = ['NDI', 'ODI', 'FWF']
+        self.maps_descr = ['Neurite Density Index',
+                           'Orientation Dispersion Index',
+                           'Free Water Fraction']
+        self.scheme = None
+        self.set()
+
+    def set(self, dPar=1.7e-3, dIso=3.0e-3,
+            IC_VFs=np.linspace(0.1, 0.99, 12),
+            IC_ODs=np.hstack((np.array([0.03, 0.06]), np.linspace(0.09, 0.99, 10))),
+            isExvivo=False):
+        """Defaults per reference models.pyx:675-703."""
+        self.dPar = dPar
+        self.dIso = dIso
+        self.IC_VFs = np.array(IC_VFs)
+        self.IC_ODs = np.array(IC_ODs)
+        self.isExvivo = isExvivo
+        if isExvivo and 'dot' not in self.maps_name:
+            self.maps_name = self.maps_name + ['dot']
+            self.maps_descr = self.maps_descr + ['Dot volume fraction']
+
+    def get_params(self):
+        return {'id': self.id, 'name': self.name, 'dPar': self.dPar,
+                'dIso': self.dIso, 'IC_VFs': self.IC_VFs,
+                'IC_ODs': self.IC_ODs, 'isExvivo': self.isExvivo}
+
+    def set_solver(self, lambda1=5e-1, lambda2=1e-3, fista_iters=None,
+                   cd_sweeps=None, refine_rounds=None, cg_iters=None):
+        """Defaults per reference models.pyx:721-724."""
+        super().set_solver()
+        self.solver_params['lambda1'] = lambda1
+        self.solver_params['lambda2'] = lambda2
+        if fista_iters is not None:
+            self.solver_params['fista_iters'] = int(fista_iters)
+        if cd_sweeps is not None:
+            self.solver_params['cd_sweeps'] = int(cd_sweeps)
+        if refine_rounds is not None:
+            self.solver_params['refine_rounds'] = int(refine_rounds)
+        if cg_iters is not None:
+            self.solver_params['cg_iters'] = int(cg_iters)
+
+    def generate(self, out_path, aux, idx_in, idx_out, ndirs):
+        """Coupled IC+EC atoms over the (IC_OD, IC_VF) grid + isotropic atom
+        (reference models.pyx:727-751)."""
+        scheme_high = _lut.create_high_resolution_scheme(self.scheme)
+        noddi_ic = NODDIIntraCellular(scheme_high)
+        noddi_ec = NODDIExtraCellular(scheme_high)
+        noddi_iso = NODDIIsotropic(scheme_high)
+
+        nATOMS = len(self.IC_ODs) * len(self.IC_VFs) + 1
+        idx = 0
+        with ProgressBar(total=nATOMS, disable=get_verbose() < 3) as pbar:
+            IC_KAPPAs = 1 / np.tan(self.IC_ODs * np.pi / 2)
+            for kappa in IC_KAPPAs:
+                signal_ic = noddi_ic.get_signal(self.dPar, kappa)
+                for v_ic in self.IC_VFs:
+                    signal_ec = noddi_ec.get_signal(self.dPar, kappa, v_ic)
+                    signal = v_ic * signal_ic + (1 - v_ic) * signal_ec
+                    lm = _lut.rotate_kernel(signal, aux, idx_in, idx_out, False, ndirs)
+                    self._save_atom(out_path, idx + 1, lm)
+                    idx += 1
+                    pbar.update()
+            signal = noddi_iso.get_signal(self.dIso)
+            lm = _lut.rotate_kernel(signal, aux, idx_in, idx_out, True, ndirs)
+            self._save_atom(out_path, nATOMS, lm)
+            pbar.update()
+
+    def resample(self, in_path, idx_out, Ylm_out, doMergeB0, ndirs):
+        """KERNELS layout per reference models.pyx:754-792; 'norms' is stored
+        as a per-atom vector (the reference's (dwi_count, n_wm) matrix has
+        constant columns, models.pyx:782-784)."""
+        nATOMS = len(self.IC_ODs) * len(self.IC_VFs) + 1
+        nS, merge_idx = self._merge_idx(doMergeB0)
+        n_wm = nATOMS - 1
+        KERNELS = {'model': self.id}
+        KERNELS['wm'] = np.zeros((n_wm, ndirs, nS), dtype=np.float32)
+        KERNELS['iso'] = np.zeros(nS, dtype=np.float32)
+        KERNELS['kappa'] = np.zeros(n_wm, dtype=np.float32)
+        KERNELS['icvf'] = np.zeros(n_wm, dtype=np.float32)
+        KERNELS['norms'] = np.zeros(n_wm, dtype=np.float64)
+
+        idx = 0
+        with ProgressBar(total=nATOMS, disable=get_verbose() < 3) as pbar:
+            for i in range(len(self.IC_ODs)):
+                for j in range(len(self.IC_VFs)):
+                    lm = self._load_atom(in_path, idx + 1, ndirs)
+                    KERNELS['wm'][idx] = _lut.resample_kernel(
+                        lm, self.scheme.nS, idx_out, Ylm_out, False, ndirs)[:, merge_idx]
+                    KERNELS['kappa'][idx] = 1.0 / np.tan(self.IC_ODs[i] * np.pi / 2.0)
+                    KERNELS['icvf'][idx] = self.IC_VFs[j]
+                    if doMergeB0:
+                        dwi_part = KERNELS['wm'][idx, 0, 1:]
+                    else:
+                        dwi_part = KERNELS['wm'][idx, 0, self.scheme.dwi_idx]
+                    KERNELS['norms'][idx] = 1.0 / np.linalg.norm(dwi_part)
+                    idx += 1
+                    pbar.update()
+            lm = self._load_atom(in_path, nATOMS, ndirs, isotropic=True)
+            KERNELS['iso'] = _lut.resample_kernel(
+                lm, self.scheme.nS, idx_out, Ylm_out, True, ndirs)[merge_idx]
+            pbar.update()
+        return KERNELS
+
+    def fit(self, evaluation):
+        import jax.numpy as jnp
+
+        configs = self._common_configs(evaluation)
+        configs['compute_modulated_maps'] = bool(
+            evaluation.get_config('doSaveModulatedMaps'))
+        kernels = evaluation.KERNELS
+        solver_kw = self._solver_kwargs()
+        lam1 = float(self.solver_params['lambda1'])
+        lam2 = float(self.solver_params['lambda2'])
+
+        n_wm = kernels['wm'].shape[0]
+        is_exvivo = bool(self.isExvivo)
+        n_atoms = n_wm + 1 + (1 if is_exvivo else 0)
+        nS = kernels['wm'].shape[2]
+        single_b0 = evaluation.y.shape[1] == 1 + self.scheme.dwi_count
+        if single_b0:
+            rows_dwi = np.arange(1, nS)
+        else:
+            rows_dwi = np.asarray(self.scheme.dwi_idx, np.int64)
+
+        # direction-major kernel tensor for tile gathers: (ndirs, nS, n_wm)
+        K_wm = jnp.asarray(np.ascontiguousarray(
+            np.transpose(kernels['wm'], (1, 2, 0))), jnp.float32)
+        K_iso = jnp.asarray(kernels['iso'], jnp.float32)
+        norms = jnp.asarray(kernels['norms'], jnp.float32)
+        icvf = jnp.asarray(kernels['icvf'], jnp.float32)
+        kappa = jnp.asarray(kernels['kappa'], jnp.float32)
+        rows_dwi_j = jnp.asarray(rows_dwi, jnp.int32)
+
+        def fit_chunk(Y, dirs, valid):
+            C, M, _ = Y.shape
+            A_wm = K_wm[dirs]                                   # (C, nS, n_wm)
+            cols = [A_wm]
+            if is_exvivo:
+                cols.append(jnp.ones((C, Y.shape[2], 1), Y.dtype))
+            cols.append(jnp.broadcast_to(K_iso[None, :, None],
+                                         (C, Y.shape[2], 1)))
+            A_full = jnp.concatenate(cols, axis=-1)             # (C, nS, na)
+
+            from ..ops.solvers import gram, nneg_qp_batch, power_iteration_L
+            G1 = gram(A_full)
+            L1 = power_iteration_L(G1)
+            b1 = project(A_full, Y)
+
+            # ---- stage 1: NNLS for the CSF fraction (models.pyx:911)
+            x1 = nneg_qp_batch(G1[:, None], b1, 0.0, 0.0, L=L1[:, None],
+                               **solver_kw)
+            x_iso1 = x1[..., -1]
+
+            # ---- stage 2: scaled DWI-only lasso (models.pyx:914-926)
+            Y2 = Y[..., rows_dwi_j] - x_iso1[..., None] * K_iso[rows_dwi_j]
+            if is_exvivo:
+                Y2 = Y2 - x1[..., n_atoms - 2][..., None]
+            Y2 = jnp.maximum(Y2, 0.0)
+            A2 = A_wm[:, rows_dwi_j, :] * norms[None, None, :]
+            G2 = gram(A2)
+            L2 = power_iteration_L(G2)
+            b2 = project(A2, Y2)
+            x2 = nneg_qp_batch(G2[:, None], b2, lam1, lam2, L=L2[:, None],
+                               **solver_kw)
+
+            # ---- stage 3: debias on the positive support (models.pyx:928-942)
+            mask_wm = (x2 > 0.0).astype(Y.dtype)
+            ones_tail = jnp.ones(Y.shape[:2] + (n_atoms - n_wm,), Y.dtype)
+            mask = jnp.concatenate([mask_wm, ones_tail], axis=-1)
+            x = nneg_qp_batch(G1[:, None], b1, 0.0, 0.0, mask=mask,
+                              L=L1[:, None], **solver_kw)
+
+            # ---- estimates (models.pyx:944-967)
+            sum_atoms = jnp.sum(x, axis=-1) + 1e-16
+            xn_wm = x[..., :n_wm] / sum_atoms[..., None]
+            sum_wm = jnp.sum(xn_wm, axis=-1) + 1e-16
+            f1 = jnp.sum(icvf * xn_wm, axis=-1) / sum_wm
+            f2 = jnp.sum((1.0 - icvf) * xn_wm, axis=-1) / sum_wm
+            k1 = jnp.sum(kappa * xn_wm, axis=-1) / sum_wm
+            ndi = f1 / (f1 + f2 + 1e-16)
+            odi = 2.0 / jnp.pi * jnp.arctan2(1.0, k1)
+            fwf = x[..., -1] / sum_atoms
+            maps = [ndi, odi, fwf]
+            if is_exvivo:
+                maps.append(x[..., n_atoms - 2] / sum_atoms)
+            est = jnp.stack(maps, axis=-1) * valid[..., None]
+
+            out = {'estimates': est}
+            out.update(error_maps(A_full, x, Y, configs['compute_rmse'],
+                                  configs['compute_nrmse']))
+            if configs['compute_modulated_maps']:
+                tf = 1.0 - fwf
+                out['estimates_mod'] = jnp.stack([ndi * tf, odi * tf], -1) \
+                    * valid[..., None]
+            return out
+
+        shapes = {'estimates': (len(self.maps_name),)}
+        if configs['compute_rmse']:
+            shapes['rmse'] = ()
+        if configs['compute_nrmse']:
+            shapes['nrmse'] = ()
+        if configs['compute_modulated_maps']:
+            shapes['estimates_mod'] = (2,)
+        return self._run_tiled_fit(evaluation, fit_chunk, shapes)

@@ -1,0 +1,190 @@
+"""SANDI (soma and neurite density imaging) model.
+
+Parity with /root/reference/amico/models.pyx:1344-1627: 5 SphereGPD radii
+(fixed d_is) + 5 Astrosticks + 5 Balls, all direction-averaged (isotropic),
+atoms L2-normalized at resample (1446-1486), single non-negative lasso with
+lambda1=0 lambda2=5e-3 (1405-1408), solution un-normalized by the stored
+norms (1570-1571), maps fsoma/fneurite/fextra/Rsoma/Din/De (1573-1611).
+Requires STEJSKALTANNER scheme + ``doDirectionalAverage`` preprocessing
+(models.pyx:1412-1413, core.py:232-268).
+
+References
+----------
+Palombo et al. (2020) NeuroImage 215: 116835.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import lut as _lut
+from ..synthesis import Astrosticks, Ball, SphereGPD
+from ..utils.logging import ERROR, get_verbose
+from ..utils.progress import ProgressBar
+from .base import BaseModel
+
+
+class SANDI(BaseModel):
+    def __init__(self):
+        self.id = 'SANDI'
+        self.name = 'SANDI'
+        self.maps_name = ['fsoma', 'fneurite', 'fextra', 'Rsoma', 'Din', 'De']
+        self.maps_descr = ['Intra-soma volume fraction',
+                           'Intra-neurite volume fraction',
+                           'Extra-cellular volume fraction',
+                           'Apparent soma radius',
+                           'Neurite axial diffusivity',
+                           'Extra-cellular mean diffusivity']
+        self.scheme = None
+        self.set()
+
+    def set(self, d_is=3.0e-3, Rs=np.linspace(1.0, 12.0, 5) * 1e-6,
+            d_in=np.linspace(0.25, 3.0, 5) * 1e-3,
+            d_isos=np.linspace(0.25, 3.0, 5) * 1e-3):
+        """Defaults per reference models.pyx:1367-1391."""
+        self.d_is = d_is
+        self.Rs = np.array(Rs)
+        self.d_in = np.array(d_in)
+        self.d_isos = np.array(d_isos)
+
+    def get_params(self):
+        return {'id': self.id, 'name': self.name, 'd_is': self.d_is,
+                'Rs': self.Rs, 'd_in': self.d_in, 'd_isos': self.d_isos}
+
+    def set_solver(self, lambda1=0.0, lambda2=5.0e-3, fista_iters=None,
+                   cd_sweeps=None, refine_rounds=None, cg_iters=None):
+        """Defaults per reference models.pyx:1405-1408."""
+        super().set_solver()
+        self.solver_params['lambda1'] = lambda1
+        self.solver_params['lambda2'] = lambda2
+        if fista_iters is not None:
+            self.solver_params['fista_iters'] = int(fista_iters)
+        if cd_sweeps is not None:
+            self.solver_params['cd_sweeps'] = int(cd_sweeps)
+        if refine_rounds is not None:
+            self.solver_params['refine_rounds'] = int(refine_rounds)
+        if cg_iters is not None:
+            self.solver_params['cg_iters'] = int(cg_iters)
+
+    def generate(self, out_path, aux, idx_in, idx_out, ndirs):
+        """Reference models.pyx:1411-1443; all atoms treated isotropic."""
+        if self.scheme.version != 1:
+            ERROR('This model requires a "VERSION: STEJSKALTANNER" scheme')
+        scheme_high = _lut.create_high_resolution_scheme(self.scheme)
+        sphere = SphereGPD(scheme_high)
+        astrosticks = Astrosticks(scheme_high)
+        ball = Ball(scheme_high)
+
+        nATOMS = len(self.Rs) + len(self.d_in) + len(self.d_isos)
+        idx = 0
+        with ProgressBar(total=nATOMS, disable=get_verbose() < 3) as pbar:
+            for R in self.Rs:
+                signal = sphere.get_signal(self.d_is, R)
+                self._save_atom(out_path, idx + 1,
+                                _lut.rotate_kernel(signal, aux, idx_in, idx_out, True, ndirs))
+                idx += 1
+                pbar.update()
+            for d in self.d_in:
+                signal = astrosticks.get_signal(d)
+                self._save_atom(out_path, idx + 1,
+                                _lut.rotate_kernel(signal, aux, idx_in, idx_out, True, ndirs))
+                idx += 1
+                pbar.update()
+            for d in self.d_isos:
+                signal = ball.get_signal(d)
+                self._save_atom(out_path, idx + 1,
+                                _lut.rotate_kernel(signal, aux, idx_in, idx_out, True, ndirs))
+                idx += 1
+                pbar.update()
+
+    def resample(self, in_path, idx_out, Ylm_out, doMergeB0, ndirs):
+        """Normalized signal dictionary per reference models.pyx:1446-1486."""
+        nATOMS = len(self.Rs) + len(self.d_in) + len(self.d_isos)
+        nS, merge_idx = self._merge_idx(doMergeB0)
+        KERNELS = {'model': self.id}
+        KERNELS['signal'] = np.zeros((nS, nATOMS), dtype=np.float64, order='F')
+        KERNELS['norms'] = np.zeros(nATOMS, dtype=np.float64)
+
+        with ProgressBar(total=nATOMS, disable=get_verbose() < 3) as pbar:
+            for idx in range(nATOMS):
+                lm = self._load_atom(in_path, idx + 1, ndirs, isotropic=True)
+                signal = _lut.resample_kernel(
+                    lm, self.scheme.nS, idx_out, Ylm_out, True, ndirs)[merge_idx].T
+                KERNELS['norms'][idx] = 1.0 / np.linalg.norm(signal)
+                KERNELS['signal'][:, idx] = signal * KERNELS['norms'][idx]
+                pbar.update()
+        return KERNELS
+
+    def fit(self, evaluation):
+        """Direction-free fit: one shared dictionary for all voxels
+        (reference models.pyx:1489-1627)."""
+        import jax
+        import jax.numpy as jnp
+
+        configs = self._common_configs(evaluation)
+        kernels = evaluation.KERNELS
+        solver_kw = self._solver_kwargs()
+        lam1 = float(self.solver_params['lambda1'])
+        lam2 = float(self.solver_params['lambda2'])
+
+        n_rs = len(self.Rs)
+        n_in = len(self.d_in)
+
+        A = jnp.asarray(kernels['signal'], jnp.float32)        # (nS, na)
+        norms = jnp.asarray(kernels['norms'], jnp.float32)
+        Rs = jnp.asarray(self.Rs, jnp.float32)
+        d_in = jnp.asarray(self.d_in, jnp.float32)
+        d_isos = jnp.asarray(self.d_isos, jnp.float32)
+
+        from ..ops.solvers import gram, nneg_qp_batch, power_iteration_L
+        G = gram(A)
+        Lc = power_iteration_L(G)
+
+        def fit_chunk(Y):
+            prec = jax.lax.Precision.HIGHEST
+            b = jnp.einsum('sa,ms->ma', A, Y, precision=prec)
+            x = nneg_qp_batch(G, b, lam1, lam2, L=Lc,
+                              **solver_kw)
+            # un-normalize (models.pyx:1570-1571)
+            xu = x * norms[None, :]
+
+            # estimates (models.pyx:1573-1611)
+            x_sum = jnp.sum(xu, axis=-1) + 1e-16
+            xsph = jnp.sum(xu[..., :n_rs], axis=-1)
+            xstk = jnp.sum(xu[..., n_rs:n_rs + n_in], axis=-1)
+            xiso = jnp.sum(xu[..., n_rs + n_in:], axis=-1)
+            fsoma = xsph / x_sum
+            fneurite = xstk / x_sum
+            fextra = xiso / x_sum
+            Rsoma = 1e6 * jnp.sum(Rs * xu[..., :n_rs], axis=-1) / (xsph + 1e-16)
+            Din = 1e3 * jnp.sum(d_in * xu[..., n_rs:n_rs + n_in], axis=-1) / (xstk + 1e-16)
+            De = 1e3 * jnp.sum(d_isos * xu[..., n_rs + n_in:], axis=-1) / (xiso + 1e-16)
+            est = jnp.stack([fsoma, fneurite, fextra, Rsoma, Din, De], axis=-1)
+
+            out = {'estimates': est}
+            if configs['compute_rmse'] or configs['compute_nrmse']:
+                y_est = jnp.einsum('sa,ma->ms', A, x, precision=prec)
+                sq = jnp.sum((Y - y_est) ** 2, axis=-1)
+                if configs['compute_rmse']:
+                    out['rmse'] = jnp.sqrt(sq / Y.shape[-1])
+                if configs['compute_nrmse']:
+                    den = jnp.sum(Y ** 2, axis=-1)
+                    out['nrmse'] = jnp.where(den > 1e-16,
+                                             jnp.sqrt(sq / jnp.maximum(den, 1e-16)), 0.0)
+            return out
+
+        # chunked direction-free driver (no tiling needed)
+        y = np.asarray(evaluation.y, np.float32)
+        N = y.shape[0]
+        chunk = int(evaluation.get_config('voxels_per_chunk') or 65536)
+        fit_jit = jax.jit(fit_chunk)
+        outs: dict[str, list] = {}
+        for start in range(0, N, chunk):
+            Yc = y[start:start + chunk]
+            pad = chunk - Yc.shape[0] if Yc.shape[0] < chunk and N > chunk else 0
+            if pad:
+                Yc = np.concatenate([Yc, np.zeros((pad, y.shape[1]), y.dtype)])
+            res = fit_jit(jnp.asarray(Yc))
+            take = min(chunk, N - start)
+            for k, v in res.items():
+                outs.setdefault(k, []).append(np.asarray(v, np.float32)[:take])
+        return {k: np.concatenate(v) for k, v in outs.items()}

@@ -1,0 +1,111 @@
+"""Stick-Zeppelin-Ball model (kernel generation only).
+
+Parity with /root/reference/amico/models.pyx:221-371: used by COMMIT for
+kernel generation; ``fit``/``set_solver`` are intentionally unimplemented.
+
+References
+----------
+Panagiotaki et al. (2012) NeuroImage 59: 2241-54.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import lut as _lut
+from ..synthesis import Ball, Stick, Zeppelin
+from ..utils.logging import ERROR, get_verbose
+from ..utils.progress import ProgressBar
+from .base import BaseModel
+
+
+class StickZeppelinBall(BaseModel):
+    def __init__(self):
+        self.id = 'StickZeppelinBall'
+        self.name = 'Stick-Zeppelin-Ball'
+        self.maps_name = []
+        self.maps_descr = []
+        self.scheme = None
+        self.set()
+
+    def set(self, d_par=1.7e-3,
+            d_perps_zep=np.array([1.19e-3, 0.85e-3, 0.51e-3, 0.17e-3]),
+            d_isos=np.array([3.0e-3]), d_par_zep=1.7e-3, d_perp=0):
+        """Defaults per reference models.pyx:246-253."""
+        self.d_par = d_par
+        self.d_perp = d_perp
+        self.d_par_zep = d_par if d_par_zep is None else d_par_zep
+        self.d_perps_zep = np.array(d_perps_zep)
+        self.d_isos = np.array(d_isos)
+
+    def get_params(self):
+        return {'id': self.id, 'name': self.name, 'd_par': self.d_par,
+                'd_perp': self.d_perp, 'd_par_zep': self.d_par_zep,
+                'd_perps_zep': self.d_perps_zep, 'd_isos': self.d_isos}
+
+    def set_solver(self):
+        ERROR('Not implemented')
+
+    def generate(self, out_path, aux, idx_in, idx_out, ndirs):
+        """Reference models.pyx:296-324.  Note the reference builds the
+        stick with d_par only; a nonzero d_perp uses a Zeppelin."""
+        scheme_high = _lut.create_high_resolution_scheme(self.scheme)
+        stick = Stick(scheme_high)
+        zeppelin = Zeppelin(scheme_high)
+        ball = Ball(scheme_high)
+
+        nATOMS = 1 + len(self.d_perps_zep) + len(self.d_isos)
+        idx = 0
+        with ProgressBar(total=nATOMS, disable=get_verbose() < 3) as pbar:
+            if self.d_perp > 0:
+                signal = zeppelin.get_signal(self.d_par, self.d_perp)
+            else:
+                signal = stick.get_signal(self.d_par)
+            self._save_atom(out_path, idx + 1,
+                            _lut.rotate_kernel(signal, aux, idx_in, idx_out, False, ndirs))
+            idx += 1
+            pbar.update()
+            for d in self.d_perps_zep:
+                signal = zeppelin.get_signal(self.d_par_zep, d)
+                self._save_atom(out_path, idx + 1,
+                                _lut.rotate_kernel(signal, aux, idx_in, idx_out, False, ndirs))
+                idx += 1
+                pbar.update()
+            for d in self.d_isos:
+                signal = ball.get_signal(d)
+                self._save_atom(out_path, idx + 1,
+                                _lut.rotate_kernel(signal, aux, idx_in, idx_out, True, ndirs))
+                idx += 1
+                pbar.update()
+
+    def resample(self, in_path, idx_out, Ylm_out, doMergeB0, ndirs):
+        """Reference models.pyx:327-367: KERNELS layout wmr/wmh/iso."""
+        nS, merge_idx = self._merge_idx(doMergeB0)
+        KERNELS = {'model': self.id}
+        KERNELS['wmr'] = np.zeros((1, ndirs, nS), dtype=np.float32)
+        KERNELS['wmh'] = np.zeros((len(self.d_perps_zep), ndirs, nS), dtype=np.float32)
+        KERNELS['iso'] = np.zeros((len(self.d_isos), nS), dtype=np.float32)
+
+        nATOMS = 1 + len(self.d_perps_zep) + len(self.d_isos)
+        idx = 0
+        with ProgressBar(total=nATOMS, disable=get_verbose() < 3) as pbar:
+            lm = self._load_atom(in_path, idx + 1, ndirs)
+            KERNELS['wmr'][0] = _lut.resample_kernel(
+                lm, self.scheme.nS, idx_out, Ylm_out, False, ndirs)[:, merge_idx]
+            idx += 1
+            pbar.update()
+            for i in range(len(self.d_perps_zep)):
+                lm = self._load_atom(in_path, idx + 1, ndirs)
+                KERNELS['wmh'][i] = _lut.resample_kernel(
+                    lm, self.scheme.nS, idx_out, Ylm_out, False, ndirs)[:, merge_idx]
+                idx += 1
+                pbar.update()
+            for i in range(len(self.d_isos)):
+                lm = self._load_atom(in_path, idx + 1, ndirs, isotropic=True)
+                KERNELS['iso'][i] = _lut.resample_kernel(
+                    lm, self.scheme.nS, idx_out, Ylm_out, True, ndirs)[merge_idx]
+                idx += 1
+                pbar.update()
+        return KERNELS
+
+    def fit(self, evaluation):
+        ERROR('Not implemented')

@@ -1,0 +1,45 @@
+"""VolumeFractions model (COMMIT testing; kernel passthrough).
+
+Parity with /root/reference/amico/models.pyx:1290-1340: all-ones kernels,
+no maps, ``set_solver``/``fit`` unimplemented.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.logging import ERROR
+from .base import BaseModel
+
+
+class VolumeFractions(BaseModel):
+    def __init__(self):
+        self.id = 'VolumeFractions'
+        self.name = 'Volume fractions'
+        self.maps_name = []
+        self.maps_descr = []
+        self.scheme = None
+        self.set()
+
+    def set(self):
+        return
+
+    def get_params(self):
+        return {'id': self.id, 'name': self.name}
+
+    def set_solver(self):
+        ERROR('Not implemented')
+
+    def generate(self, out_path, aux, idx_in, idx_out, ndirs):
+        return
+
+    def resample(self, in_path, idx_out, Ylm_out, doMergeB0, ndirs):
+        """Identity kernels (reference models.pyx:1322-1336)."""
+        nS, merge_idx = self._merge_idx(doMergeB0)
+        KERNELS = {'model': self.id}
+        KERNELS['wmr'] = np.ones((1, ndirs, nS), dtype=np.float32)
+        KERNELS['wmh'] = np.ones((0, ndirs, nS), dtype=np.float32)
+        KERNELS['iso'] = np.ones((0, nS), dtype=np.float32)
+        return KERNELS
+
+    def fit(self, evaluation):
+        ERROR('Not implemented')

@@ -62,8 +62,38 @@ def _mv(G, x):
     return jnp.squeeze(G @ x[..., None], -1)
 
 
+def _cg_masked(G, b, m, x0, lam2, iters: int):
+    """Batched conjugate gradient for (G + lam2 I) z = b restricted to the
+    support mask m (off-support coordinates pinned to 0).  This is the
+    same subproblem an active-set method solves exactly on its working set
+    (reference SPAMS nnls inner solve; native amico_qp_nonneg chol_solve)."""
+    def Aop(p):
+        return (_mv(G, p * m) + lam2 * p) * m
+
+    z = x0 * m
+    r = (b * m) - Aop(z)
+    p = r
+    rs = jnp.sum(r * r, axis=-1, keepdims=True)
+
+    def body(_, carry):
+        z, r, p, rs = carry
+        Ap = Aop(p)
+        denom = jnp.sum(p * Ap, axis=-1, keepdims=True)
+        alpha = rs / (denom + 1e-30)
+        z = z + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.sum(r * r, axis=-1, keepdims=True)
+        beta = rs_new / (rs + 1e-30)
+        p = r + beta * p
+        return z, r, p, rs_new
+
+    z, _, _, _ = jax.lax.fori_loop(0, iters, body, (z, r, p, rs))
+    return z
+
+
 def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
-                  fista_iters: int = 200, cd_sweeps: int = 40, x0=None):
+                  fista_iters: int = 200, cd_sweeps: int = 40, x0=None,
+                  refine_rounds: int = 0, cg_iters: int = 32):
     """Solve min_x 0.5 x'Gx - b'x + lam1 1'x + 0.5 lam2 |x|^2,  x >= 0
     for a broadcastable batch of problems.
 
@@ -147,6 +177,50 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
 
         q = _mv(G, x)
         x, _ = jax.lax.fori_loop(0, cd_sweeps, cd_sweep, (x, q))
+
+    # ---- active-set polish: batched Lawson-Hanson rounds warm-started from
+    # the FISTA/CD solution.  On the flat valleys of ill-conditioned
+    # dictionaries (NODDI: cond(G) ~ 1e8) first-order methods stop far from
+    # the vertex an active-set solver (the reference's SPAMS) lands on; these
+    # rounds close that gap: exact CG solve on the working set, step-back
+    # removal of negative coordinates, single best-gradient atom additions.
+    if refine_rounds > 0:
+        b_eff = b - lam1
+        scale = jnp.max(jnp.abs(b_eff), axis=-1, keepdims=True) + 1e-30
+        tol = 3e-6 if b.dtype == jnp.float32 else 1e-10
+        big = jnp.asarray(jnp.finfo(b.dtype).max, b.dtype)
+
+        def inner_solve(carry):
+            x, m = carry
+            z = _cg_masked(G, b_eff, m, x, lam2, cg_iters)
+            neg = (z <= 0.0) & (m > 0.0)
+            ratio = jnp.where(neg, x / (x - z + 1e-30), big)
+            alpha = jnp.clip(jnp.min(ratio, axis=-1, keepdims=True), 0.0, 1.0)
+            x = (x + alpha * (z - x)) * m
+            m = m * (x > tol * scale).astype(b.dtype)
+            return x * m, m
+
+        def as_round(_, carry):
+            x, m = carry
+            for _r in range(2):          # solve + at most one removal pass
+                x, m = inner_solve((x, m))
+            # addition step: best violated atom outside the working set
+            w = b_eff - _mv(G, x) - lam2 * x
+            allowed = (1.0 - m) * (mask if mask is not None else 1.0)
+            w_cand = jnp.where(allowed > 0.0, w, -big)
+            jstar = jnp.argmax(w_cand, axis=-1)
+            wmax = jnp.take_along_axis(w_cand, jstar[..., None], axis=-1)
+            add = (wmax > tol * scale).astype(b.dtype)
+            onehot = jax.nn.one_hot(jstar, b.shape[-1], dtype=b.dtype)
+            m = jnp.minimum(m + add * onehot, 1.0)
+            return x, m
+
+        m0 = (x > 0.0).astype(b.dtype)
+        if mask is not None:
+            m0 = m0 * mask
+        x, m = jax.lax.fori_loop(0, refine_rounds, as_round, (x, m0))
+        x, m = inner_solve((x, m))
+        x = jnp.maximum(x, 0.0)
     return x
 
 

@@ -1,0 +1,257 @@
+"""Model-fit parity tests: batched TPU fits vs a per-voxel NumPy oracle that
+transcribes the reference _fit loops (models.pyx:544-652,814-991,1166-1286,
+1507-1627) using the exact native active-set solvers."""
+import os
+
+import numpy as np
+import pytest
+
+from amico_tpu.io.scheme import GAMMA, Scheme
+from amico_tpu import lut as _lut
+from amico_tpu.models import NODDI, FreeWater, CylinderZeppelinBall, SANDI
+from amico_tpu.ops import native
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+
+NDIRS = 500
+LMAX = 12
+
+
+class EvalStub:
+    """Minimal Evaluation interface used by model.fit."""
+
+    def __init__(self, y, DIRs, htable, KERNELS, **config):
+        self.y = y
+        self.DIRs = DIRs
+        self.htable = htable
+        self.KERNELS = KERNELS
+        self._config = {'doComputeRMSE': False, 'doComputeNRMSE': False,
+                        'doSaveModulatedMaps': False,
+                        'doSaveCorrectedDWI': False,
+                        'tile_size': 32, 'voxels_per_chunk': 4096}
+        self._config.update(config)
+
+    def get_config(self, key):
+        return self._config.get(key)
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('kernels')
+    os.environ['AMICO_TPU_HOME'] = str(d / 'home')
+    return d
+
+
+def _scheme_v0():
+    g1 = fibonacci_hemisphere(24)
+    g2 = fibonacci_hemisphere(24)
+    tab = np.vstack([
+        np.zeros((2, 4)),
+        np.c_[g1, np.full(24, 700.0)],
+        np.c_[g2, np.full(24, 2000.0)],
+    ])
+    return Scheme(tab)
+
+
+def _scheme_v1():
+    g = fibonacci_hemisphere(30)
+    Delta, delta = 0.035, 0.015
+    rows = []
+    for b in (3000.0, 6000.0):
+        G = np.sqrt(b * 1e6 / (GAMMA ** 2 * delta ** 2 * (Delta - delta / 3)))
+        rows.append(np.c_[g, np.full(30, G), np.full(30, Delta),
+                          np.full(30, delta), np.full(30, Delta + delta)])
+    b0 = np.array([[0, 0, 0, 0, Delta, delta, Delta + delta]])
+    return Scheme(np.vstack([b0] + rows))
+
+
+def _prepare(model, scheme, workdir):
+    model.scheme = scheme
+    out = workdir / model.id
+    out.mkdir(exist_ok=True)
+    aux = _lut.load_precomputed_rotation_matrices(LMAX, NDIRS)
+    idx_in, idx_out = _lut.aux_structures_generate(scheme, LMAX)
+    model.generate(str(out), aux, idx_in, idx_out, NDIRS)
+    ridx, Ylm = _lut.aux_structures_resample(scheme, LMAX)
+    kernels = model.resample(str(out), ridx, Ylm, False, NDIRS)
+    htable = _lut.load_precomputed_hash_table(NDIRS)
+    return kernels, htable
+
+
+def _rand_voxels(n, kernels_A_fn, htable, seed=0):
+    """Random mixtures through the actual dictionaries + Rician-free noise."""
+    rng = np.random.RandomState(seed)
+    DIRs = rng.randn(n, 3)
+    DIRs /= np.linalg.norm(DIRs, axis=1, keepdims=True)
+    lut_idx = _lut.dir_to_lut_idx(DIRs, htable)
+    ys = []
+    for i in range(n):
+        A = kernels_A_fn(lut_idx[i])
+        w = rng.rand(A.shape[1]) * (rng.rand(A.shape[1]) < 0.3)
+        w[rng.randint(A.shape[1])] += 0.5
+        y = A @ (w / max(w.sum(), 1e-9))
+        ys.append(y + 0.002 * rng.randn(A.shape[0]))
+    return np.clip(np.array(ys), 0, None), DIRs, lut_idx
+
+
+# ---------------------------------------------------------------- NODDI
+def test_noddi_fit_parity(workdir):
+    scheme = _scheme_v0()
+    model = NODDI()
+    model.set(IC_VFs=np.linspace(0.3, 0.99, 4), IC_ODs=np.array([0.06, 0.3, 0.8]))
+    model.set_solver()
+    kernels, htable = _prepare(model, scheme, workdir)
+    n_wm = kernels['wm'].shape[0]
+
+    def A_of(d):
+        return np.column_stack([kernels['wm'][:, d, :].T, kernels['iso']])
+
+    y, DIRs, lut_idx = _rand_voxels(300, A_of, htable, seed=1)
+    ev = EvalStub(y, DIRs, htable, kernels, doSaveModulatedMaps=True)
+    res = model.fit(ev)
+    est = res['estimates']
+    assert est.shape == (300, 3)
+
+    # oracle: reference 3-stage solve per voxel (models.pyx:900-981)
+    dwi = scheme.dwi_idx
+    ests_ref = np.zeros((300, 3))
+    for i in range(300):
+        A = A_of(lut_idx[i])
+        x1, _ = native.nnls(A, y[i])
+        y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
+        A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
+        x2 = native.lasso(A2, y2, 0.5, 1e-3)
+        x = np.zeros(n_wm + 1)
+        x[:n_wm] = x2
+        x[-1] = 1.0
+        sup = np.where(x > 0)[0]
+        x3, _ = native.nnls(A[:, sup], y[i])
+        x[:] = 0
+        x[sup] = x3
+        sa = x.sum() + 1e-16
+        xn = x[:n_wm] / sa
+        sw = xn.sum() + 1e-16
+        f1 = np.sum(kernels['icvf'] * xn) / sw
+        f2 = np.sum((1 - kernels['icvf']) * xn) / sw
+        k1 = np.sum(kernels['kappa'] * xn) / sw
+        ests_ref[i] = [f1 / (f1 + f2 + 1e-16),
+                       2 / np.pi * np.arctan2(1.0, k1),
+                       x[-1] / sa]
+
+    err = np.abs(est - ests_ref)
+    assert np.median(err) < 5e-4
+    assert np.percentile(err, 95) < 1e-2
+    # modulated maps
+    mod = res['estimates_mod']
+    np.testing.assert_allclose(mod[:, 0], est[:, 0] * (1 - est[:, 2]), atol=1e-5)
+
+
+# ------------------------------------------------------------ FreeWater
+def test_freewater_fit_parity(workdir):
+    scheme = _scheme_v0()
+    model = FreeWater()
+    model.set()
+    model.set_solver()
+    kernels, htable = _prepare(model, scheme, workdir)
+    n_perp = kernels['D'].shape[0]
+
+    def A_of(d):
+        return np.column_stack([kernels['D'][:, d, :].T, kernels['CSF'].T])
+
+    y, DIRs, lut_idx = _rand_voxels(200, A_of, htable, seed=2)
+    ev = EvalStub(y, DIRs, htable, kernels, doSaveCorrectedDWI=True,
+                  doComputeNRMSE=True)
+    res = model.fit(ev)
+    est = res['estimates']
+
+    ests_ref = np.zeros((200, 2))
+    for i in range(200):
+        A = A_of(lut_idx[i])
+        x = native.lasso(A, y[i], 0.0, 1e-3)
+        xs = x.sum() + 1e-16
+        v = x[:n_perp].sum() / xs
+        ests_ref[i] = [v, 1 - v]
+    err = np.abs(est - ests_ref)
+    assert np.median(err) < 2e-3
+    assert np.percentile(err, 95) < 2e-2
+    # corrected DWI: nonnegative, <= y where fiber part removed
+    assert res['y_corrected'].shape == y.shape
+    assert (res['y_corrected'] >= 0).all()
+    assert (res['nrmse'] >= 0).all() and np.isfinite(res['nrmse']).all()
+
+
+# ------------------------------------------- CylinderZeppelinBall (ACTIVEAX)
+def test_czb_fit_parity(workdir):
+    scheme = _scheme_v1()
+    model = CylinderZeppelinBall()
+    model.set(Rs=np.concatenate(([0.01], np.linspace(0.5, 8.0, 6))) * 1e-6)
+    model.set_solver()
+    kernels, htable = _prepare(model, scheme, workdir)
+    n_rs = len(model.Rs)
+    n_perp = len(model.d_perps)
+
+    def A_of(d):
+        return np.column_stack([kernels['wmr'][:, d, :].T,
+                                kernels['wmh'][:, d, :].T,
+                                kernels['iso'].T])
+
+    y, DIRs, lut_idx = _rand_voxels(200, A_of, htable, seed=3)
+    ev = EvalStub(y, DIRs, htable, kernels)
+    res = model.fit(ev)
+    est = res['estimates']
+
+    ests_ref = np.zeros((200, 3))
+    for i in range(200):
+        A = A_of(lut_idx[i])
+        x = native.lasso(A, y[i], 0.0, 4.0)
+        f1 = x[:n_rs].sum()
+        f2 = x[n_rs:n_rs + n_perp].sum() + 1e-16
+        v = f1 / (f1 + f2 + 1e-16)
+        f1 += 1e-16
+        a = 1e6 * 2 * np.sum(model.Rs * x[:n_rs]) / f1
+        d = 4 * v / (np.pi * a ** 2 + 1e-16)
+        ests_ref[i] = [v, a, d]
+    # v in [0,1]; a in micrometers (~0-10); d ~ small
+    err = np.abs(est - ests_ref)
+    assert np.median(err[:, 0]) < 5e-3
+    assert np.median(err[:, 1]) < 5e-2
+    # axon diameters within physical range
+    assert (est[:, 1] >= 0).all() and (est[:, 1] < 20).all()
+
+
+# ---------------------------------------------------------------- SANDI
+def test_sandi_fit_parity(workdir):
+    scheme = _scheme_v1()
+    model = SANDI()
+    model.set()
+    model.set_solver()
+    kernels, htable = _prepare(model, scheme, workdir)
+
+    A = kernels['signal']  # (nS, na) normalized
+    rng = np.random.RandomState(4)
+    n = 150
+    W = rng.rand(n, A.shape[1]) * (rng.rand(n, A.shape[1]) < 0.3)
+    W[np.arange(n), rng.randint(A.shape[1], size=n)] += 0.5
+    y = (A / kernels['norms'][None, :]) @ W.T * 0  # placeholder
+    y = ((A / kernels['norms'][None, :]) @ (W / np.maximum(W.sum(1, keepdims=True), 1e-9)).T).T
+    y = np.clip(y + 0.002 * rng.randn(*y.shape), 0, None)
+
+    ev = EvalStub(y, None, None, kernels)
+    res = model.fit(ev)
+    est = res['estimates']
+    assert est.shape == (n, 6)
+
+    ests_ref = np.zeros((n, 6))
+    n_rs, n_in = 5, 5
+    for i in range(n):
+        x = native.lasso(A, y[i], 0.0, 5e-3) * kernels['norms']
+        xs = x.sum() + 1e-16
+        xsph = x[:n_rs].sum()
+        xstk = x[n_rs:n_rs + n_in].sum()
+        xiso = x[n_rs + n_in:].sum()
+        ests_ref[i] = [xsph / xs, xstk / xs, xiso / xs,
+                       1e6 * np.sum(model.Rs * x[:n_rs]) / (xsph + 1e-16),
+                       1e3 * np.sum(model.d_in * x[n_rs:n_rs + n_in]) / (xstk + 1e-16),
+                       1e3 * np.sum(model.d_isos * x[n_rs + n_in:]) / (xiso + 1e-16)]
+    err = np.abs(est - ests_ref)
+    assert np.median(err[:, :3]) < 5e-3   # fractions
+    assert np.median(err[:, 3]) < 0.3     # Rsoma (um)
