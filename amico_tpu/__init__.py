@@ -22,13 +22,14 @@ __all__ = [
 
 def __getattr__(name):
     # lazy imports keep `import amico_tpu` light (no jax import) for tools
-    # that only need the scheme/logging layers
+    # that only need the scheme/logging layers.  NB: importlib, not
+    # `from . import ...` -- the latter re-enters this __getattr__.
+    import importlib
     if name in ('Evaluation', 'setup', 'core'):
-        from . import core
+        core = importlib.import_module('.core', __name__)
         if name == 'core':
             return core
         return getattr(core, name)
     if name == 'models':
-        from . import models
-        return models
+        return importlib.import_module('.models', __name__)
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -1,0 +1,204 @@
+"""End-to-end pipeline tests: the full Evaluation flow on synthetic subjects
+(SURVEY.md section 7 'minimum end-to-end slice')."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import amico_tpu
+from amico_tpu.io import nifti
+from amico_tpu.io.scheme import GAMMA
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from amico_tpu.synthesis import (NODDIExtraCellular, NODDIIntraCellular,
+                                 NODDIIsotropic)
+
+
+def _make_scheme_file(path, nb0=2, shells=(700.0, 2000.0), ndir=24):
+    rows = [np.zeros((nb0, 4))]
+    for b in shells:
+        g = fibonacci_hemisphere(ndir)
+        rows.append(np.c_[g, np.full(ndir, b)])
+    tab = np.vstack(rows)
+    np.savetxt(path, tab, fmt='%.6f', header='VERSION: BVECTOR', comments='')
+    return tab
+
+
+def _synth_noddi_volume(scheme, dim=(6, 6, 4), s0=800.0, seed=0):
+    """Ground-truth NODDI mixtures rotated to per-voxel axes."""
+    from amico_tpu.io.scheme import Scheme
+    rng = np.random.RandomState(seed)
+    nvox = int(np.prod(dim))
+    kappa = 1 / np.tan(0.25 * np.pi / 2)
+    ic = NODDIIntraCellular(scheme)
+    ec = NODDIExtraCellular(scheme)
+    iso = NODDIIsotropic(scheme)
+    s_ic = ic.get_signal(1.7e-3, kappa)
+    s_ec = ec.get_signal(1.7e-3, kappa, 0.6)
+    s_iso = iso.get_signal(3.0e-3)
+
+    # per-voxel: rotate the z-aligned signal to a random axis by evaluating
+    # the tensor-free approximation: use the scheme dirs vs axis cos
+    g = scheme.raw[:, :3]
+    vol = np.zeros((nvox, scheme.nS), dtype=np.float32)
+    axes = rng.randn(nvox, 3)
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    fwf = rng.uniform(0.0, 0.4, nvox)
+    # cheap rotation: mixture weights only (kernel rotation exactness is
+    # covered by test_sh_lut); here we just need a realistic-shaped volume
+    base = 0.6 * s_ic + 0.4 * s_ec
+    for i in range(nvox):
+        sig = (1 - fwf[i]) * base + fwf[i] * s_iso
+        vol[i] = s0 * sig * (1 + 0.01 * rng.randn(scheme.nS))
+    vol[:, scheme.b0_idx] = s0 * (1 + 0.01 * rng.randn(nvox, len(scheme.b0_idx)))
+    return np.abs(vol).reshape(dim + (scheme.nS,)), fwf.reshape(dim)
+
+
+@pytest.fixture(scope='module')
+def study(tmp_path_factory):
+    d = tmp_path_factory.mktemp('study')
+    os.environ['AMICO_TPU_HOME'] = str(d / 'home')
+    subj = d / 'subj1'
+    subj.mkdir()
+    tab = _make_scheme_file(subj / 'DWI.scheme')
+    from amico_tpu.io.scheme import Scheme
+    scheme = Scheme(str(subj / 'DWI.scheme'))
+    vol, fwf = _synth_noddi_volume(scheme)
+    img = nifti.Nifti1Image(vol, affine=np.diag([2.0, 2.0, 2.0, 1.0]))
+    nifti.save(img, str(subj / 'DWI.nii.gz'))
+    mask = np.ones(vol.shape[:3], dtype=np.uint8)
+    mask[0, 0, 0] = 0  # one excluded voxel
+    nifti.save(nifti.Nifti1Image(mask), str(subj / 'mask.nii.gz'))
+    return d, fwf
+
+
+def test_noddi_end_to_end(study):
+    d, fwf_true = study
+    amico_tpu.set_verbose(1)
+    ev = amico_tpu.Evaluation(str(d), 'subj1')
+    ev.set_config('doComputeNRMSE', True)
+    ev.set_config('doSaveModulatedMaps', True)
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme', mask_filename='mask.nii.gz')
+    ev.set_model('NODDI')
+    ev.model.set(IC_VFs=np.linspace(0.3, 0.99, 4),
+                 IC_ODs=np.array([0.06, 0.3, 0.8]))
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+    ev.save_results(path_suffix='test')
+
+    out = d / 'subj1' / 'AMICO' / 'NODDI_test'
+    for f in ['fit_NDI.nii.gz', 'fit_ODI.nii.gz', 'fit_FWF.nii.gz',
+              'fit_dir.nii.gz', 'fit_NRMSE.nii.gz', 'config.pickle',
+              'fit_NDI_modulated.nii.gz', 'fit_ODI_modulated.nii.gz']:
+        assert (out / f).exists(), f
+
+    ndi = nifti.load(str(out / 'fit_NDI.nii.gz')).get_fdata()
+    fwf = nifti.load(str(out / 'fit_FWF.nii.gz')).get_fdata()
+    nrmse = nifti.load(str(out / 'fit_NRMSE.nii.gz')).get_fdata()
+    assert ndi.shape == (6, 6, 4)
+    # masked voxel stays 0
+    assert ndi[0, 0, 0] == 0
+    mask = np.ones((6, 6, 4), bool)
+    mask[0, 0, 0] = False
+    # maps in range and fit quality decent on synthetic data
+    assert (ndi[mask] >= 0).all() and (ndi[mask] <= 1).all()
+    assert np.median(nrmse[mask]) < 0.1
+    # FWF correlates with ground truth free-water fractions
+    cc = np.corrcoef(fwf[mask], fwf_true[mask])[0, 1]
+    assert cc > 0.7, cc
+
+    # config pickle readable + has fit_time
+    cfg = pickle.load(open(out / 'config.pickle', 'rb'))
+    assert cfg['fit_time'] is not None
+    assert cfg['ndirs'] == 500
+
+    # kernel LUT cache: second call without regenerate is a no-op
+    ev.generate_kernels(regenerate=False)
+
+
+def test_freewater_end_to_end_with_corrected_dwi(study):
+    d, _ = study
+    amico_tpu.set_verbose(1)
+    ev = amico_tpu.Evaluation(str(d), 'subj1')
+    ev.set_config('doSaveCorrectedDWI', True)
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    ev.set_model('FreeWater')
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+    ev.save_results()
+    out = d / 'subj1' / 'AMICO' / 'FreeWater'
+    assert (out / 'fit_FiberVolume.nii.gz').exists()
+    assert (out / 'fit_FW.nii.gz').exists()
+    assert (out / 'DWI_corrected.nii.gz').exists()
+    corr = nifti.load(str(out / 'DWI_corrected.nii.gz')).get_fdata()
+    assert corr.shape[3] == 50
+    assert (corr >= 0).all()
+
+
+def test_sandi_end_to_end_directional_average(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(1)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    # STEJSKALTANNER scheme
+    Delta, delta = 0.035, 0.015
+    rows = [np.array([[0, 0, 0, 0, Delta, delta, Delta + delta]])] * 2
+    for b in (3000.0, 6000.0):
+        g = fibonacci_hemisphere(20)
+        G = np.sqrt(b * 1e6 / (GAMMA ** 2 * delta ** 2 * (Delta - delta / 3)))
+        rows.append(np.c_[g, np.full(20, G), np.full(20, Delta),
+                          np.full(20, delta), np.full(20, Delta + delta)])
+    np.savetxt(subj / 'DWI.scheme', np.vstack(rows), fmt='%.6f',
+               header='VERSION: 1', comments='')
+    rng = np.random.RandomState(3)
+    vol = np.abs(100 * (0.3 + 0.7 * rng.rand(5, 5, 3, 42))).astype(np.float32)
+    vol[..., :2] = 100.0
+    nifti.save(nifti.Nifti1Image(vol), str(subj / 'DWI.nii.gz'))
+
+    ev = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev.set_config('doDirectionalAverage', True)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    assert ev.scheme.nS == 3  # b0 + 2 shells after averaging
+    ev.set_model('SANDI')
+    ev.model.set(Rs=np.linspace(1.0, 12.0, 3) * 1e-6,
+                 d_in=np.linspace(0.25, 3.0, 3) * 1e-3,
+                 d_isos=np.linspace(0.25, 3.0, 3) * 1e-3)
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+    ev.save_results(save_dir_avg=True)
+    out = tmp_path / 's' / 'AMICO' / 'SANDI'
+    for f in ['fit_fsoma.nii.gz', 'fit_fneurite.nii.gz', 'fit_fextra.nii.gz',
+              'fit_Rsoma.nii.gz', 'fit_Din.nii.gz', 'fit_De.nii.gz',
+              'dir_avg_signal.nii.gz', 'dir_avg.scheme']:
+        assert (out / f).exists(), f
+    fsoma = nifti.load(str(out / 'fit_fsoma.nii.gz')).get_fdata()
+    assert (fsoma >= 0).all() and (fsoma <= 1).all()
+
+
+def test_wrong_model_name_raises(study):
+    d, _ = study
+    ev = amico_tpu.Evaluation(str(d), 'subj1')
+    with pytest.raises(amico_tpu.AmicoError):
+        ev.set_model('NotAModel')
+
+
+def test_debias_rician():
+    """Batched Rician debias inverts the bias on synthetic Rician data."""
+    from amico_tpu.preproc import debias_rician_batch
+    rng = np.random.RandomState(0)
+    sigma = 5.0
+    true = np.linspace(20, 200, 50)
+    # empirical Rician means
+    n = 20000
+    noisy = np.sqrt((true[:, None] + sigma * rng.randn(50, n)) ** 2
+                    + (sigma * rng.randn(50, n)) ** 2)
+    means = noisy.mean(axis=1)
+    import jax.numpy as jnp
+    est = np.asarray(debias_rician_batch(jnp.asarray(means, jnp.float32),
+                                         jnp.float32(sigma)))
+    np.testing.assert_allclose(est, true, rtol=2e-2, atol=0.5)
