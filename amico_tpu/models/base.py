@@ -133,6 +133,16 @@ class BaseModel(ABC):
                                       or 65536)
         chunk_tiles = max(1, vpc // tile_size)
 
+        # optional device mesh: shard the tile axis (voxel data parallelism,
+        # SURVEY.md section 2.4); chunk size padded to a device multiple
+        mesh = evaluation.get_config('mesh')
+        sharding = None
+        if mesh is not None:
+            from ..parallel.mesh import tile_sharding
+            ndev = mesh.devices.size
+            chunk_tiles = max(1, -(-chunk_tiles // ndev) * ndev)
+            sharding = tile_sharding(mesh)
+
         plan = build_tile_plan(lut_idx, tile_size)
         Y = tile_voxels(plan, y)
         dirs_t = plan.tile_dirs
@@ -142,7 +152,23 @@ class BaseModel(ABC):
 
         out_tiles = {k: np.zeros((plan.n_tiles, tile_size) + shape, np.float32)
                      for k, shape in n_outputs_like.items()}
+
+        # mid-fit checkpoint/resume (SURVEY.md section 5.4: the reference has
+        # none; long sweeps here can resume at chunk granularity)
+        ckpt_path = evaluation.get_config('fit_checkpoint')
+        done_until = 0
+        if ckpt_path and os.path.isfile(ckpt_path):
+            with np.load(ckpt_path) as ck:
+                if int(ck['n_tiles']) == plan.n_tiles and \
+                        int(ck['tile_size']) == tile_size:
+                    done_until = int(ck['done_until'])
+                    for k in out_tiles:
+                        if k in ck:
+                            out_tiles[k][:done_until] = ck[k][:done_until]
+
         for start, stop, pad in iter_tile_chunks(plan.n_tiles, chunk_tiles):
+            if stop <= done_until:
+                continue
             Yc = Y[start:stop]
             dc = dirs_t[start:stop]
             vc = valid_t[start:stop]
@@ -150,8 +176,17 @@ class BaseModel(ABC):
                 Yc = np.concatenate([Yc, np.zeros((pad,) + Yc.shape[1:], Yc.dtype)])
                 dc = np.concatenate([dc, np.zeros(pad, dc.dtype)])
                 vc = np.concatenate([vc, np.zeros((pad,) + vc.shape[1:], bool)])
-            res = fit_jit(jnp.asarray(Yc), jnp.asarray(dc), jnp.asarray(vc))
+            args = (jnp.asarray(Yc), jnp.asarray(dc), jnp.asarray(vc))
+            if sharding is not None:
+                args = tuple(jax.device_put(a, sharding) for a in args)
+            res = fit_jit(*args)
             for k, arr in res.items():
                 out_tiles[k][start:stop] = np.asarray(arr, np.float32)[:stop - start]
+            if ckpt_path:
+                np.savez(ckpt_path + '.tmp', n_tiles=plan.n_tiles,
+                         tile_size=tile_size, done_until=stop, **out_tiles)
+                os.replace(ckpt_path + '.tmp.npz', ckpt_path)
 
+        if ckpt_path and os.path.isfile(ckpt_path):
+            os.remove(ckpt_path)
         return {k: untile_voxels(plan, v) for k, v in out_tiles.items()}

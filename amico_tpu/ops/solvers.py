@@ -43,11 +43,11 @@ def power_iteration_L(G: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
     v = jnp.ones(G.shape[:-1], G.dtype) / jnp.sqrt(jnp.asarray(n, G.dtype))
 
     def body(_, v):
-        w = jnp.squeeze(G @ v[..., None], -1)
+        w = _mv(G, v)
         return w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-30)
 
     v = jax.lax.fori_loop(0, iters, body, v)
-    w = jnp.squeeze(G @ v[..., None], -1)
+    w = _mv(G, v)
     return jnp.sum(v * w, axis=-1)
 
 
@@ -58,8 +58,13 @@ class _FistaState(NamedTuple):
 
 
 def _mv(G, x):
-    """Broadcasting matvec: (..., n, n) @ (..., n) -> (..., n)."""
-    return jnp.squeeze(G @ x[..., None], -1)
+    """Broadcasting matvec: (..., n, n) @ (..., n) -> (..., n).
+
+    NB: precision HIGHEST -- on TPU the default matmul precision lowers f32
+    to bf16 passes, which makes CG diverge on ill-conditioned dictionaries
+    (cond(G) ~ 1e8 for NODDI)."""
+    return jnp.squeeze(jnp.matmul(G, x[..., None],
+                                  precision=jax.lax.Precision.HIGHEST), -1)
 
 
 def _cg_masked(G, b, m, x0, lam2, iters: int):

@@ -1,0 +1,82 @@
+"""Multi-subject sweep driver.
+
+The pod-scale workload (SURVEY.md section 7 step 7, BASELINE.md config 5) is
+a multi-subject full-brain sweep: per-subject voxel slabs over a device
+mesh, with resume-by-existence at subject granularity (matching the
+reference's three-tier cache semantics, SURVEY.md section 5.4) and
+chunk-level mid-fit checkpointing via the 'fit_checkpoint' config.
+"""
+from __future__ import annotations
+
+import os
+from os.path import join as pjoin
+
+from .core import Evaluation
+from .utils.logging import LOG, WARNING
+
+
+class SubjectSweep:
+    """Run one model over many subjects of a study."""
+
+    def __init__(self, study_path: str, subjects: list[str], model_name: str,
+                 dwi_filename='DWI.nii.gz', scheme_filename='DWI.scheme',
+                 mask_filename=None, b0_thr=0, ndirs=500, lmax=12,
+                 mesh=None, config: dict | None = None,
+                 model_params: dict | None = None,
+                 solver_params: dict | None = None):
+        self.study_path = study_path
+        self.subjects = list(subjects)
+        self.model_name = model_name
+        self.dwi_filename = dwi_filename
+        self.scheme_filename = scheme_filename
+        self.mask_filename = mask_filename
+        self.b0_thr = b0_thr
+        self.ndirs = ndirs
+        self.lmax = lmax
+        self.mesh = mesh
+        self.config = config or {}
+        self.model_params = model_params or {}
+        self.solver_params = solver_params or {}
+        self.results: dict[str, str] = {}
+
+    def _result_dir(self, subject: str) -> str:
+        return pjoin(self.study_path, subject, 'AMICO', self.model_name)
+
+    def _is_done(self, subject: str) -> bool:
+        d = self._result_dir(subject)
+        return os.path.isfile(pjoin(d, 'config.pickle'))
+
+    def run(self, resume: bool = True, checkpoint: bool = True) -> dict:
+        """Process all subjects; returns {subject: results_path}."""
+        for subject in self.subjects:
+            if resume and self._is_done(subject):
+                LOG(f'-> [{subject}] already fitted, skipping (resume)')
+                self.results[subject] = self._result_dir(subject)
+                continue
+            try:
+                ev = Evaluation(self.study_path, subject)
+                for k, v in self.config.items():
+                    ev.set_config(k, v)
+                if self.mesh is not None:
+                    ev.set_config('mesh', self.mesh)
+                if checkpoint:
+                    ev.set_config('fit_checkpoint', pjoin(
+                        self.study_path, subject,
+                        f'.amico_tpu_ckpt_{self.model_name}.npz'))
+                ev.load_data(self.dwi_filename, self.scheme_filename,
+                             mask_filename=self.mask_filename,
+                             b0_thr=self.b0_thr)
+                ev.set_model(self.model_name)
+                if self.model_params:
+                    ev.model.set(**self.model_params)
+                if self.solver_params:
+                    ev.set_solver(**self.solver_params)
+                ev.generate_kernels(lmax=self.lmax, ndirs=self.ndirs)
+                ev.load_kernels()
+                ev.fit()
+                ev.save_results()
+                self.results[subject] = self._result_dir(subject)
+            except Exception as e:  # keep sweeping on per-subject failure
+                WARNING(f'[{subject}] failed: {e}')
+                self.results[subject] = f'FAILED: {e}'
+        return self.results

@@ -1,0 +1,69 @@
+"""Synthetic-data helpers shared by tests, bench.py and __graft_entry__.py."""
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+
+from . import lut as _lut
+from .io.scheme import Scheme
+from .ops.sphere import fibonacci_hemisphere
+
+LMAX = 12
+NDIRS = 500
+
+
+def demo_scheme(nb0: int = 2, shells=(700.0, 2000.0), ndir: int = 24) -> Scheme:
+    rows = [np.zeros((nb0, 4))]
+    for i, b in enumerate(shells):
+        g = fibonacci_hemisphere(ndir)
+        rows.append(np.c_[g, np.full(ndir, b)])
+    return Scheme(np.vstack(rows))
+
+
+def demo_noddi(scheme: Scheme | None = None, small: bool = True,
+               kernels_dir: str | None = None):
+    """Build a NODDI model + resampled KERNELS + hash table in a temp dir.
+
+    ``small=True`` shrinks the atom grid (12 coupled + 1 iso) for fast
+    compile; ``small=False`` uses the full reference grid (144 + 1 atoms,
+    models.pyx:675-680).
+    """
+    from .models import NODDI
+    scheme = scheme or demo_scheme()
+    model = NODDI()
+    if small:
+        model.set(IC_VFs=np.linspace(0.3, 0.99, 4),
+                  IC_ODs=np.array([0.06, 0.3, 0.8]))
+    model.set_solver()
+    model.scheme = scheme
+
+    out = kernels_dir or tempfile.mkdtemp(prefix='amico_tpu_demo_')
+    os.makedirs(out, exist_ok=True)
+    if not os.path.isfile(os.path.join(out, 'A_001.npy')):
+        aux = _lut.load_precomputed_rotation_matrices(LMAX, NDIRS)
+        idx_in, idx_out = _lut.aux_structures_generate(scheme, LMAX)
+        model.generate(out, aux, idx_in, idx_out, NDIRS)
+    ridx, Ylm = _lut.aux_structures_resample(scheme, LMAX)
+    kernels = model.resample(out, ridx, Ylm, False, NDIRS)
+    htable = _lut.load_precomputed_hash_table(NDIRS)
+    return model, kernels, htable
+
+
+def demo_voxels(n: int, kernels: dict, htable: np.ndarray, seed: int = 0):
+    """Random NODDI mixtures through the actual dictionary + noise."""
+    rng = np.random.RandomState(seed)
+    n_wm = kernels['wm'].shape[0]
+    DIRs = rng.randn(n, 3)
+    DIRs /= np.linalg.norm(DIRs, axis=1, keepdims=True)
+    lut_idx = _lut.dir_to_lut_idx(DIRs, htable)
+    W = rng.rand(n, n_wm + 1) * (rng.rand(n, n_wm + 1) < 0.3)
+    W[np.arange(n), rng.randint(n_wm + 1, size=n)] += 0.5
+    W /= np.maximum(W.sum(1, keepdims=True), 1e-9)
+    y = np.empty((n, kernels['wm'].shape[2]), np.float64)
+    for i in range(n):
+        A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
+        y[i] = A @ W[i]
+    y = np.clip(y + 0.002 * rng.randn(*y.shape), 0, None)
+    return y, DIRs, lut_idx

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark: full-scale NODDI fit throughput (voxels/sec).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Setup mirrors the reference's headline workload (BASELINE.md): the full
+NODDI dictionary (12 IC_VFs x 12 IC_ODs + 1 iso = 145 atoms,
+/root/reference/amico/models.pyx:675-680) on a 2-shell protocol, fit over
+synthetic voxels through the production tile engine (3-stage batched solve).
+
+``vs_baseline`` is measured in-process: the reference's per-voxel solver
+path (exact active-set NNLS/lasso in C++, the same algorithm class as
+SPAMS) is timed on a voxel sample single-threaded and scaled by the host
+core count (the reference fit uses one solver thread per core,
+models.pyx:529-541, BLAS_nthreads=1 core.py:96).
+
+Env knobs: BENCH_VOXELS (default 100000), BENCH_SMALL=1 for a quick run.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    small = os.environ.get('BENCH_SMALL') == '1'
+    n_vox = int(os.environ.get('BENCH_VOXELS', 8000 if small else 100000))
+
+    os.environ.setdefault('AMICO_TPU_HOME',
+                          os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+    import jax
+    from amico_tpu.testing import demo_noddi, demo_scheme, demo_voxels
+    from amico_tpu import set_verbose
+    set_verbose(1)
+
+    # reference-scale protocol: 9 b0 + 30 @ b=700 + 60 @ b=2000
+    from amico_tpu.io.scheme import Scheme
+    from amico_tpu.ops.sphere import fibonacci_hemisphere
+    rows = [np.zeros((9, 4)),
+            np.c_[fibonacci_hemisphere(30), np.full(30, 700.0)],
+            np.c_[fibonacci_hemisphere(60), np.full(60, 2000.0)]]
+    scheme = Scheme(np.vstack(rows))
+
+    kdir = os.path.join(os.environ['AMICO_TPU_HOME'],
+                        'bench_kernels_small' if small else 'bench_kernels')
+    t0 = time.time()
+    model, kernels, htable = demo_noddi(scheme, small=small, kernels_dir=kdir)
+    t_kernels = time.time() - t0
+
+    y, DIRs, lut_idx = demo_voxels(n_vox, kernels, htable, seed=0)
+
+    class Ctx:
+        def __init__(self, **cfg):
+            self.y, self.DIRs, self.htable, self.KERNELS = y, DIRs, htable, kernels
+            self._cfg = {'doComputeRMSE': False, 'doComputeNRMSE': False,
+                         'doSaveModulatedMaps': False,
+                         'tile_size': 128, 'voxels_per_chunk': 65536}
+            self._cfg.update(cfg)
+
+        def get_config(self, k):
+            return self._cfg.get(k)
+
+    # warm-up on a small slice for compile (same chunk static shape)
+    ctx_w = Ctx()
+    ctx_w.y, ctx_w.DIRs = y[:2048], DIRs[:2048]
+    t0 = time.time()
+    model.fit(ctx_w)
+    t_compile = time.time() - t0
+
+    ctx = Ctx()
+    t0 = time.time()
+    res = model.fit(ctx)
+    t_fit = time.time() - t0
+    voxps = n_vox / t_fit
+
+    # sanity on outputs
+    est = res['estimates']
+    assert np.isfinite(est).all()
+
+    # ---- CPU reference baseline: exact per-voxel active-set solves
+    from amico_tpu.ops import native
+    n_wm = kernels['wm'].shape[0]
+    dwi = scheme.dwi_idx
+    sample = min(60 if small else 150, n_vox)
+    t0 = time.time()
+    for i in range(sample):
+        A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
+        x1, _ = native.nnls(A, y[i])
+        y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
+        A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
+        x2 = native.lasso(A2, y2, 0.5, 1e-3)
+        x = np.zeros(n_wm + 1)
+        x[:n_wm] = x2
+        x[-1] = 1.0
+        sup = np.where(x > 0)[0]
+        native.nnls(A[:, sup], y[i])
+    cpu_voxps_1t = sample / (time.time() - t0)
+    cpu_voxps = cpu_voxps_1t * (os.cpu_count() or 1)
+
+    out = {
+        'metric': 'voxels/sec NODDI full-dictionary 3-stage fit',
+        'value': round(voxps, 1),
+        'unit': 'voxels/sec',
+        'vs_baseline': round(voxps / cpu_voxps, 2),
+        'detail': {
+            'n_voxels': n_vox,
+            'n_atoms': n_wm + 1,
+            'nS': scheme.nS,
+            'fit_seconds': round(t_fit, 2),
+            'compile_seconds': round(t_compile, 1),
+            'kernel_gen_seconds': round(t_kernels, 1),
+            'cpu_baseline_voxps_per_core': round(cpu_voxps_1t, 1),
+            'cpu_baseline_voxps_allcores': round(cpu_voxps, 1),
+            'cpu_cores': os.cpu_count(),
+            'device': str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()

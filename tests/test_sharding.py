@@ -1,0 +1,80 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md section 4).
+
+Verifies: sharded tile fits equal single-device fits bit-for-bit,
+collectives for global stats, mesh-shape invariance of results, and the
+driver entry points in __graft_entry__.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope='module')
+def env(tmp_path_factory):
+    d = tmp_path_factory.mktemp('shard')
+    os.environ['AMICO_TPU_HOME'] = str(d / 'home')
+    return d
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_fit_matches_single_device(env):
+    from amico_tpu.models import NODDI
+    from amico_tpu.parallel.mesh import make_mesh
+    from amico_tpu.testing import demo_noddi, demo_scheme, demo_voxels
+    from tests.test_models import EvalStub
+
+    scheme = demo_scheme()
+    model, kernels, htable = demo_noddi(scheme, small=True,
+                                        kernels_dir=str(env / 'k'))
+    y, DIRs, _ = demo_voxels(500, kernels, htable, seed=0)
+
+    ev1 = EvalStub(y, DIRs, htable, kernels)
+    res1 = model.fit(ev1)
+
+    mesh = make_mesh(8)
+    ev8 = EvalStub(y, DIRs, htable, kernels, mesh=mesh)
+    res8 = model.fit(ev8)
+
+    # deterministic padding: results identical regardless of mesh shape
+    np.testing.assert_array_equal(res1['estimates'], res8['estimates'])
+
+    mesh4 = make_mesh(4)
+    ev4 = EvalStub(y, DIRs, htable, kernels, mesh=mesh4)
+    res4 = model.fit(ev4)
+    np.testing.assert_array_equal(res1['estimates'], res4['estimates'])
+
+
+def test_masked_mean_collective(env):
+    import jax.numpy as jnp
+    from amico_tpu.parallel.mesh import make_mesh, masked_mean, shard_tiles
+
+    mesh = make_mesh(8)
+    v = np.arange(64, dtype=np.float32).reshape(8, 8)
+    m = np.ones((8, 8), np.float32)
+    m[0, :] = 0
+    vj, mj = shard_tiles(mesh, v, m)
+    got = float(jax.jit(masked_mean)(vj, mj))
+    assert got == pytest.approx(v[1:].mean())
+
+
+def test_graft_entry_single_chip(env):
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    out.block_until_ready()
+    assert out.shape == (4, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_entry_multichip(env):
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
