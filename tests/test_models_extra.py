@@ -1,0 +1,167 @@
+"""Option-path coverage: exvivo NODDI (dot atom), Mouse FreeWater,
+doMergeB0 plumbing, and the peaks-file direction input."""
+import os
+
+import numpy as np
+import pytest
+
+import amico_tpu
+from amico_tpu import lut as _lut
+from amico_tpu.io import nifti
+from amico_tpu.models import NODDI, FreeWater
+from amico_tpu.ops import native
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from tests.test_models import EvalStub, _prepare, _rand_voxels, _scheme_v0
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('kernels_extra')
+    os.environ['AMICO_TPU_HOME'] = str(d / 'home')
+    return d
+
+
+def test_noddi_exvivo_dot_atom(workdir):
+    scheme = _scheme_v0()
+    model = NODDI()
+    model.set(IC_VFs=np.linspace(0.3, 0.99, 3), IC_ODs=np.array([0.1, 0.5]),
+              isExvivo=True)
+    model.set_solver()
+    assert model.maps_name == ['NDI', 'ODI', 'FWF', 'dot']
+    kernels, htable = _prepare(model, scheme, workdir)
+    n_wm = kernels['wm'].shape[0]
+
+    def A_of(d):
+        return np.column_stack([kernels['wm'][:, d, :].T,
+                                np.ones(scheme.nS), kernels['iso']])
+
+    y, DIRs, lut_idx = _rand_voxels(120, A_of, htable, seed=7)
+    ev = EvalStub(y, DIRs, htable, kernels)
+    res = model.fit(ev)
+    est = res['estimates']
+    assert est.shape == (120, 4)
+    assert np.isfinite(est).all()
+
+    # oracle with the exvivo branch (models.pyx:906-907,922-923,931)
+    dwi = scheme.dwi_idx
+    ests_ref = np.zeros((120, 4))
+    for i in range(120):
+        A = A_of(lut_idx[i])
+        x1, _ = native.nnls(A, y[i])
+        y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi]
+                     - x1[-2] * 1.0, 0, None)
+        A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
+        x2 = native.lasso(A2, y2, 0.5, 1e-3)
+        x = np.zeros(n_wm + 2)
+        x[:n_wm] = x2
+        x[-2] = 1.0
+        x[-1] = 1.0
+        sup = np.where(x > 0)[0]
+        x3, _ = native.nnls(A[:, sup], y[i])
+        x[:] = 0
+        x[sup] = x3
+        sa = x.sum() + 1e-16
+        xn = x[:n_wm] / sa
+        sw = xn.sum() + 1e-16
+        f1 = np.sum(kernels['icvf'] * xn) / sw
+        f2 = np.sum((1 - kernels['icvf']) * xn) / sw
+        k1 = np.sum(kernels['kappa'] * xn) / sw
+        ests_ref[i] = [f1 / (f1 + f2 + 1e-16),
+                       2 / np.pi * np.arctan2(1.0, k1),
+                       x[-1] / sa, x[-2] / sa]
+    err = np.abs(est - ests_ref)
+    assert np.median(err) < 1e-3
+    assert np.percentile(err, 90) < 3e-2
+
+
+def test_freewater_mouse(workdir):
+    scheme = _scheme_v0()
+    model = FreeWater()
+    model.set(type='Mouse')
+    model.set_solver()
+    assert model.maps_name == ['FiberVolume', 'FW', 'FW_blood', 'FW_csf']
+    assert len(model.d_isos) == 2
+    kernels, htable = _prepare(model, scheme, workdir)
+    n_perp = kernels['D'].shape[0]
+
+    def A_of(d):
+        return np.column_stack([kernels['D'][:, d, :].T, kernels['CSF'].T])
+
+    y, DIRs, lut_idx = _rand_voxels(100, A_of, htable, seed=8)
+    ev = EvalStub(y, DIRs, htable, kernels)
+    res = model.fit(ev)
+    est = res['estimates']
+    assert est.shape == (100, 4)
+    for i in range(0, 100, 10):
+        A = A_of(lut_idx[i])
+        x = native.lasso(A, y[i], 0.0, 1e-3)
+        xs = x.sum() + 1e-16
+        np.testing.assert_allclose(est[i, 2], x[n_perp] / xs, atol=2e-2)
+        np.testing.assert_allclose(est[i, 3], x[n_perp + 1] / xs, atol=2e-2)
+
+
+def test_noddi_merge_b0(workdir):
+    """doMergeB0: kernels collapse b0 columns; single_b0 row plumbing
+    (models.pyx:756-761,914-921)."""
+    scheme = _scheme_v0()
+    model = NODDI()
+    model.set(IC_VFs=np.linspace(0.3, 0.99, 3), IC_ODs=np.array([0.1, 0.5]))
+    model.set_solver()
+    model.scheme = scheme
+    out = workdir / 'NODDI_merge'
+    out.mkdir(exist_ok=True)
+    aux = _lut.load_precomputed_rotation_matrices(12, 500)
+    idx_in, idx_out = _lut.aux_structures_generate(scheme, 12)
+    model.generate(str(out), aux, idx_in, idx_out, 500)
+    ridx, Ylm = _lut.aux_structures_resample(scheme, 12)
+    k_merged = model.resample(str(out), ridx, Ylm, True, 500)
+    k_full = model.resample(str(out), ridx, Ylm, False, 500)
+    htable = _lut.load_precomputed_hash_table(500)
+
+    assert k_merged['wm'].shape[2] == 1 + scheme.dwi_count
+    assert k_full['wm'].shape[2] == scheme.nS
+
+    # same voxels, merged-b0 representation: maps must agree closely
+    y, DIRs, lut_idx = _rand_voxels(100, lambda d: np.column_stack(
+        [k_full['wm'][:, d, :].T, k_full['iso']]), htable, seed=9)
+    y_merged = np.column_stack([y[:, scheme.b0_idx].mean(1), y[:, scheme.dwi_idx]])
+
+    res_full = model.fit(EvalStub(y, DIRs, htable, k_full))
+    res_merged = model.fit(EvalStub(y_merged, DIRs, htable, k_merged))
+    err = np.abs(res_full['estimates'] - res_merged['estimates'])
+    assert np.median(err) < 5e-3
+
+
+def test_peaks_file_input(tmp_path):
+    """peaks_filename path: directions come from the NIfTI peaks image
+    (reference core.py:437-445)."""
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    g = fibonacci_hemisphere(24)
+    tab = np.vstack([np.zeros((2, 4)), np.c_[g, np.full(24, 1000.0)],
+                     np.c_[g, np.full(24, 2500.0)]])
+    np.savetxt(subj / 'DWI.scheme', tab, fmt='%.6f',
+               header='VERSION: BVECTOR', comments='')
+    rng = np.random.RandomState(1)
+    vol = np.abs(300 * (0.3 + 0.5 * rng.rand(4, 4, 2, 50))).astype(np.float32)
+    vol[..., :2] = 300.0
+    nifti.save(nifti.Nifti1Image(vol), str(subj / 'DWI.nii.gz'))
+    peaks = rng.randn(4, 4, 2, 3).astype(np.float32)
+    peaks /= np.linalg.norm(peaks, axis=-1, keepdims=True)
+    nifti.save(nifti.Nifti1Image(peaks), str(subj / 'peaks.nii.gz'))
+
+    ev = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev.set_config('peaks_filename', 'peaks.nii.gz')
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    ev.set_model('NODDI')
+    ev.model.set(IC_VFs=np.linspace(0.3, 0.99, 3), IC_ODs=np.array([0.1, 0.5]))
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+    # directions must be exactly the peaks (no DTI fit ran)
+    got = ev.DIRs.reshape(4, 4, 2, 3)
+    np.testing.assert_allclose(got, peaks, atol=1e-6)
+    assert np.isfinite(ev.RESULTS['MAPs']).all()
