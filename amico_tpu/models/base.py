@@ -113,11 +113,15 @@ class BaseModel(ABC):
     # ------------------------------------------------- tiled fit driver
     def _run_tiled_fit(self, evaluation, fit_chunk_fn, n_outputs_like: dict,
                        tile_size: int | None = None,
-                       voxels_per_chunk: int | None = None):
+                       voxels_per_chunk: int | None = None,
+                       consts: tuple = ()):
         """Drive a jitted per-chunk tile fit over all voxels.
 
-        ``fit_chunk_fn(Y (C,M,nS) f32, dirs (C,) i32, valid (C,M) bool)``
-        must return a dict of arrays with leading dims (C, M).
+        ``fit_chunk_fn(Y (C,M,nS) f32, dirs (C,) i32, valid (C,M) bool,
+        *consts)`` must return a dict of arrays with leading dims (C, M).
+        ``consts`` (kernel tensors etc.) are passed as jit *arguments* --
+        closing over large device arrays would inline them as program
+        constants (host roundtrip + HLO bloat).
         ``n_outputs_like``: {name: trailing_shape_tuple} used to allocate
         the untiled outputs.
         Returns dict of (N, ...) numpy arrays in original voxel order.
@@ -149,6 +153,10 @@ class BaseModel(ABC):
         valid_t = plan.valid
 
         fit_jit = jax.jit(fit_chunk_fn)
+        consts = tuple(jnp.asarray(c) for c in consts)
+        if sharding is not None:
+            from ..parallel.mesh import replicated
+            consts = tuple(jax.device_put(c, replicated(mesh)) for c in consts)
 
         out_tiles = {k: np.zeros((plan.n_tiles, tile_size) + shape, np.float32)
                      for k, shape in n_outputs_like.items()}
@@ -179,7 +187,7 @@ class BaseModel(ABC):
             args = (jnp.asarray(Yc), jnp.asarray(dc), jnp.asarray(vc))
             if sharding is not None:
                 args = tuple(jax.device_put(a, sharding) for a in args)
-            res = fit_jit(*args)
+            res = fit_jit(*args, *consts)
             for k, arr in res.items():
                 out_tiles[k][start:stop] = np.asarray(arr, np.float32)[:stop - start]
             if ckpt_path:

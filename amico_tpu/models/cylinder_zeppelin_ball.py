@@ -145,7 +145,7 @@ class CylinderZeppelinBall(BaseModel):
         K_iso = jnp.asarray(kernels['iso'].T, jnp.float32)  # (nS, n_iso)
         Rs = jnp.asarray(self.Rs, jnp.float32)
 
-        def fit_chunk(Y, dirs, valid):
+        def fit_chunk(Y, dirs, valid, K_wm, K_iso, Rs):
             C = Y.shape[0]
             A = jnp.concatenate([
                 K_wm[dirs],
@@ -178,4 +178,5 @@ class CylinderZeppelinBall(BaseModel):
             shapes['rmse'] = ()
         if configs['compute_nrmse']:
             shapes['nrmse'] = ()
-        return self._run_tiled_fit(evaluation, fit_chunk, shapes)
+        return self._run_tiled_fit(evaluation, fit_chunk, shapes,
+                                   consts=(K_wm, K_iso, Rs))

@@ -141,7 +141,7 @@ class FreeWater(BaseModel):
             np.transpose(kernels['D'], (1, 2, 0))), jnp.float32)   # (ndirs, nS, n_perp)
         K_CSF = jnp.asarray(kernels['CSF'].T, jnp.float32)          # (nS, n_iso)
 
-        def fit_chunk(Y, dirs, valid):
+        def fit_chunk(Y, dirs, valid, K_D, K_CSF):
             C = Y.shape[0]
             A = jnp.concatenate([
                 K_D[dirs],
@@ -183,4 +183,5 @@ class FreeWater(BaseModel):
             shapes['nrmse'] = ()
         if configs['save_corrected_DWI']:
             shapes['y_corrected'] = (nS,)
-        return self._run_tiled_fit(evaluation, fit_chunk, shapes)
+        return self._run_tiled_fit(evaluation, fit_chunk, shapes,
+                                   consts=(K_D, K_CSF))

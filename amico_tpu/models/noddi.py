@@ -168,7 +168,8 @@ class NODDI(BaseModel):
         kappa = jnp.asarray(kernels['kappa'], jnp.float32)
         rows_dwi_j = jnp.asarray(rows_dwi, jnp.int32)
 
-        def fit_chunk(Y, dirs, valid):
+        def fit_chunk(Y, dirs, valid, K_wm, K_iso, norms, icvf, kappa,
+                      rows_dwi_j):
             C, M, _ = Y.shape
             A_wm = K_wm[dirs]                                   # (C, nS, n_wm)
             cols = [A_wm]
@@ -238,4 +239,6 @@ class NODDI(BaseModel):
             shapes['nrmse'] = ()
         if configs['compute_modulated_maps']:
             shapes['estimates_mod'] = (2,)
-        return self._run_tiled_fit(evaluation, fit_chunk, shapes)
+        return self._run_tiled_fit(
+            evaluation, fit_chunk, shapes,
+            consts=(K_wm, K_iso, norms, icvf, kappa, rows_dwi_j))
