@@ -108,7 +108,7 @@ class Evaluation:
         self.set_config('DTI_fit_method', 'OLS')
         self.set_config('BLAS_nthreads', 1)
         # TPU-build extras
-        self.set_config('tile_size', 128)
+        self.set_config('tile_size', 'auto')
         self.set_config('voxels_per_chunk', 65536)
 
         self._controller = ThreadpoolController() if _HAS_TPC else None

@@ -31,3 +31,21 @@ def error_maps(A, x, Y, compute_rmse: bool, compute_nrmse: bool) -> dict:
         den = jnp.sum(Y ** 2, axis=-1)
         out['nrmse'] = jnp.where(den > 1e-16, jnp.sqrt(sq / jnp.maximum(den, 1e-16)), 0.0)
     return out
+
+
+def solve_tiles(G, b, L, lam1, lam2, mask=None, solver_kw=None,
+                backend: str = 'xla'):
+    """Dispatch a per-tile QP solve: G (C,n,n), b (C,M,n), L (C,).
+
+    backend 'xla' uses ops.solvers.nneg_qp_batch; 'pallas' uses the
+    VMEM-resident tile kernel (ops.pallas_qp) -- same math, one HBM pass.
+    """
+    kw = dict(solver_kw or {})
+    if backend == 'pallas':
+        from ..ops.pallas_qp import nneg_qp_tiles_pallas
+        interpret = jax.default_backend() != 'tpu'
+        return nneg_qp_tiles_pallas(G, b, L, lam1, lam2, mask=mask,
+                                    interpret=interpret, **kw)
+    from ..ops.solvers import nneg_qp_batch
+    return nneg_qp_batch(G[:, None], b, lam1, lam2, mask=mask,
+                         L=L[:, None], **kw)

@@ -22,10 +22,11 @@ from .engine import TilePlan, build_tile_plan, iter_tile_chunks, tile_voxels, un
 # default solver iteration counts (validated against the exact native oracle
 # in tests/test_solvers.py and tests/test_models.py): FISTA + CD warm start
 # followed by batched active-set polish rounds
-DEFAULT_FISTA_ITERS = 100
-DEFAULT_CD_SWEEPS = 20
+DEFAULT_BACKEND = 'auto'  # 'auto' -> pallas on TPU, xla elsewhere
+DEFAULT_FISTA_ITERS = 40
+DEFAULT_CD_SWEEPS = 4
 DEFAULT_REFINE_ROUNDS = 12
-DEFAULT_CG_ITERS = 32
+DEFAULT_CG_ITERS = 12
 
 
 class BaseModel(ABC):
@@ -55,6 +56,7 @@ class BaseModel(ABC):
             'cd_sweeps': DEFAULT_CD_SWEEPS,
             'refine_rounds': DEFAULT_REFINE_ROUNDS,
             'cg_iters': DEFAULT_CG_ITERS,
+            'backend': DEFAULT_BACKEND,
         }
 
     @abstractmethod
@@ -110,11 +112,20 @@ class BaseModel(ABC):
             'cg_iters': int(sp.get('cg_iters', DEFAULT_CG_ITERS)),
         }
 
+    def _solver_backend(self) -> str:
+        backend = str(getattr(self, 'solver_params', {}).get('backend',
+                                                             DEFAULT_BACKEND))
+        if backend == 'auto':
+            import jax
+            backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+        return backend
+
     # ------------------------------------------------- tiled fit driver
     def _run_tiled_fit(self, evaluation, fit_chunk_fn, n_outputs_like: dict,
                        tile_size: int | None = None,
                        voxels_per_chunk: int | None = None,
-                       consts: tuple = ()):
+                       consts: tuple = (), backend: str = 'xla',
+                       cache_key=None):
         """Drive a jitted per-chunk tile fit over all voxels.
 
         ``fit_chunk_fn(Y (C,M,nS) f32, dirs (C,) i32, valid (C,M) bool,
@@ -132,7 +143,18 @@ class BaseModel(ABC):
         y = np.asarray(evaluation.y, np.float32)
         lut_idx = _lut.dir_to_lut_idx(np.asarray(evaluation.DIRs, np.float64),
                                       evaluation.htable)
-        tile_size = tile_size or int(evaluation.get_config('tile_size') or 128)
+        cfg_tile = evaluation.get_config('tile_size')
+        if tile_size is None and cfg_tile not in (None, 'auto'):
+            tile_size = int(cfg_tile)
+        if tile_size is None:
+            if backend == 'pallas':
+                # the serial grid amortizes over wide tiles: size tiles to
+                # the typical direction-bucket population
+                _, counts = np.unique(lut_idx, return_counts=True)
+                med = float(np.median(counts)) if counts.size else 128.0
+                tile_size = int(min(1024, max(128, 2 ** int(np.log2(max(med, 1))))))
+            else:
+                tile_size = 128
         vpc = voxels_per_chunk or int(evaluation.get_config('voxels_per_chunk')
                                       or 65536)
         chunk_tiles = max(1, vpc // tile_size)
@@ -152,7 +174,17 @@ class BaseModel(ABC):
         dirs_t = plan.tile_dirs
         valid_t = plan.valid
 
-        fit_jit = jax.jit(fit_chunk_fn)
+        # memoize the jitted fit across fit() calls: a fresh closure per call
+        # would miss jax's compile cache (compiles dominate on remote TPUs)
+        if cache_key is not None:
+            cache = getattr(self, '_fit_fn_cache', None)
+            if cache is None:
+                cache = self._fit_fn_cache = {}
+            fit_jit = cache.get(cache_key)
+            if fit_jit is None:
+                fit_jit = cache[cache_key] = jax.jit(fit_chunk_fn)
+        else:
+            fit_jit = jax.jit(fit_chunk_fn)
         consts = tuple(jnp.asarray(c) for c in consts)
         if sharding is not None:
             from ..parallel.mesh import replicated
@@ -174,6 +206,7 @@ class BaseModel(ABC):
                         if k in ck:
                             out_tiles[k][:done_until] = ck[k][:done_until]
 
+        pending = []
         for start, stop, pad in iter_tile_chunks(plan.n_tiles, chunk_tiles):
             if stop <= done_until:
                 continue
@@ -188,12 +221,21 @@ class BaseModel(ABC):
             if sharding is not None:
                 args = tuple(jax.device_put(a, sharding) for a in args)
             res = fit_jit(*args, *consts)
-            for k, arr in res.items():
-                out_tiles[k][start:stop] = np.asarray(arr, np.float32)[:stop - start]
-            if ckpt_path:
-                np.savez(ckpt_path + '.tmp', n_tiles=plan.n_tiles,
-                         tile_size=tile_size, done_until=stop, **out_tiles)
-                os.replace(ckpt_path + '.tmp.npz', ckpt_path)
+            # keep results on device; pull with a one-chunk lag so the next
+            # dispatch overlaps the device->host transfer
+            pending.append((start, stop, res))
+            if len(pending) > 1:
+                s0, s1, r0 = pending.pop(0)
+                for k, arr in r0.items():
+                    out_tiles[k][s0:s1] = np.asarray(arr, np.float32)[:s1 - s0]
+                if ckpt_path:
+                    np.savez(ckpt_path + '.tmp', n_tiles=plan.n_tiles,
+                             tile_size=tile_size, done_until=s1, **out_tiles)
+                    os.replace(ckpt_path + '.tmp.npz', ckpt_path)
+
+        for s0, s1, r0 in pending:
+            for k, arr in r0.items():
+                out_tiles[k][s0:s1] = np.asarray(arr, np.float32)[:s1 - s0]
 
         if ckpt_path and os.path.isfile(ckpt_path):
             os.remove(ckpt_path)

@@ -17,7 +17,7 @@ from .. import lut as _lut
 from ..synthesis import Ball, CylinderGPD, Zeppelin
 from ..utils.logging import ERROR, get_verbose
 from ..utils.progress import ProgressBar
-from ._fitops import error_maps, project
+from ._fitops import error_maps, project, solve_tiles
 from .base import BaseModel
 
 
@@ -49,7 +49,8 @@ class CylinderZeppelinBall(BaseModel):
                 'd_isos': self.d_isos, 'isExvivo': self.isExvivo}
 
     def set_solver(self, lambda1=0.0, lambda2=4.0, fista_iters=None,
-                   cd_sweeps=None, refine_rounds=None, cg_iters=None):
+                   cd_sweeps=None, refine_rounds=None, cg_iters=None,
+                   backend=None):
         """Defaults per reference models.pyx:439-442."""
         super().set_solver()
         self.solver_params['lambda1'] = lambda1
@@ -62,6 +63,8 @@ class CylinderZeppelinBall(BaseModel):
             self.solver_params['refine_rounds'] = int(refine_rounds)
         if cg_iters is not None:
             self.solver_params['cg_iters'] = int(cg_iters)
+        if backend is not None:
+            self.solver_params['backend'] = str(backend)
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Reference models.pyx:445-479."""
@@ -131,6 +134,7 @@ class CylinderZeppelinBall(BaseModel):
         configs = self._common_configs(evaluation)
         kernels = evaluation.KERNELS
         solver_kw = self._solver_kwargs()
+        backend = self._solver_backend()
         lam1 = float(self.solver_params['lambda1'])
         lam2 = float(self.solver_params['lambda2'])
 
@@ -138,26 +142,39 @@ class CylinderZeppelinBall(BaseModel):
         n_perp = len(self.d_perps)
         n_iso = len(self.d_isos)
         nS = kernels['wmr'].shape[2]
+        ndirs = kernels['wmr'].shape[1]
+
+        from ..ops.solvers import gram, power_iteration_L
+        from ._fitops import solve_tiles
 
         K_wm = jnp.asarray(np.ascontiguousarray(np.transpose(
             np.concatenate([kernels['wmr'], kernels['wmh']], axis=0),
             (1, 2, 0))), jnp.float32)                 # (ndirs, nS, n_rs+n_perp)
         K_iso = jnp.asarray(kernels['iso'].T, jnp.float32)  # (nS, n_iso)
         Rs = jnp.asarray(self.Rs, jnp.float32)
+        import jax
 
-        def fit_chunk(Y, dirs, valid, K_wm, K_iso, Rs):
-            C = Y.shape[0]
-            A = jnp.concatenate([
-                K_wm[dirs],
-                jnp.broadcast_to(K_iso[None], (C, nS, n_iso)),
-            ], axis=-1)
+        prep_key = (id(kernels['wmr']),)
+        cached = getattr(self, '_prep_cache', None)
+        if cached is not None and cached[0] == prep_key:
+            A_all, G_all, L_all = cached[1]
+        else:
+            @jax.jit
+            def _prep(K_wm, K_iso):
+                A_all = jnp.concatenate(
+                    [K_wm, jnp.broadcast_to(K_iso[None], (ndirs, nS, n_iso))],
+                    axis=-1)
+                G_all = gram(A_all)
+                return A_all, G_all, power_iteration_L(G_all)
 
-            from ..ops.solvers import gram, nneg_qp_batch, power_iteration_L
-            G = gram(A)
-            L = power_iteration_L(G)
+            A_all, G_all, L_all = _prep(K_wm, K_iso)
+            self._prep_cache = (prep_key, (A_all, G_all, L_all))
+
+        def fit_chunk(Y, dirs, valid, A_all, G_all, L_all, Rs):
+            A = A_all[dirs]
             b = project(A, Y)
-            x = nneg_qp_batch(G[:, None], b, lam1, lam2, L=L[:, None],
-                              **solver_kw)
+            x = solve_tiles(G_all[dirs], b, L_all[dirs], lam1, lam2,
+                            solver_kw=solver_kw, backend=backend)
 
             # estimates (models.pyx:617-636)
             f1 = jnp.sum(x[..., :n_rs], axis=-1)
@@ -178,5 +195,9 @@ class CylinderZeppelinBall(BaseModel):
             shapes['rmse'] = ()
         if configs['compute_nrmse']:
             shapes['nrmse'] = ()
+        cache_key = ('czb', backend, tuple(sorted(solver_kw.items())),
+                     lam1, lam2, n_rs, n_perp, n_iso, nS,
+                     tuple(sorted(configs.items())))
         return self._run_tiled_fit(evaluation, fit_chunk, shapes,
-                                   consts=(K_wm, K_iso, Rs))
+                                   backend=backend, cache_key=cache_key,
+                                   consts=(A_all, G_all, L_all, Rs))

@@ -14,7 +14,7 @@ from .. import lut as _lut
 from ..synthesis import Ball, Zeppelin
 from ..utils.logging import PRINT, get_verbose
 from ..utils.progress import ProgressBar
-from ._fitops import error_maps, predict, project
+from ._fitops import error_maps, predict, project, solve_tiles
 from .base import BaseModel
 
 
@@ -59,7 +59,8 @@ class FreeWater(BaseModel):
                 'type': self.type}
 
     def set_solver(self, lambda1=0.0, lambda2=1e-3, fista_iters=None,
-                   cd_sweeps=None, refine_rounds=None, cg_iters=None):
+                   cd_sweeps=None, refine_rounds=None, cg_iters=None,
+                   backend=None):
         """Defaults per reference models.pyx:1077-1080.  (The reference notes
         'need more regul for mouse data' lambda2=0.25 but the assignment is
         dead code, models.pyx:1082-1085 -- we keep the live behavior.)"""
@@ -74,6 +75,8 @@ class FreeWater(BaseModel):
             self.solver_params['refine_rounds'] = int(refine_rounds)
         if cg_iters is not None:
             self.solver_params['cg_iters'] = int(cg_iters)
+        if backend is not None:
+            self.solver_params['backend'] = str(backend)
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Reference models.pyx:1088-1110."""
@@ -129,6 +132,7 @@ class FreeWater(BaseModel):
             evaluation.get_config('doSaveCorrectedDWI'))
         kernels = evaluation.KERNELS
         solver_kw = self._solver_kwargs()
+        backend = self._solver_backend()
         lam1 = float(self.solver_params['lambda1'])
         lam2 = float(self.solver_params['lambda2'])
 
@@ -136,24 +140,37 @@ class FreeWater(BaseModel):
         n_iso = kernels['CSF'].shape[0]
         is_mouse = self.type == 'Mouse'
         nS = kernels['D'].shape[2]
+        ndirs = kernels['D'].shape[1]
+
+        from ..ops.solvers import gram, power_iteration_L
+        from ._fitops import solve_tiles
 
         K_D = jnp.asarray(np.ascontiguousarray(
-            np.transpose(kernels['D'], (1, 2, 0))), jnp.float32)   # (ndirs, nS, n_perp)
-        K_CSF = jnp.asarray(kernels['CSF'].T, jnp.float32)          # (nS, n_iso)
+            np.transpose(kernels['D'], (1, 2, 0))), jnp.float32)
+        K_CSF = jnp.asarray(kernels['CSF'].T, jnp.float32)
+        import jax
 
-        def fit_chunk(Y, dirs, valid, K_D, K_CSF):
-            C = Y.shape[0]
-            A = jnp.concatenate([
-                K_D[dirs],
-                jnp.broadcast_to(K_CSF[None], (C, nS, n_iso)),
-            ], axis=-1)
+        prep_key = (id(kernels['D']),)
+        cached = getattr(self, '_prep_cache', None)
+        if cached is not None and cached[0] == prep_key:
+            A_all, G_all, L_all = cached[1]
+        else:
+            @jax.jit
+            def _prep(K_D, K_CSF):
+                A_all = jnp.concatenate(
+                    [K_D, jnp.broadcast_to(K_CSF[None], (ndirs, nS, n_iso))],
+                    axis=-1)
+                G_all = gram(A_all)
+                return A_all, G_all, power_iteration_L(G_all)
 
-            from ..ops.solvers import gram, nneg_qp_batch, power_iteration_L
-            G = gram(A)
-            L = power_iteration_L(G)
+            A_all, G_all, L_all = _prep(K_D, K_CSF)
+            self._prep_cache = (prep_key, (A_all, G_all, L_all))
+
+        def fit_chunk(Y, dirs, valid, A_all, G_all, L_all):
+            A = A_all[dirs]
             b = project(A, Y)
-            x = nneg_qp_batch(G[:, None], b, lam1, lam2, L=L[:, None],
-                              **solver_kw)
+            x = solve_tiles(G_all[dirs], b, L_all[dirs], lam1, lam2,
+                            solver_kw=solver_kw, backend=backend)
 
             # estimates (models.pyx:1240-1255)
             x_sum = jnp.sum(x, axis=-1) + 1e-16
@@ -183,5 +200,9 @@ class FreeWater(BaseModel):
             shapes['nrmse'] = ()
         if configs['save_corrected_DWI']:
             shapes['y_corrected'] = (nS,)
+        cache_key = ('freewater', backend, tuple(sorted(solver_kw.items())),
+                     lam1, lam2, is_mouse, n_perp, n_iso, nS,
+                     tuple(sorted(configs.items())))
         return self._run_tiled_fit(evaluation, fit_chunk, shapes,
-                                   consts=(K_D, K_CSF))
+                                   backend=backend, cache_key=cache_key,
+                                   consts=(A_all, G_all, L_all))

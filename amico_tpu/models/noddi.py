@@ -27,7 +27,7 @@ from .. import lut as _lut
 from ..synthesis import NODDIExtraCellular, NODDIIntraCellular, NODDIIsotropic
 from ..utils.logging import get_verbose
 from ..utils.progress import ProgressBar
-from ._fitops import error_maps, project
+from ._fitops import error_maps, project, solve_tiles
 from .base import BaseModel
 
 
@@ -62,7 +62,8 @@ class NODDI(BaseModel):
                 'IC_ODs': self.IC_ODs, 'isExvivo': self.isExvivo}
 
     def set_solver(self, lambda1=5e-1, lambda2=1e-3, fista_iters=None,
-                   cd_sweeps=None, refine_rounds=None, cg_iters=None):
+                   cd_sweeps=None, refine_rounds=None, cg_iters=None,
+                   backend=None):
         """Defaults per reference models.pyx:721-724."""
         super().set_solver()
         self.solver_params['lambda1'] = lambda1
@@ -75,6 +76,8 @@ class NODDI(BaseModel):
             self.solver_params['refine_rounds'] = int(refine_rounds)
         if cg_iters is not None:
             self.solver_params['cg_iters'] = int(cg_iters)
+        if backend is not None:
+            self.solver_params['backend'] = str(backend)
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Coupled IC+EC atoms over the (IC_OD, IC_VF) grid + isotropic atom
@@ -146,6 +149,7 @@ class NODDI(BaseModel):
             evaluation.get_config('doSaveModulatedMaps'))
         kernels = evaluation.KERNELS
         solver_kw = self._solver_kwargs()
+        backend = self._solver_backend()
         lam1 = float(self.solver_params['lambda1'])
         lam2 = float(self.solver_params['lambda2'])
 
@@ -153,13 +157,19 @@ class NODDI(BaseModel):
         is_exvivo = bool(self.isExvivo)
         n_atoms = n_wm + 1 + (1 if is_exvivo else 0)
         nS = kernels['wm'].shape[2]
+        ndirs = kernels['wm'].shape[1]
         single_b0 = evaluation.y.shape[1] == 1 + self.scheme.dwi_count
         if single_b0:
             rows_dwi = np.arange(1, nS)
         else:
             rows_dwi = np.asarray(self.scheme.dwi_idx, np.int64)
 
-        # direction-major kernel tensor for tile gathers: (ndirs, nS, n_wm)
+        from ..ops.solvers import gram, power_iteration_L
+        from ._fitops import solve_tiles
+
+        # per-direction dictionaries, Gram matrices and Lipschitz constants,
+        # computed ONCE per fit (the reference re-copies the dictionary per
+        # voxel, models.pyx:905-908; per-chunk re-gramming wastes MXU time)
         K_wm = jnp.asarray(np.ascontiguousarray(
             np.transpose(kernels['wm'], (1, 2, 0))), jnp.float32)
         K_iso = jnp.asarray(kernels['iso'], jnp.float32)
@@ -168,25 +178,46 @@ class NODDI(BaseModel):
         kappa = jnp.asarray(kernels['kappa'], jnp.float32)
         rows_dwi_j = jnp.asarray(rows_dwi, jnp.int32)
 
-        def fit_chunk(Y, dirs, valid, K_wm, K_iso, norms, icvf, kappa,
-                      rows_dwi_j):
-            C, M, _ = Y.shape
-            A_wm = K_wm[dirs]                                   # (C, nS, n_wm)
-            cols = [A_wm]
-            if is_exvivo:
-                cols.append(jnp.ones((C, Y.shape[2], 1), Y.dtype))
-            cols.append(jnp.broadcast_to(K_iso[None, :, None],
-                                         (C, Y.shape[2], 1)))
-            A_full = jnp.concatenate(cols, axis=-1)             # (C, nS, na)
+        import jax
 
-            from ..ops.solvers import gram, nneg_qp_batch, power_iteration_L
-            G1 = gram(A_full)
-            L1 = power_iteration_L(G1)
+        # per-fit dictionary precompute, cached across fit() calls on the
+        # same KERNELS (single compiled dispatch: eager per-op execution is
+        # latency-bound on tunneled/remote TPU backends)
+        prep_key = (id(kernels['wm']), is_exvivo, single_b0)
+        cached = getattr(self, '_prep_cache', None)
+        if cached is not None and cached[0] == prep_key:
+            A_all, G1_all, L1_all, G2_all, L2_all = cached[1]
+        else:
+            @jax.jit
+            def _prep(K_wm, K_iso, norms, rows_dwi_j):
+                cols = [K_wm]
+                if is_exvivo:
+                    cols.append(jnp.ones((ndirs, nS, 1), jnp.float32))
+                cols.append(jnp.broadcast_to(K_iso[None, :, None],
+                                             (ndirs, nS, 1)))
+                A_all = jnp.concatenate(cols, axis=-1)  # (ndirs, nS, na)
+                G1_all = gram(A_all)
+                L1_all = power_iteration_L(G1_all)
+                A2_all = A_all[:, rows_dwi_j, :n_wm] * norms[None, None, :]
+                G2_all = gram(A2_all)
+                L2_all = power_iteration_L(G2_all)
+                return A_all, G1_all, L1_all, G2_all, L2_all
+
+            A_all, G1_all, L1_all, G2_all, L2_all = _prep(
+                K_wm, K_iso, norms, rows_dwi_j)
+            self._prep_cache = (prep_key,
+                                (A_all, G1_all, L1_all, G2_all, L2_all))
+
+        def fit_chunk(Y, dirs, valid, A_all, G1_all, L1_all, G2_all, L2_all,
+                      K_iso, norms, icvf, kappa, rows_dwi_j):
+            A_full = A_all[dirs]                        # (C, nS, na)
+            G1 = G1_all[dirs]
+            L1 = L1_all[dirs]
             b1 = project(A_full, Y)
 
             # ---- stage 1: NNLS for the CSF fraction (models.pyx:911)
-            x1 = nneg_qp_batch(G1[:, None], b1, 0.0, 0.0, L=L1[:, None],
-                               **solver_kw)
+            x1 = solve_tiles(G1, b1, L1, 0.0, 0.0, solver_kw=solver_kw,
+                             backend=backend)
             x_iso1 = x1[..., -1]
 
             # ---- stage 2: scaled DWI-only lasso (models.pyx:914-926)
@@ -194,19 +225,17 @@ class NODDI(BaseModel):
             if is_exvivo:
                 Y2 = Y2 - x1[..., n_atoms - 2][..., None]
             Y2 = jnp.maximum(Y2, 0.0)
-            A2 = A_wm[:, rows_dwi_j, :] * norms[None, None, :]
-            G2 = gram(A2)
-            L2 = power_iteration_L(G2)
+            A2 = A_full[:, rows_dwi_j, :n_wm] * norms[None, None, :]
             b2 = project(A2, Y2)
-            x2 = nneg_qp_batch(G2[:, None], b2, lam1, lam2, L=L2[:, None],
-                               **solver_kw)
+            x2 = solve_tiles(G2_all[dirs], b2, L2_all[dirs], lam1, lam2,
+                             solver_kw=solver_kw, backend=backend)
 
             # ---- stage 3: debias on the positive support (models.pyx:928-942)
             mask_wm = (x2 > 0.0).astype(Y.dtype)
             ones_tail = jnp.ones(Y.shape[:2] + (n_atoms - n_wm,), Y.dtype)
             mask = jnp.concatenate([mask_wm, ones_tail], axis=-1)
-            x = nneg_qp_batch(G1[:, None], b1, 0.0, 0.0, mask=mask,
-                              L=L1[:, None], **solver_kw)
+            x = solve_tiles(G1, b1, L1, 0.0, 0.0, mask=mask,
+                            solver_kw=solver_kw, backend=backend)
 
             # ---- estimates (models.pyx:944-967)
             sum_atoms = jnp.sum(x, axis=-1) + 1e-16
@@ -239,6 +268,11 @@ class NODDI(BaseModel):
             shapes['nrmse'] = ()
         if configs['compute_modulated_maps']:
             shapes['estimates_mod'] = (2,)
+        cache_key = ('noddi', backend, tuple(sorted(solver_kw.items())),
+                     lam1, lam2, is_exvivo, single_b0, n_wm, nS,
+                     tuple(sorted(configs.items())))
         return self._run_tiled_fit(
-            evaluation, fit_chunk, shapes,
-            consts=(K_wm, K_iso, norms, icvf, kappa, rows_dwi_j))
+            evaluation, fit_chunk, shapes, backend=backend,
+            cache_key=cache_key,
+            consts=(A_all, G1_all, L1_all, G2_all, L2_all,
+                    K_iso, norms, icvf, kappa, rows_dwi_j))

@@ -51,7 +51,8 @@ class SANDI(BaseModel):
                 'Rs': self.Rs, 'd_in': self.d_in, 'd_isos': self.d_isos}
 
     def set_solver(self, lambda1=0.0, lambda2=5.0e-3, fista_iters=None,
-                   cd_sweeps=None, refine_rounds=None, cg_iters=None):
+                   cd_sweeps=None, refine_rounds=None, cg_iters=None,
+                   backend=None):
         """Defaults per reference models.pyx:1405-1408."""
         super().set_solver()
         self.solver_params['lambda1'] = lambda1
@@ -64,6 +65,8 @@ class SANDI(BaseModel):
             self.solver_params['refine_rounds'] = int(refine_rounds)
         if cg_iters is not None:
             self.solver_params['cg_iters'] = int(cg_iters)
+        if backend is not None:
+            self.solver_params['backend'] = str(backend)
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Reference models.pyx:1411-1443; all atoms treated isotropic."""

@@ -1,0 +1,216 @@
+"""Pallas TPU kernel: per-tile non-negative QP solver, VMEM-resident.
+
+The XLA solver path (ops.solvers) re-reads the tile Gram matrix and the
+iterate arrays from HBM on every FISTA/CG matvec and rewrites the full
+gradient cache on every CD coordinate step -- bandwidth-bound.  This kernel
+runs the *entire* solve (FISTA warm start + coordinate-descent sweeps +
+active-set polish rounds with masked-CG subproblem solves, identical math
+to ops.solvers.nneg_qp_batch) for one voxel tile per grid step with
+
+    G (n x n), b/x/q/mask (n x M)
+
+held in VMEM throughout: HBM traffic drops to one read of (G, b, mask) and
+one write of x per tile, and the matvecs run back-to-back on the MXU.
+
+The coordinate-descent phase is intentionally absent here: Mosaic has no
+dynamic slicing of kernel values, and with the active-set polish CD adds
+no accuracy (see the iteration-config study in the repo history) -- the
+``cd_sweeps`` argument is accepted and ignored.
+
+Layout: coefficients on the sublane axis (n padded to a multiple of 8),
+voxels on the lane axis (M multiple of 128); matvec = dot(G, X) with
+preferred f32 output and HIGHEST precision (bf16 passes diverge on
+cond ~ 1e8 dictionaries, see ops.solvers._mv).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(n: int, npad: int, M: int, lam1: float, lam2: float,
+                 fista_iters: int, cd_sweeps: int, refine_rounds: int,
+                 cg_iters: int, has_mask: bool, inner_passes: int = 2):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    tol = 3e-6
+
+    def dot_g(G, X):
+        return jax.lax.dot_general(G, X, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_HI)
+
+    def kernel(*refs):
+        if has_mask:
+            G_ref, B_ref, mask_ref, X_ref = refs
+        else:
+            G_ref, B_ref, X_ref = refs
+        G = G_ref[0]                    # (npad, npad)
+        b = B_ref[0]                    # (npad, M)
+
+        # Lipschitz constant by in-kernel power iteration on the VMEM G
+        def pow_body(_, v):
+            w = dot_g(G, v)
+            return w / (jnp.sqrt(jnp.sum(w * w)) + 1e-30)
+
+        v = jax.lax.fori_loop(
+            0, 10, pow_body, jnp.ones((npad, 1), jnp.float32))
+        L = jnp.sum(v * dot_g(G, v)) * 1.01 + 1e-30
+        # valid-coefficient mask on the sublane axis
+        pad = (jax.lax.broadcasted_iota(jnp.int32, (npad, M), 0) < n
+               ).astype(jnp.float32)
+        cmask = mask_ref[0] * pad if has_mask else pad
+        b = b * pad
+
+        step = 1.0 / (L + lam2 + 1e-30)
+
+        def prox(v):
+            return jnp.maximum(v, 0.0) * cmask
+
+        # ---------------- FISTA with adaptive restart ----------------
+        def fista_body(_, s):
+            x, z, t = s
+            grad = dot_g(G, z) - b + lam2 * z
+            x_new = prox(z - step * (grad + lam1))
+            restart = jnp.sum((z - x_new) * (x_new - x), axis=0,
+                              keepdims=True) > 0.0
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            t_eff = jnp.where(restart, 1.0, t_new)
+            beta = jnp.where(restart, 0.0, (t - 1.0) / t_new)
+            z_new = x_new + beta * (x_new - x)
+            return x_new, z_new, t_eff
+
+        x0 = jnp.zeros((npad, M), jnp.float32)
+        t0 = jnp.ones((1, M), jnp.float32)
+        x, _, _ = jax.lax.fori_loop(0, fista_iters, fista_body, (x0, x0, t0))
+
+        # ---------------- active-set polish ----------------
+        if refine_rounds > 0:
+            b_eff = (b - lam1) * pad
+            scale = jnp.max(jnp.abs(b_eff), axis=0, keepdims=True) + 1e-30
+            big = jnp.float32(3.0e38)
+
+            def cg(m, z0):
+                def Aop(p):
+                    return (dot_g(G, p * m) + lam2 * p) * m
+
+                z = z0 * m
+                r = (b_eff * m) - Aop(z)
+                p = r
+                rs = jnp.sum(r * r, axis=0, keepdims=True)
+
+                def cg_body(_, carry):
+                    z, r, p, rs = carry
+                    Ap = Aop(p)
+                    denom = jnp.sum(p * Ap, axis=0, keepdims=True)
+                    safe = denom > 1e-30
+                    alpha = jnp.where(safe, rs / jnp.where(safe, denom, 1.0), 0.0)
+                    z = z + alpha * p
+                    r = r - alpha * Ap
+                    rs_new = jnp.sum(r * r, axis=0, keepdims=True)
+                    beta = jnp.where(safe, rs_new / (rs + 1e-30), 0.0)
+                    p = r + beta * p
+                    return z, r, p, rs_new
+
+                z, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
+                                               (z, r, p, rs))
+                return jnp.where(jnp.isfinite(z), z, 0.0)
+
+            def inner_solve(x, m):
+                z = cg(m, x)
+                neg = (z <= 0.0) & (m > 0.0)
+                ratio = jnp.where(neg, x / (x - z + 1e-30), big)
+                alpha = jnp.clip(jnp.min(ratio, axis=0, keepdims=True), 0.0, 1.0)
+                x = (x + alpha * (z - x)) * m
+                m = m * (x > tol * scale).astype(jnp.float32)
+                return x * m, m
+
+            def as_round(_, carry):
+                x, m = carry
+                for _r in range(inner_passes):
+                    x, m = inner_solve(x, m)
+                w = b_eff - dot_g(G, x) - lam2 * x
+                allowed = (1.0 - m) * cmask
+                w_cand = jnp.where(allowed > 0.0, w, -big)
+                wmax = jnp.max(w_cand, axis=0, keepdims=True)
+                jstar = jnp.argmax(w_cand, axis=0)[None, :]       # (1, M)
+                add = (wmax > tol * scale).astype(jnp.float32)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (npad, M), 0)
+                onehot = (rows == jstar).astype(jnp.float32)
+                m = jnp.minimum(m + add * onehot, 1.0)
+                return x, m
+
+            m0 = (x > 0.0).astype(jnp.float32) * cmask
+            x, m = jax.lax.fori_loop(0, refine_rounds, as_round, (x, m0))
+            x, m = inner_solve(x, m)
+            x = jnp.maximum(x, 0.0)
+
+        X_ref[0] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('lam1', 'lam2', 'fista_iters',
+                                             'cd_sweeps', 'refine_rounds',
+                                             'cg_iters', 'interpret',
+                                             'inner_passes'))
+def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
+                         fista_iters: int = 60, cd_sweeps: int = 4,
+                         refine_rounds: int = 14, cg_iters: int = 24,
+                         interpret: bool = False, inner_passes: int = 2):
+    """Per-tile QP solve: G (C, n, n), b (C, M, n), L (C,) -> x (C, M, n).
+
+    Same problem and same math as ops.solvers.nneg_qp_batch with a per-tile
+    shared Gram matrix; mask optional (C, M, n).  M must be a multiple of
+    128 for the lane layout (the tile engine's default tile_size).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, M, n = b.shape
+    npad = _round_up(n, 8)
+
+    Gp = jnp.zeros((C, npad, npad), jnp.float32).at[:, :n, :n].set(G)
+    bT = jnp.zeros((C, npad, M), jnp.float32).at[:, :n, :].set(
+        jnp.swapaxes(b, 1, 2))
+
+    has_mask = mask is not None
+    inputs = [Gp, bT]
+    in_specs = [
+        pl.BlockSpec((1, npad, npad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, npad, M), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_mask:
+        mT = jnp.zeros((C, npad, M), jnp.float32).at[:, :n, :].set(
+            jnp.swapaxes(jnp.asarray(mask, jnp.float32), 1, 2))
+        inputs.append(mT)
+        in_specs.append(pl.BlockSpec((1, npad, M), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = _make_kernel(n, npad, M, float(lam1), float(lam2),
+                          int(fista_iters), int(cd_sweeps),
+                          int(refine_rounds), int(cg_iters), has_mask,
+                          int(inner_passes))
+
+    xT = pl.pallas_call(
+        kernel,
+        grid=(C,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, npad, M), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, npad, M), jnp.float32),
+        interpret=interpret,
+    )(*inputs)
+    return jnp.swapaxes(xT[:, :n, :], 1, 2)

@@ -84,21 +84,25 @@ def _cg_masked(G, b, m, x0, lam2, iters: int):
         z, r, p, rs = carry
         Ap = Aop(p)
         denom = jnp.sum(p * Ap, axis=-1, keepdims=True)
-        alpha = rs / (denom + 1e-30)
+        # guard: f32 Grams can carry tiny negative eigenvalues; on negative
+        # curvature freeze the step and restart the direction at r
+        safe = denom > 1e-30
+        alpha = jnp.where(safe, rs / jnp.where(safe, denom, 1.0), 0.0)
         z = z + alpha * p
         r = r - alpha * Ap
         rs_new = jnp.sum(r * r, axis=-1, keepdims=True)
-        beta = rs_new / (rs + 1e-30)
+        beta = jnp.where(safe, rs_new / (rs + 1e-30), 0.0)
         p = r + beta * p
         return z, r, p, rs_new
 
     z, _, _, _ = jax.lax.fori_loop(0, iters, body, (z, r, p, rs))
-    return z
+    return jnp.where(jnp.isfinite(z), z, 0.0)
 
 
 def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
                   fista_iters: int = 200, cd_sweeps: int = 40, x0=None,
-                  refine_rounds: int = 0, cg_iters: int = 32):
+                  refine_rounds: int = 0, cg_iters: int = 32,
+                  inner_passes: int = 2):
     """Solve min_x 0.5 x'Gx - b'x + lam1 1'x + 0.5 lam2 |x|^2,  x >= 0
     for a broadcastable batch of problems.
 
@@ -207,7 +211,7 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
 
         def as_round(_, carry):
             x, m = carry
-            for _r in range(2):          # solve + at most one removal pass
+            for _r in range(inner_passes):   # solve (+ optional removal pass)
                 x, m = inner_solve((x, m))
             # addition step: best violated atom outside the working set
             w = b_eff - _mv(G, x) - lam2 * x

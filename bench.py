@@ -60,20 +60,18 @@ def main():
             self.y, self.DIRs, self.htable, self.KERNELS = y, DIRs, htable, kernels
             self._cfg = {'doComputeRMSE': False, 'doComputeNRMSE': False,
                          'doSaveModulatedMaps': False,
-                         'tile_size': 128, 'voxels_per_chunk': 65536}
+                         'tile_size': 'auto', 'voxels_per_chunk': 131072}
             self._cfg.update(cfg)
 
         def get_config(self, k):
             return self._cfg.get(k)
 
-    # warm-up on a small slice for compile (same chunk static shape)
-    ctx_w = Ctx()
-    ctx_w.y, ctx_w.DIRs = y[:2048], DIRs[:2048]
-    t0 = time.time()
-    model.fit(ctx_w)
-    t_compile = time.time() - t0
-
+    # warm-up: full-shape run (compiles are cached per chunk shape), then
+    # measure steady-state throughput
     ctx = Ctx()
+    t0 = time.time()
+    model.fit(ctx)
+    t_compile = time.time() - t0
     t0 = time.time()
     res = model.fit(ctx)
     t_fit = time.time() - t0

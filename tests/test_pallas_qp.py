@@ -1,0 +1,48 @@
+"""Pallas tile-QP kernel vs the XLA solver path (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from amico_tpu.ops.pallas_qp import nneg_qp_tiles_pallas
+from amico_tpu.ops.solvers import gram, nneg_qp_batch, power_iteration_L
+
+
+def _problems(C=3, M=128, m=60, n=21, seed=0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(C, m, n)
+    Y = np.abs(rng.rand(C, M, m))
+    G = np.einsum('cmi,cmj->cij', A, A)
+    b = np.einsum('cmi,cbm->cbi', A, Y)
+    return G.astype(np.float32), b.astype(np.float32)
+
+
+@pytest.mark.parametrize('lam1,lam2', [(0.0, 0.0), (0.5, 1e-3), (0.0, 4.0)])
+def test_pallas_matches_xla(lam1, lam2):
+    G, b = _problems()
+    L = np.asarray(power_iteration_L(jnp.asarray(G)))
+    kw = dict(fista_iters=40, cd_sweeps=4, refine_rounds=8, cg_iters=16)
+    x_ref = np.asarray(nneg_qp_batch(jnp.asarray(G)[:, None], jnp.asarray(b),
+                                     lam1, lam2, L=jnp.asarray(L)[:, None], **kw))
+    x_pal = np.asarray(nneg_qp_tiles_pallas(jnp.asarray(G), jnp.asarray(b),
+                                            jnp.asarray(L), lam1, lam2,
+                                            interpret=True, **kw))
+    np.testing.assert_allclose(x_pal, x_ref, atol=2e-4, rtol=1e-3)
+
+
+def test_pallas_masked():
+    G, b = _problems(seed=3)
+    L = np.asarray(power_iteration_L(jnp.asarray(G)))
+    rng = np.random.RandomState(1)
+    mask = (rng.rand(*b.shape) > 0.4).astype(np.float32)
+    kw = dict(fista_iters=40, cd_sweeps=4, refine_rounds=8, cg_iters=16)
+    x_ref = np.asarray(nneg_qp_batch(jnp.asarray(G)[:, None], jnp.asarray(b),
+                                     0.0, 0.0, mask=jnp.asarray(mask),
+                                     L=jnp.asarray(L)[:, None], **kw))
+    x_pal = np.asarray(nneg_qp_tiles_pallas(jnp.asarray(G), jnp.asarray(b),
+                                            jnp.asarray(L), 0.0, 0.0,
+                                            mask=jnp.asarray(mask),
+                                            interpret=True, **kw))
+    assert (x_pal[mask == 0] == 0).all()
+    np.testing.assert_allclose(x_pal, x_ref, atol=2e-4, rtol=1e-3)
