@@ -113,6 +113,9 @@ class Evaluation:
 
         self._controller = ThreadpoolController() if _HAS_TPC else None
 
+        from .utils.jaxcfg import enable_compilation_cache
+        enable_compilation_cache()
+
     def set_config(self, key, value):
         self.CONFIG[key] = value
 

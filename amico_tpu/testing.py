@@ -7,6 +7,9 @@ import tempfile
 import numpy as np
 
 from . import lut as _lut
+from .utils.jaxcfg import enable_compilation_cache
+
+enable_compilation_cache()
 from .io.scheme import Scheme
 from .ops.sphere import fibonacci_hemisphere
 

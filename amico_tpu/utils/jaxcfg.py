@@ -1,0 +1,28 @@
+"""JAX runtime configuration helpers."""
+from __future__ import annotations
+
+import os
+
+_cache_enabled = False
+
+
+def enable_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache under the amico home dir.
+
+    Compiles dominate cold-start on remote/tunneled TPU backends (minutes
+    for the fit graphs); the on-disk cache drops warm-process compiles to
+    milliseconds.  Idempotent; safe to call before or after jax import.
+    """
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    try:
+        import jax
+        from ..ops.sphere import amico_home
+        cache_dir = os.path.join(amico_home(), 'jax_cache')
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        _cache_enabled = True
+    except Exception:  # pragma: no cover - never block the pipeline on this
+        pass

@@ -1,0 +1,133 @@
+"""Multi-subject sweep driver + mid-fit checkpoint/resume tests."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import amico_tpu
+from amico_tpu.io import nifti
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from amico_tpu.sweep import SubjectSweep
+
+
+def _make_subject(root, name, seed):
+    subj = root / name
+    subj.mkdir()
+    g = fibonacci_hemisphere(24)
+    tab = np.vstack([np.zeros((2, 4)), np.c_[g, np.full(24, 1000.0)],
+                     np.c_[g, np.full(24, 2500.0)]])
+    np.savetxt(subj / 'DWI.scheme', tab, fmt='%.6f',
+               header='VERSION: BVECTOR', comments='')
+    rng = np.random.RandomState(seed)
+    vol = np.abs(400 * (0.3 + 0.5 * rng.rand(5, 4, 2, 50))).astype(np.float32)
+    vol[..., :2] = 400.0
+    nifti.save(nifti.Nifti1Image(vol), str(subj / 'DWI.nii.gz'))
+    return subj
+
+
+@pytest.fixture(scope='module')
+def study(tmp_path_factory):
+    d = tmp_path_factory.mktemp('sweepstudy')
+    os.environ['AMICO_TPU_HOME'] = str(d / 'home')
+    amico_tpu.set_verbose(0)
+    for i, name in enumerate(['s1', 's2']):
+        _make_subject(d, name, i)
+    return d
+
+
+def test_sweep_two_subjects_and_resume(study):
+    sweep = SubjectSweep(str(study), ['s1', 's2'], 'FreeWater',
+                         config={'tile_size': 32})
+    results = sweep.run()
+    for s in ['s1', 's2']:
+        out = study / s / 'AMICO' / 'FreeWater'
+        assert (out / 'fit_FW.nii.gz').exists()
+        assert results[s] == str(out)
+
+    # resume: both already fitted -> skipped (config mtime unchanged)
+    mtime = os.path.getmtime(study / 's1' / 'AMICO' / 'FreeWater' / 'config.pickle')
+    sweep2 = SubjectSweep(str(study), ['s1', 's2'], 'FreeWater',
+                          config={'tile_size': 32})
+    sweep2.run(resume=True)
+    assert os.path.getmtime(
+        study / 's1' / 'AMICO' / 'FreeWater' / 'config.pickle') == mtime
+
+
+def test_sweep_survives_bad_subject(study):
+    sweep = SubjectSweep(str(study), ['nope', 's1'], 'FreeWater',
+                         config={'tile_size': 32})
+    results = sweep.run()
+    assert results['nope'].startswith('FAILED')
+    assert not results['s1'].startswith('FAILED')
+
+
+def test_fit_checkpoint_resume(study):
+    """Chunk-level checkpoint: interrupting after the first chunk and
+    re-running must produce identical results without redoing chunk 0."""
+    from amico_tpu.models import FreeWater
+    from amico_tpu.testing import demo_noddi, demo_scheme, demo_voxels
+    from tests.test_models import EvalStub, _prepare, _rand_voxels, _scheme_v0
+
+    scheme = _scheme_v0()
+    model = FreeWater()
+    model.set()
+    model.set_solver()
+    workdir = study / 'ck'
+    workdir.mkdir(exist_ok=True)
+    kernels, htable = _prepare(model, scheme, workdir)
+
+    def A_of(d):
+        return np.column_stack([kernels['D'][:, d, :].T, kernels['CSF'].T])
+
+    y, DIRs, lut_idx = _rand_voxels(400, A_of, htable, seed=11)
+    ck = str(study / 'fit_ckpt.npz')
+
+    # full run without checkpoint
+    ev = EvalStub(y, DIRs, htable, kernels,
+                  tile_size=32, voxels_per_chunk=128)
+    ref = model.fit(ev)['estimates']
+
+    # interrupted run: simulate by checkpointing then re-running
+    ev_ck = EvalStub(y, DIRs, htable, kernels, tile_size=32,
+                     voxels_per_chunk=128, fit_checkpoint=ck)
+    got = model.fit(ev_ck)['estimates']
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    assert not os.path.exists(ck)  # cleaned up after completion
+
+    # now write a partial checkpoint and ensure resume completes correctly
+    import numpy as _np
+    from amico_tpu.models.engine import build_tile_plan, tile_voxels
+    from amico_tpu import lut as _lut
+    lut_i = _lut.dir_to_lut_idx(DIRs.astype(np.float64), htable)
+    plan = build_tile_plan(lut_i, 32)
+    partial = {'estimates': np.zeros((plan.n_tiles, 32, 2), np.float32)}
+    done = min(4, plan.n_tiles)
+    # steal the first chunks' correct values from ref via tiling
+    est_tiled = tile_voxels(plan, ref)
+    partial['estimates'][:done] = est_tiled[:done]
+    np.savez(ck[:-4], n_tiles=plan.n_tiles, tile_size=32,
+             done_until=done, **partial)
+    got2 = model.fit(ev_ck)['estimates']
+    np.testing.assert_allclose(got2, ref, atol=1e-6)
+
+
+def test_keep_b0_intact(study):
+    """doKeepb0Intact: corrected DWI keeps original b0 signal
+    (reference core.py:495-496)."""
+    subj = _make_subject(study, 's3', 7)
+    ev = amico_tpu.Evaluation(str(study), 's3')
+    ev.set_config('doSaveCorrectedDWI', True)
+    ev.set_config('doKeepb0Intact', True)
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    ev.set_model('FreeWater')
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+    corr = ev.RESULTS['DWI_corrected']
+    mask = ev.niiMASK_img == 1
+    # b0 volumes of the corrected DWI equal y_b0 * mean_b0 (un-normalized)
+    expected_b0 = ev.y[:, ev.scheme.b0_idx] * ev.mean_b0s[mask][:, None]
+    np.testing.assert_allclose(corr[mask][:, ev.scheme.b0_idx],
+                               expected_b0, rtol=1e-5)
