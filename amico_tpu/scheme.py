@@ -1,0 +1,5 @@
+"""Drop-in alias for the reference's ``amico.scheme`` module
+(/root/reference/amico/scheme.py)."""
+from .io.scheme import GAMMA, Scheme
+
+__all__ = ['GAMMA', 'Scheme']

@@ -1,0 +1,10 @@
+"""Drop-in alias for the reference's ``amico.util`` module
+(/root/reference/amico/util.py): verbosity controls, colored logging, and
+the scheme converters, at the same import path reference users expect.
+"""
+from .io.scheme import fsl2scheme, sandi2scheme
+from .utils.logging import (AmicoError, ERROR, LOG, NOTE, PRINT, WARNING,
+                            get_verbose, set_verbose)
+
+__all__ = ['fsl2scheme', 'sandi2scheme', 'AmicoError', 'ERROR', 'LOG',
+           'NOTE', 'PRINT', 'WARNING', 'get_verbose', 'set_verbose']
