@@ -147,18 +147,19 @@ class CylinderZeppelinBall(BaseModel):
         from ..ops.solvers import gram, power_iteration_L
         from ._fitops import solve_tiles
 
-        K_wm = jnp.asarray(np.ascontiguousarray(np.transpose(
-            np.concatenate([kernels['wmr'], kernels['wmh']], axis=0),
-            (1, 2, 0))), jnp.float32)                 # (ndirs, nS, n_rs+n_perp)
-        K_iso = jnp.asarray(kernels['iso'].T, jnp.float32)  # (nS, n_iso)
-        Rs = jnp.asarray(self.Rs, jnp.float32)
         import jax
 
+        Rs = jnp.asarray(self.Rs, jnp.float32)
         prep_key = (id(kernels['wmr']),)
         cached = getattr(self, '_prep_cache', None)
         if cached is not None and cached[0] == prep_key:
             A_all, G_all, L_all = cached[1]
         else:
+            K_wm = jnp.asarray(np.ascontiguousarray(np.transpose(
+                np.concatenate([kernels['wmr'], kernels['wmh']], axis=0),
+                (1, 2, 0))), jnp.float32)         # (ndirs, nS, n_rs+n_perp)
+            K_iso = jnp.asarray(kernels['iso'].T, jnp.float32)  # (nS, n_iso)
+
             @jax.jit
             def _prep(K_wm, K_iso):
                 A_all = jnp.concatenate(

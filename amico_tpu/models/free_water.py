@@ -145,9 +145,6 @@ class FreeWater(BaseModel):
         from ..ops.solvers import gram, power_iteration_L
         from ._fitops import solve_tiles
 
-        K_D = jnp.asarray(np.ascontiguousarray(
-            np.transpose(kernels['D'], (1, 2, 0))), jnp.float32)
-        K_CSF = jnp.asarray(kernels['CSF'].T, jnp.float32)
         import jax
 
         prep_key = (id(kernels['D']),)
@@ -155,6 +152,10 @@ class FreeWater(BaseModel):
         if cached is not None and cached[0] == prep_key:
             A_all, G_all, L_all = cached[1]
         else:
+            K_D = jnp.asarray(np.ascontiguousarray(
+                np.transpose(kernels['D'], (1, 2, 0))), jnp.float32)
+            K_CSF = jnp.asarray(kernels['CSF'].T, jnp.float32)
+
             @jax.jit
             def _prep(K_D, K_CSF):
                 A_all = jnp.concatenate(

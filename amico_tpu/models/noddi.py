@@ -167,27 +167,28 @@ class NODDI(BaseModel):
         from ..ops.solvers import gram, power_iteration_L
         from ._fitops import solve_tiles
 
-        # per-direction dictionaries, Gram matrices and Lipschitz constants,
-        # computed ONCE per fit (the reference re-copies the dictionary per
-        # voxel, models.pyx:905-908; per-chunk re-gramming wastes MXU time)
-        K_wm = jnp.asarray(np.ascontiguousarray(
-            np.transpose(kernels['wm'], (1, 2, 0))), jnp.float32)
-        K_iso = jnp.asarray(kernels['iso'], jnp.float32)
-        norms = jnp.asarray(kernels['norms'], jnp.float32)
-        icvf = jnp.asarray(kernels['icvf'], jnp.float32)
-        kappa = jnp.asarray(kernels['kappa'], jnp.float32)
-        rows_dwi_j = jnp.asarray(rows_dwi, jnp.int32)
-
         import jax
 
-        # per-fit dictionary precompute, cached across fit() calls on the
-        # same KERNELS (single compiled dispatch: eager per-op execution is
-        # latency-bound on tunneled/remote TPU backends)
+        # per-direction dictionaries, Gram matrices and Lipschitz constants,
+        # computed ONCE and cached across fit() calls on the same KERNELS
+        # (the reference re-copies the dictionary per voxel,
+        # models.pyx:905-908); single compiled dispatch + no host re-uploads
+        # -- both eager op latency and wire transfers dominate on
+        # tunneled/remote TPU backends
         prep_key = (id(kernels['wm']), is_exvivo, single_b0)
         cached = getattr(self, '_prep_cache', None)
         if cached is not None and cached[0] == prep_key:
-            A_all, G1_all, L1_all, G2_all, L2_all = cached[1]
+            (A_all, G1_all, L1_all, G2_all, L2_all,
+             K_iso, norms, icvf, kappa, rows_dwi_j) = cached[1]
         else:
+            K_wm = jnp.asarray(np.ascontiguousarray(
+                np.transpose(kernels['wm'], (1, 2, 0))), jnp.float32)
+            K_iso = jnp.asarray(kernels['iso'], jnp.float32)
+            norms = jnp.asarray(kernels['norms'], jnp.float32)
+            icvf = jnp.asarray(kernels['icvf'], jnp.float32)
+            kappa = jnp.asarray(kernels['kappa'], jnp.float32)
+            rows_dwi_j = jnp.asarray(rows_dwi, jnp.int32)
+
             @jax.jit
             def _prep(K_wm, K_iso, norms, rows_dwi_j):
                 cols = [K_wm]
@@ -206,7 +207,8 @@ class NODDI(BaseModel):
             A_all, G1_all, L1_all, G2_all, L2_all = _prep(
                 K_wm, K_iso, norms, rows_dwi_j)
             self._prep_cache = (prep_key,
-                                (A_all, G1_all, L1_all, G2_all, L2_all))
+                                (A_all, G1_all, L1_all, G2_all, L2_all,
+                                 K_iso, norms, icvf, kappa, rows_dwi_j))
 
         def fit_chunk(Y, dirs, valid, A_all, G1_all, L1_all, G2_all, L2_all,
                       K_iso, norms, icvf, kappa, rows_dwi_j):
