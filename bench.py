@@ -67,14 +67,17 @@ def main():
             return self._cfg.get(k)
 
     # warm-up: full-shape run (compiles are cached per chunk shape), then
-    # measure steady-state throughput
+    # measure steady-state throughput (best of 3 -- the TPU tunnel in this
+    # environment has high transfer-latency variance)
     ctx = Ctx()
     t0 = time.time()
     model.fit(ctx)
     t_compile = time.time() - t0
-    t0 = time.time()
-    res = model.fit(ctx)
-    t_fit = time.time() - t0
+    t_fit = float('inf')
+    for _ in range(3):
+        t0 = time.time()
+        res = model.fit(ctx)
+        t_fit = min(t_fit, time.time() - t0)
     voxps = n_vox / t_fit
 
     # sanity on outputs
