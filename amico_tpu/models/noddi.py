@@ -210,6 +210,42 @@ class NODDI(BaseModel):
                                 (A_all, G1_all, L1_all, G2_all, L2_all,
                                  K_iso, norms, icvf, kappa, rows_dwi_j))
 
+        use_fused = (backend == 'pallas' and not is_exvivo)
+        want_x = configs['compute_rmse'] or configs['compute_nrmse']
+
+        def fit_chunk_fused(Y, dirs, valid, A_all, G1_all, L1_all, G2_all,
+                            L2_all, K_iso, norms, icvf, kappa, rows_dwi_j):
+            """All three stages in one Pallas kernel invocation per tile
+            (ops.pallas_qp.noddi_fused_tiles_pallas)."""
+            import jax
+            from ..ops.pallas_qp import noddi_fused_tiles_pallas
+
+            A_full = A_all[dirs]                        # (C, nS, na)
+            b1 = project(A_full, Y)
+            Y_dwi = Y[..., rows_dwi_j]
+            A2T = jnp.swapaxes(
+                A_full[:, rows_dwi_j, :n_wm] * norms[None, None, :], 1, 2)
+            out = noddi_fused_tiles_pallas(
+                G1_all[dirs], G2_all[dirs], b1, Y_dwi, A2T,
+                K_iso[rows_dwi_j], icvf, kappa,
+                lam1=lam1, lam2=lam2,
+                fista_iters=solver_kw['fista_iters'],
+                refine_rounds=solver_kw['refine_rounds'],
+                cg_iters=solver_kw['cg_iters'], want_x=want_x,
+                interpret=jax.default_backend() != 'tpu')
+            est3, x = out if want_x else (out, None)
+            ndi, odi, fwf = est3[..., 0], est3[..., 1], est3[..., 2]
+            est = est3 * valid[..., None]
+            res = {'estimates': est}
+            if want_x:
+                res.update(error_maps(A_full, x, Y, configs['compute_rmse'],
+                                      configs['compute_nrmse']))
+            if configs['compute_modulated_maps']:
+                tf = 1.0 - fwf
+                res['estimates_mod'] = jnp.stack([ndi * tf, odi * tf], -1) \
+                    * valid[..., None]
+            return res
+
         def fit_chunk(Y, dirs, valid, A_all, G1_all, L1_all, G2_all, L2_all,
                       K_iso, norms, icvf, kappa, rows_dwi_j):
             A_full = A_all[dirs]                        # (C, nS, na)
@@ -270,11 +306,12 @@ class NODDI(BaseModel):
             shapes['nrmse'] = ()
         if configs['compute_modulated_maps']:
             shapes['estimates_mod'] = (2,)
-        cache_key = ('noddi', backend, tuple(sorted(solver_kw.items())),
+        cache_key = ('noddi', backend, use_fused,
+                     tuple(sorted(solver_kw.items())),
                      lam1, lam2, is_exvivo, single_b0, n_wm, nS,
                      tuple(sorted(configs.items())))
         return self._run_tiled_fit(
-            evaluation, fit_chunk, shapes, backend=backend,
-            cache_key=cache_key,
+            evaluation, fit_chunk_fused if use_fused else fit_chunk,
+            shapes, backend=backend, cache_key=cache_key,
             consts=(A_all, G1_all, L1_all, G2_all, L2_all,
                     K_iso, norms, icvf, kappa, rows_dwi_j))

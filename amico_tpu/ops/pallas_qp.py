@@ -214,3 +214,241 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
         interpret=interpret,
     )(*inputs)
     return jnp.swapaxes(xT[:, :n, :], 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Fused 3-stage NODDI kernel: all three solves + inter-stage plumbing in one
+# grid step per tile.  Eliminates two kernel launches and the x1/x2 HBM
+# round-trips of the stage-by-stage path (models/noddi.py), and emits the
+# NDI/ODI/FWF maps directly (models.pyx:944-967) so the coefficient tensor
+# never touches HBM unless error maps are requested.
+# ---------------------------------------------------------------------------
+def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
+                       lam1, lam2, fista_iters, refine_rounds, cg_iters,
+                       inner_passes, want_x):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    tol = 3e-6
+    big = 3.0e38  # python float: jnp constants here would be captured tracers
+
+    def dot_g(Gm, X):
+        return jax.lax.dot_general(Gm, X, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=_HI)
+
+    def as_solve(G, b, npad_l, n_l, l1, l2, cmask):
+        """FISTA + active-set polish (same math as ops.solvers)."""
+        def powb(_, v):
+            w = dot_g(G, v)
+            return w / (jnp.sqrt(jnp.sum(w * w)) + 1e-30)
+
+        v = jax.lax.fori_loop(0, 10, powb, jnp.ones((npad_l, 1), jnp.float32))
+        L = jnp.sum(v * dot_g(G, v)) * 1.01 + 1e-30
+        step = 1.0 / (L + l2 + 1e-30)
+        bm = b * cmask
+
+        def prox(z):
+            return jnp.maximum(z, 0.0) * cmask
+
+        def fista_body(_, s):
+            x, z, t = s
+            grad = dot_g(G, z) - bm + l2 * z
+            x_new = prox(z - step * (grad + l1))
+            restart = jnp.sum((z - x_new) * (x_new - x), axis=0,
+                              keepdims=True) > 0.0
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            t_eff = jnp.where(restart, 1.0, t_new)
+            beta = jnp.where(restart, 0.0, (t - 1.0) / t_new)
+            return x_new, x_new + beta * (x_new - x), t_eff
+
+        x0 = jnp.zeros((npad_l, M), jnp.float32)
+        t0 = jnp.ones((1, M), jnp.float32)
+        x, _, _ = jax.lax.fori_loop(0, fista_iters, fista_body, (x0, x0, t0))
+
+        b_eff = (bm - l1) * cmask
+        scale = jnp.max(jnp.abs(b_eff), axis=0, keepdims=True) + 1e-30
+
+        def cg(m, z0):
+            def Aop(p):
+                return (dot_g(G, p * m) + l2 * p) * m
+
+            z = z0 * m
+            r = (b_eff * m) - Aop(z)
+            p = r
+            rs = jnp.sum(r * r, axis=0, keepdims=True)
+
+            def cg_body_fixed(i, carry):
+                z, r, p, rs = carry
+                Ap = Aop(p)
+                denom = jnp.sum(p * Ap, axis=0, keepdims=True)
+                safe = denom > 1e-30
+                alpha = jnp.where(safe, rs / jnp.where(safe, denom, 1.0), 0.0)
+                z = z + alpha * p
+                r = r - alpha * Ap
+                rs_new = jnp.sum(r * r, axis=0, keepdims=True)
+                beta = jnp.where(safe, rs_new / (rs + 1e-30), 0.0)
+                p = r + beta * p
+                return z, r, p, rs_new
+
+            z, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body_fixed,
+                                           (z, r, p, rs))
+            return jnp.where(jnp.isfinite(z), z, 0.0)
+
+        def inner_solve(x, m):
+            z = cg(m, x)
+            neg = (z <= 0.0) & (m > 0.0)
+            ratio = jnp.where(neg, x / (x - z + 1e-30), big)
+            alpha = jnp.clip(jnp.min(ratio, axis=0, keepdims=True), 0.0, 1.0)
+            x = (x + alpha * (z - x)) * m
+            m = m * (x > tol * scale).astype(jnp.float32)
+            return x * m, m
+
+        def as_round(_, carry):
+            x, m = carry
+            for _r in range(inner_passes):
+                x, m = inner_solve(x, m)
+            w = b_eff - dot_g(G, x) - l2 * x
+            allowed = (1.0 - m) * cmask
+            w_cand = jnp.where(allowed > 0.0, w, -big)
+            wmax = jnp.max(w_cand, axis=0, keepdims=True)
+            jstar = jnp.argmax(w_cand, axis=0)[None, :]
+            add = (wmax > tol * scale).astype(jnp.float32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (npad_l, M), 0)
+            onehot = (rows == jstar).astype(jnp.float32)
+            m = jnp.minimum(m + add * onehot, 1.0)
+            return x, m
+
+        m0 = (x > 0.0).astype(jnp.float32) * cmask
+        x, m = jax.lax.fori_loop(0, refine_rounds, as_round, (x, m0))
+        x, m = inner_solve(x, m)
+        return jnp.maximum(x, 0.0)
+
+    def kernel(G1_ref, G2_ref, B1_ref, Ydwi_ref, A2T_ref, isod_ref,
+               icvf_ref, kappa_ref, *out_refs):
+        G1 = G1_ref[0]
+        G2 = G2_ref[0]
+        b1 = B1_ref[0]
+        Y_dwi = Ydwi_ref[0]
+        A2T = A2T_ref[0]
+        iso_dwi = isod_ref[:]          # (ndwi_pad, 1), shared
+        icvf = icvf_ref[:]             # (n2pad, 1), shared
+        kappa = kappa_ref[:]
+
+        pad1 = (jax.lax.broadcasted_iota(jnp.int32, (npad, M), 0)
+                < n_atoms).astype(jnp.float32)
+        pad2 = (jax.lax.broadcasted_iota(jnp.int32, (n2pad, M), 0)
+                < n_wm).astype(jnp.float32)
+
+        # stage 1: NNLS on the full dictionary (models.pyx:911)
+        x1 = as_solve(G1, b1, npad, n_atoms, 0.0, 0.0, pad1)
+        x_iso = x1[n_atoms - 1:n_atoms, :]
+
+        # stage 2 prep (models.pyx:914-926)
+        Y2 = jnp.maximum(Y_dwi - iso_dwi * x_iso, 0.0)
+        b2 = dot_g(A2T, Y2)            # (n2pad, M)
+        x2 = as_solve(G2, b2, n2pad, n_wm, lam1, lam2, pad2)
+
+        # stage 3: debias on positive support + forced iso (models.pyx:928-942)
+        sup2 = (x2 > 0.0).astype(jnp.float32) * pad2
+        rows1 = jax.lax.broadcasted_iota(jnp.int32, (npad, M), 0)
+        iso_row = (rows1 == (n_atoms - 1)).astype(jnp.float32)
+        # stage-3 mask on the npad layout: wm rows from sup2, iso row forced
+        # to 1, padding rows 0
+        wm_mask = jnp.where(rows1 < n_wm,
+                            jnp.pad(sup2, ((0, npad - n2pad), (0, 0)))[:npad],
+                            0.0)
+        mask3 = jnp.minimum(wm_mask + iso_row, 1.0) * pad1
+        x = as_solve(G1, b1, npad, n_atoms, 0.0, 0.0, mask3)
+
+        # estimates (models.pyx:944-967)
+        sum_atoms = jnp.sum(x, axis=0, keepdims=True) + 1e-16
+        xw = x[:n2pad, :] * pad2
+        xn_wm = xw / sum_atoms
+        sum_wm = jnp.sum(xn_wm, axis=0, keepdims=True) + 1e-16
+        f1 = jnp.sum(icvf * xn_wm, axis=0, keepdims=True) / sum_wm
+        f2 = jnp.sum((1.0 - icvf) * xn_wm, axis=0, keepdims=True) / sum_wm
+        k1 = jnp.sum(kappa * xn_wm, axis=0, keepdims=True) / sum_wm
+        ndi = f1 / (f1 + f2 + 1e-16)
+        # atan2 is not lowerable in Mosaic: emit k1, the wrapper converts
+        # to ODI = 2/pi atan2(1, k1) outside the kernel
+        fwf = x[n_atoms - 1:n_atoms, :] / sum_atoms
+        est = jnp.concatenate(
+            [ndi, k1, fwf, jnp.zeros((5, M), jnp.float32)], axis=0)
+        out_refs[0][0] = est
+        if want_x:
+            out_refs[1][0] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'lam1', 'lam2', 'fista_iters', 'refine_rounds', 'cg_iters',
+    'inner_passes', 'want_x', 'interpret'))
+def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
+                             lam1=0.5, lam2=1e-3, fista_iters=40,
+                             refine_rounds=12, cg_iters=12, inner_passes=2,
+                             want_x=False, interpret=False):
+    """Fused 3-stage NODDI solve per tile.
+
+    G1 (C, na, na), G2 (C, n_wm, n_wm), b1 (C, M, na), Y_dwi (C, M, ndwi),
+    A2T (C, n_wm, ndwi) (= scaled stage-2 dictionary transposed),
+    iso_dwi (ndwi,), icvf/kappa (n_wm,).
+    Returns estimates (C, M, 3) [NDI, ODI, FWF] (+x (C, M, na) if want_x).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, M, na = b1.shape
+    n_wm = G2.shape[-1]
+    ndwi = Y_dwi.shape[-1]
+    npad = _round_up(na, 8)
+    n2pad = _round_up(n_wm, 8)
+    ndwi_pad = _round_up(ndwi, 8)
+
+    G1p = jnp.zeros((C, npad, npad), jnp.float32).at[:, :na, :na].set(G1)
+    G2p = jnp.zeros((C, n2pad, n2pad), jnp.float32).at[:, :n_wm, :n_wm].set(G2)
+    b1T = jnp.zeros((C, npad, M), jnp.float32).at[:, :na, :].set(
+        jnp.swapaxes(b1, 1, 2))
+    YdT = jnp.zeros((C, ndwi_pad, M), jnp.float32).at[:, :ndwi, :].set(
+        jnp.swapaxes(Y_dwi, 1, 2))
+    A2Tp = jnp.zeros((C, n2pad, ndwi_pad), jnp.float32).at[:, :n_wm, :ndwi].set(A2T)
+    isod = jnp.zeros((ndwi_pad, 1), jnp.float32).at[:ndwi, 0].set(iso_dwi)
+    icvf_p = jnp.zeros((n2pad, 1), jnp.float32).at[:n_wm, 0].set(icvf)
+    kappa_p = jnp.zeros((n2pad, 1), jnp.float32).at[:n_wm, 0].set(kappa)
+
+    kernel = _make_noddi_kernel(na, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
+                                float(lam1), float(lam2), int(fista_iters),
+                                int(refine_rounds), int(cg_iters),
+                                int(inner_passes), bool(want_x))
+
+    tile = lambda shp: pl.BlockSpec((1,) + shp, lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    shared = lambda shp: pl.BlockSpec(shp, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((C, 8, M), jnp.float32)]
+    out_specs = [tile((8, M))]
+    if want_x:
+        out_shapes.append(jax.ShapeDtypeStruct((C, npad, M), jnp.float32))
+        out_specs.append(tile((npad, M)))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(C,),
+        in_specs=[tile((npad, npad)), tile((n2pad, n2pad)), tile((npad, M)),
+                  tile((ndwi_pad, M)), tile((n2pad, ndwi_pad)),
+                  shared((ndwi_pad, 1)), shared((n2pad, 1)),
+                  shared((n2pad, 1))],
+        out_specs=out_specs if want_x else out_specs[0],
+        out_shape=out_shapes if want_x else out_shapes[0],
+        interpret=interpret,
+    )(G1p, G2p, b1T, YdT, A2Tp, isod, icvf_p, kappa_p)
+
+    def _finish(estT):
+        est = jnp.swapaxes(estT[:, :3, :], 1, 2)
+        odi = 2.0 / jnp.pi * jnp.arctan2(1.0, est[..., 1])
+        return jnp.stack([est[..., 0], odi, est[..., 2]], axis=-1)
+
+    if want_x:
+        estT, xT = outs
+        return _finish(estT), jnp.swapaxes(xT[:, :na, :], 1, 2)
+    return _finish(outs)

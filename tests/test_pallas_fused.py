@@ -1,0 +1,90 @@
+"""Fused 3-stage NODDI Pallas kernel vs the stage-by-stage XLA path."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from amico_tpu import lut as _lut
+from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
+from amico_tpu.ops.solvers import gram, nneg_qp_batch, power_iteration_L
+
+
+@pytest.fixture(scope='module')
+def noddi_problem(tmp_path_factory):
+    d = tmp_path_factory.mktemp('fused')
+    os.environ['AMICO_TPU_HOME'] = str(d / 'home')
+    from amico_tpu.testing import demo_noddi, demo_scheme
+    scheme = demo_scheme()
+    model, kernels, htable = demo_noddi(scheme, small=True,
+                                        kernels_dir=str(d / 'k'))
+    return scheme, kernels
+
+
+def test_fused_matches_stagewise(noddi_problem):
+    scheme, kernels = noddi_problem
+    n_wm = kernels['wm'].shape[0]
+    dwi = np.asarray(scheme.dwi_idx)
+    rng = np.random.RandomState(0)
+    C, M = 3, 128
+    ds = rng.randint(0, 500, C)
+    A = np.stack([np.column_stack([kernels['wm'][:, d, :].T, kernels['iso']])
+                  for d in ds])
+    W = rng.rand(C, M, n_wm + 1) * (rng.rand(C, M, n_wm + 1) < 0.3) + 0.05
+    Y = np.einsum('csa,cma->cms', A,
+                  W / np.maximum(W.sum(-1, keepdims=True), 1e-9))
+    Y = np.clip(Y + 0.002 * rng.randn(*Y.shape), 0, None).astype(np.float32)
+
+    G1 = np.asarray(gram(jnp.asarray(A, jnp.float32)))
+    b1 = np.einsum('csa,cms->cma', A, Y).astype(np.float32)
+    A2 = A[:, dwi, :n_wm] * kernels['norms'][None, None, :]
+    G2 = np.asarray(gram(jnp.asarray(A2, jnp.float32)))
+    Y_dwi = Y[:, :, dwi]
+    A2T = np.swapaxes(A2, 1, 2).astype(np.float32)
+    iso_dwi = kernels['iso'][dwi].astype(np.float32)
+
+    kw = dict(fista_iters=40, refine_rounds=12, cg_iters=12, inner_passes=2)
+
+    # stage-by-stage XLA reference
+    L1 = power_iteration_L(jnp.asarray(G1))
+    x1 = nneg_qp_batch(jnp.asarray(G1)[:, None], jnp.asarray(b1), 0., 0.,
+                       L=L1[:, None], cd_sweeps=0, **kw)
+    Y2 = jnp.maximum(jnp.asarray(Y_dwi) - x1[..., -1:] * jnp.asarray(iso_dwi),
+                     0.0)
+    b2 = jnp.einsum('cas,cms->cma', jnp.asarray(A2T), Y2)
+    L2 = power_iteration_L(jnp.asarray(G2))
+    x2 = nneg_qp_batch(jnp.asarray(G2)[:, None], b2, 0.5, 1e-3,
+                       L=L2[:, None], cd_sweeps=0, **kw)
+    mask = jnp.concatenate([(x2 > 0).astype(jnp.float32),
+                            jnp.ones((C, M, 1), jnp.float32)], -1)
+    x3 = nneg_qp_batch(jnp.asarray(G1)[:, None], jnp.asarray(b1), 0., 0.,
+                       mask=mask, L=L1[:, None], cd_sweeps=0, **kw)
+    x3 = np.asarray(x3)
+    sa = x3.sum(-1) + 1e-16
+    xn = x3[..., :n_wm] / sa[..., None]
+    sw = xn.sum(-1) + 1e-16
+    f1 = (kernels['icvf'] * xn).sum(-1) / sw
+    f2 = ((1 - kernels['icvf']) * xn).sum(-1) / sw
+    k1 = (kernels['kappa'] * xn).sum(-1) / sw
+    ref = np.stack([f1 / (f1 + f2 + 1e-16),
+                    2 / np.pi * np.arctan2(1.0, k1),
+                    x3[..., -1] / sa], -1)
+
+    # fused kernel (interpret mode on CPU)
+    est, x_f = noddi_fused_tiles_pallas(
+        jnp.asarray(G1), jnp.asarray(G2), jnp.asarray(b1),
+        jnp.asarray(Y_dwi), jnp.asarray(A2T), jnp.asarray(iso_dwi),
+        jnp.asarray(kernels['icvf']), jnp.asarray(kernels['kappa']),
+        lam1=0.5, lam2=1e-3, want_x=True, interpret=True, **kw)
+    est = np.asarray(est)
+
+    err = np.abs(est - ref)
+    assert np.median(err) < 1e-4, np.median(err)
+    assert np.percentile(err, 95) < 1e-2
+    # coefficients: marginal support decisions on degenerate problems may
+    # flip between two equally-valid solvers; compare in distribution
+    dx = np.abs(np.asarray(x_f) - x3)
+    assert np.median(dx) < 1e-5
+    assert np.percentile(dx, 99) < 5e-2
