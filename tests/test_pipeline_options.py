@@ -1,0 +1,95 @@
+"""Pipeline preprocessing-option coverage: doDebiasSignal, b0_thr,
+replace_bad_voxels, b0_min_signal."""
+import os
+
+import numpy as np
+import pytest
+
+import amico_tpu
+from amico_tpu.io import nifti
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+
+
+def _subject(root, name, vol, tab):
+    subj = root / name
+    subj.mkdir()
+    np.savetxt(subj / 'DWI.scheme', tab, fmt='%.6f',
+               header='VERSION: BVECTOR', comments='')
+    nifti.save(nifti.Nifti1Image(vol.astype(np.float32)),
+               str(subj / 'DWI.nii.gz'))
+    return subj
+
+
+@pytest.fixture(scope='module')
+def root(tmp_path_factory):
+    d = tmp_path_factory.mktemp('popts')
+    os.environ['AMICO_TPU_HOME'] = str(d / 'home')
+    amico_tpu.set_verbose(0)
+    return d
+
+
+def _tab():
+    g = fibonacci_hemisphere(24)
+    return np.vstack([np.zeros((2, 4)), np.c_[g, np.full(24, 1000.0)],
+                      np.c_[g, np.full(24, 2500.0)]])
+
+
+def test_debias_signal_in_pipeline(root):
+    rng = np.random.RandomState(0)
+    tab = _tab()
+    # Rician-biased signal: magnitude of (true + noise)
+    true = 300 * (0.3 + 0.5 * rng.rand(4, 4, 2, 50))
+    true[..., :2] = 300.0
+    sigma = 15.0
+    vol = np.sqrt((true + sigma * rng.randn(*true.shape)) ** 2
+                  + (sigma * rng.randn(*true.shape)) ** 2)
+    _subject(root, 'deb', vol, tab)
+
+    ev = amico_tpu.Evaluation(str(root), 'deb')
+    ev.set_config('doDebiasSignal', True)
+    ev.set_config('doNormalizeSignal', False)
+    with pytest.raises(amico_tpu.AmicoError):
+        ev.load_data('DWI.nii.gz', 'DWI.scheme')  # SNR not set -> error
+
+    ev2 = amico_tpu.Evaluation(str(root), 'deb')
+    ev2.set_config('doDebiasSignal', True)
+    ev2.set_config('doNormalizeSignal', False)
+    ev2.set_config('DWI-SNR', 300.0 / sigma)
+    ev2.load_data('DWI.nii.gz', 'DWI.scheme')
+    # debiased signal must sit below the biased magnitudes on average
+    assert ev2.niiDWI_img.mean() < vol.mean()
+    assert np.isfinite(ev2.niiDWI_img).all()
+
+
+def test_replace_bad_voxels(root):
+    tab = _tab()
+    vol = 100 * np.ones((3, 3, 2, 50))
+    vol[0, 0, 0, 5] = np.nan
+    vol[1, 1, 1, 7] = np.inf
+    _subject(root, 'bad', vol, tab)
+
+    ev = amico_tpu.Evaluation(str(root), 'bad')
+    with pytest.raises(amico_tpu.AmicoError):
+        ev.load_data('DWI.nii.gz', 'DWI.scheme')
+
+    ev2 = amico_tpu.Evaluation(str(root), 'bad')
+    ev2.load_data('DWI.nii.gz', 'DWI.scheme', replace_bad_voxels=0.0)
+    assert np.isfinite(ev2.niiDWI_img).all()
+
+
+def test_b0_thr_and_min_signal(root):
+    g = fibonacci_hemisphere(24)
+    tab = np.vstack([np.full((2, 4), [1, 0, 0, 5.0]),     # b=5 'b0s'
+                     np.c_[g, np.full(24, 1000.0)]])
+    rng = np.random.RandomState(1)
+    vol = 200 * (0.4 + 0.4 * rng.rand(3, 3, 2, 26))
+    vol[..., :2] = 200.0
+    vol[0, 0, 0, :2] = 0.0          # dead-b0 voxel
+    _subject(root, 'thr', vol, tab)
+
+    ev = amico_tpu.Evaluation(str(root), 'thr')
+    ev.load_data('DWI.nii.gz', 'DWI.scheme', b0_thr=10, b0_min_signal=0.1)
+    assert ev.scheme.b0_count == 2        # b=5 counted as b0 with thr=10
+    # dead-b0 voxel zeroed by b0_min_signal
+    assert ev.niiDWI_img[0, 0, 0].max() == 0.0
+    assert ev.niiDWI_img[1, 1, 1, 0] == pytest.approx(1.0, rel=1e-5)
