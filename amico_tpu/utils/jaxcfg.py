@@ -18,6 +18,11 @@ def enable_compilation_cache() -> None:
         return
     try:
         import jax
+        # CPU executables in the cache may have been compiled by a remote
+        # compile service on a different machine type (SIGILL risk when
+        # loaded here); only cache for TPU backends
+        if jax.default_backend() != 'tpu':
+            return
         from ..ops.sphere import amico_home
         cache_dir = os.path.join(amico_home(), 'jax_cache')
         os.makedirs(cache_dir, exist_ok=True)

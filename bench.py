@@ -14,7 +14,9 @@ SPAMS) is timed on a voxel sample single-threaded and scaled by the host
 core count (the reference fit uses one solver thread per core,
 models.pyx:529-541, BLAS_nthreads=1 core.py:96).
 
-Env knobs: BENCH_VOXELS (default 100000), BENCH_SMALL=1 for a quick run.
+Env knobs: BENCH_VOXELS (default 100000), BENCH_SMALL=1 for a quick run,
+BENCH_ALL=1 to also measure FreeWater / CylinderZeppelinBall / SANDI
+throughputs (BASELINE.md configs 2-4) into the detail dict.
 """
 from __future__ import annotations
 
@@ -104,6 +106,67 @@ def main():
     cpu_voxps_1t = sample / (time.time() - t0)
     cpu_voxps = cpu_voxps_1t * (os.cpu_count() or 1)
 
+    extra = {}
+    if os.environ.get('BENCH_ALL') == '1':
+        import jax.numpy as jnp
+        from amico_tpu import lut as _lut
+        from amico_tpu.models import CylinderZeppelinBall, FreeWater, SANDI
+        from amico_tpu.io.scheme import GAMMA
+
+        def bench_model(name, model, scheme_m, n=50000, direction_free=False):
+            kd = os.path.join(os.environ['AMICO_TPU_HOME'], f'bench_{name}')
+            os.makedirs(kd, exist_ok=True)
+            model.scheme = scheme_m
+            model.set_solver()
+            aux = _lut.load_precomputed_rotation_matrices(12, 500)
+            i_in, i_out = _lut.aux_structures_generate(scheme_m, 12)
+            if not os.path.isfile(os.path.join(kd, 'A_001.npy')):
+                model.generate(kd, aux, i_in, i_out, 500)
+            ridx, Ylm = _lut.aux_structures_resample(scheme_m, 12)
+            K = model.resample(kd, ridx, Ylm, False, 500)
+            rng2 = np.random.RandomState(1)
+            yb = np.abs(rng2.rand(n, scheme_m.nS))
+            Db = rng2.randn(n, 3)
+            Db /= np.linalg.norm(Db, axis=1, keepdims=True)
+
+            class C2:
+                y, DIRs, htable2, KERNELS = yb, Db, htable, K
+
+                def get_config(self, k):
+                    return {'tile_size': 'auto',
+                            'voxels_per_chunk': 131072}.get(k)
+            c2 = C2()
+            c2.htable = htable
+            model.fit(c2)
+            best = float('inf')
+            for _ in range(2):
+                t1 = time.time()
+                model.fit(c2)
+                best = min(best, time.time() - t1)
+            return round(n / best, 1)
+
+        extra['freewater_voxps'] = bench_model('fw', FreeWater(), scheme)
+
+        Delta, delta = 0.035, 0.015
+        from amico_tpu.ops.sphere import fibonacci_hemisphere as fh
+        rows_v1 = [np.array([[0, 0, 0, 0, Delta, delta, Delta + delta]])]
+        for bb in (3000.0, 6000.0):
+            Gv = np.sqrt(bb * 1e6 / (GAMMA ** 2 * delta ** 2 * (Delta - delta / 3)))
+            g30 = fh(30)
+            rows_v1.append(np.c_[g30, np.full(30, Gv), np.full(30, Delta),
+                                 np.full(30, delta), np.full(30, Delta + delta)])
+        scheme_v1 = Scheme(np.vstack(rows_v1))
+        extra['activeax_voxps'] = bench_model('czb', CylinderZeppelinBall(),
+                                              scheme_v1)
+
+        # SANDI: direction-averaged signal (b0 + 2 shells)
+        rows_sa = [np.array([[1, 0, 0, 0, 0, 0, 0]])]
+        for bb in (3000.0, 6000.0):
+            Gv = np.sqrt(bb * 1e6 / (GAMMA ** 2 * delta ** 2 * (Delta - delta / 3)))
+            rows_sa.append(np.array([[1, 0, 0, Gv, Delta, delta, Delta + delta]]))
+        scheme_sa = Scheme(np.vstack(rows_sa))
+        extra['sandi_voxps'] = bench_model('sandi', SANDI(), scheme_sa)
+
     out = {
         'metric': 'voxels/sec NODDI full-dictionary 3-stage fit',
         'value': round(voxps, 1),
@@ -120,6 +183,7 @@ def main():
             'cpu_baseline_voxps_allcores': round(cpu_voxps, 1),
             'cpu_cores': os.cpu_count(),
             'device': str(jax.devices()[0]),
+            **extra,
         },
     }
     print(json.dumps(out))

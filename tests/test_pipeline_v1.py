@@ -1,0 +1,103 @@
+"""Version-1 (STEJSKALTANNER) pipeline e2e: ACTIVEAX through Evaluation,
+plus scl_slope rescale and v1 get_table round-trip."""
+import os
+
+import numpy as np
+import pytest
+
+import amico_tpu
+from amico_tpu.io import nifti
+from amico_tpu.io.scheme import GAMMA, Scheme
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+
+
+def _v1_tab():
+    Delta, delta = 0.035, 0.015
+    rows = [np.array([[0, 0, 0, 0, Delta, delta, Delta + delta]])]
+    for b in (3000.0, 6000.0):
+        g = fibonacci_hemisphere(24)
+        G = np.sqrt(b * 1e6 / (GAMMA ** 2 * delta ** 2 * (Delta - delta / 3)))
+        rows.append(np.c_[g, np.full(24, G), np.full(24, Delta),
+                          np.full(24, delta), np.full(24, Delta + delta)])
+    return np.vstack(rows)
+
+
+def test_activeax_end_to_end(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    tab = _v1_tab()
+    np.savetxt(subj / 'DWI.scheme', tab, fmt='%.6f', header='VERSION: 1',
+               comments='')
+    rng = np.random.RandomState(0)
+    vol = np.abs(250 * (0.3 + 0.5 * rng.rand(4, 4, 2, tab.shape[0]))) \
+        .astype(np.float32)
+    vol[..., 0] = 250.0
+    img = nifti.Nifti1Image(vol)
+    img.header.scl_slope, img.header.scl_inter = 2.0, 10.0  # rescale path
+    nifti.save(img, str(subj / 'DWI.nii.gz'))
+
+    ev = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    # scl rescale applied (reference core.py:146-150)
+    assert ev.scheme.version == 1
+    assert abs(ev.niiDWI_img.max()) > 0  # loaded + rescaled + normalized
+
+    ev.set_model('CylinderZeppelinBall')
+    ev.model.set(Rs=np.concatenate(([0.01], np.linspace(0.5, 8.0, 6))) * 1e-6)
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+    ev.save_results()
+    out = tmp_path / 's' / 'AMICO' / 'CylinderZeppelinBall'
+    for f in ['fit_v.nii.gz', 'fit_a.nii.gz', 'fit_d.nii.gz', 'fit_dir.nii.gz']:
+        assert (out / f).exists(), f
+    v = nifti.load(str(out / 'fit_v.nii.gz')).get_fdata()
+    a = nifti.load(str(out / 'fit_a.nii.gz')).get_fdata()
+    assert (v >= 0).all() and (v <= 1).all()
+    assert (a >= 0).all() and (a < 20).all()
+
+
+def test_v1_get_table_roundtrip():
+    s = Scheme(_v1_tab())
+    t = s.get_table()
+    assert t.shape[1] == 7
+    s2 = Scheme(t)
+    np.testing.assert_allclose(s2.b, s.b, rtol=1e-12)
+    assert len(s2.shells) == len(s.shells)
+    for sh, sh2 in zip(s.shells, s2.shells):
+        assert sh2['G'] == pytest.approx(sh['G'])
+        assert sh2['delta'] == pytest.approx(sh['delta'])
+
+
+def test_stick_zeppelin_ball_generate_resample(tmp_path):
+    """SZB is kernel-generation only (models.pyx:370-371); check the
+    wmr/wmh/iso kernel shapes and fit raising."""
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    from amico_tpu import lut as _lut
+    from amico_tpu.models import StickZeppelinBall, VolumeFractions
+    g = fibonacci_hemisphere(20)
+    scheme = Scheme(np.vstack([np.zeros((1, 4)), np.c_[g, np.full(20, 1000.0)]]))
+    model = StickZeppelinBall()
+    model.scheme = scheme
+    out = tmp_path / 'szb'
+    out.mkdir()
+    aux = _lut.load_precomputed_rotation_matrices(12, 500)
+    i_in, i_out = _lut.aux_structures_generate(scheme, 12)
+    model.generate(str(out), aux, i_in, i_out, 500)
+    ridx, Ylm = _lut.aux_structures_resample(scheme, 12)
+    K = model.resample(str(out), ridx, Ylm, False, 500)
+    assert K['wmr'].shape == (1, 500, 21)
+    assert K['wmh'].shape == (4, 500, 21)
+    assert K['iso'].shape == (1, 21)
+    with pytest.raises(amico_tpu.AmicoError):
+        model.fit(None)
+
+    vf = VolumeFractions()
+    vf.scheme = scheme
+    Kv = vf.resample('', ridx, Ylm, False, 500)
+    assert (Kv['wmr'] == 1).all()
+    with pytest.raises(amico_tpu.AmicoError):
+        vf.fit(None)
