@@ -1,0 +1,35 @@
+"""Golden regression: NODDI maps on a frozen synthetic subject must stay
+within solver-gap tolerance of the recorded fixture (guards refactors;
+regenerate with the script in the fixture's git history if semantics
+intentionally change)."""
+import os
+
+import numpy as np
+
+from amico_tpu.testing import demo_noddi, demo_scheme, demo_voxels
+
+
+def test_noddi_golden(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    scheme = demo_scheme()
+    model, kernels, htable = demo_noddi(scheme, small=True,
+                                        kernels_dir=str(tmp_path / 'k'))
+    y, DIRs, _ = demo_voxels(256, kernels, htable, seed=42)
+
+    class Ctx:
+        def __init__(s):
+            s.y, s.DIRs, s.htable, s.KERNELS = y, DIRs, htable, kernels
+
+        def get_config(s, k):
+            return {'tile_size': 32, 'voxels_per_chunk': 8192}.get(k)
+
+    res = model.fit(Ctx())
+    fixture = np.load(os.path.join(os.path.dirname(__file__), 'data',
+                                   'golden_noddi_small.npz'))
+    ref = fixture['estimates']
+    err = np.abs(res['estimates'] - ref)
+    # direction sets / kernels are deterministic; differences can only come
+    # from solver/arithmetic changes
+    assert np.median(err) < 1e-4, np.median(err)
+    assert np.percentile(err, 95) < 1e-2
+    assert np.mean(err) < 2e-3
