@@ -1,0 +1,89 @@
+"""Edge cases: empty mask, single-voxel volume, all-b0 guard."""
+import os
+
+import numpy as np
+import pytest
+
+import amico_tpu
+from amico_tpu.io import nifti
+from amico_tpu.models.engine import build_tile_plan, tile_voxels, untile_voxels
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+
+
+def test_empty_tile_plan():
+    plan = build_tile_plan(np.zeros(0, np.int64), 32)
+    assert plan.n_voxels == 0
+    assert plan.n_tiles >= 1            # padded to tiles_multiple
+    y = np.zeros((0, 5), np.float32)
+    tiles = tile_voxels(plan, y)
+    assert tiles.shape[0] == plan.n_tiles
+    back = untile_voxels(plan, tiles)
+    assert back.shape == (0, 5)
+
+
+def test_empty_mask_pipeline(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    g = fibonacci_hemisphere(24)
+    tab = np.vstack([np.zeros((2, 4)), np.c_[g, np.full(24, 1000.0)],
+                     np.c_[g, np.full(24, 2500.0)]])
+    np.savetxt(subj / 'DWI.scheme', tab, fmt='%.6f',
+               header='VERSION: BVECTOR', comments='')
+    rng = np.random.RandomState(0)
+    vol = np.abs(300 * (0.3 + 0.5 * rng.rand(3, 3, 2, 50))).astype(np.float32)
+    vol[..., :2] = 300.0
+    nifti.save(nifti.Nifti1Image(vol), str(subj / 'DWI.nii.gz'))
+    nifti.save(nifti.Nifti1Image(np.zeros((3, 3, 2), np.uint8)),
+               str(subj / 'mask.nii.gz'))
+
+    ev = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme', mask_filename='mask.nii.gz')
+    ev.set_model('FreeWater')
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+    assert (ev.RESULTS['MAPs'] == 0).all()
+    ev.save_results()
+
+
+def test_single_voxel(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's1'
+    subj.mkdir()
+    g = fibonacci_hemisphere(24)
+    tab = np.vstack([np.zeros((1, 4)), np.c_[g, np.full(24, 1000.0)]])
+    np.savetxt(subj / 'DWI.scheme', tab, fmt='%.6f',
+               header='VERSION: BVECTOR', comments='')
+    vol = np.abs(200 * (0.4 + 0.3 * np.random.RandomState(1).rand(1, 1, 1, 25)))
+    vol[..., 0] = 200.0
+    nifti.save(nifti.Nifti1Image(vol.astype(np.float32)),
+               str(subj / 'DWI.nii.gz'))
+    ev = amico_tpu.Evaluation(str(tmp_path), 's1')
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    ev.set_model('FreeWater')
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+    assert ev.RESULTS['MAPs'].shape == (1, 1, 1, 2)
+    assert np.isfinite(ev.RESULTS['MAPs']).all()
+
+
+def test_no_b0_normalize_guard(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's2'
+    subj.mkdir()
+    g = fibonacci_hemisphere(10)
+    tab = np.c_[g, np.full(10, 1000.0)]      # no b0 at all
+    np.savetxt(subj / 'DWI.scheme', tab, fmt='%.6f',
+               header='VERSION: BVECTOR', comments='')
+    vol = np.ones((2, 2, 1, 10), np.float32) * 50
+    nifti.save(nifti.Nifti1Image(vol), str(subj / 'DWI.nii.gz'))
+    ev = amico_tpu.Evaluation(str(tmp_path), 's2')
+    with pytest.raises(amico_tpu.AmicoError):
+        ev.load_data('DWI.nii.gz', 'DWI.scheme')  # 'No b0 volume to normalize'
