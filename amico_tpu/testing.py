@@ -64,9 +64,13 @@ def demo_voxels(n: int, kernels: dict, htable: np.ndarray, seed: int = 0):
     W = rng.rand(n, n_wm + 1) * (rng.rand(n, n_wm + 1) < 0.3)
     W[np.arange(n), rng.randint(n_wm + 1, size=n)] += 0.5
     W /= np.maximum(W.sum(1, keepdims=True), 1e-9)
+    K = np.transpose(kernels['wm'], (1, 2, 0))          # (ndirs, nS, n_wm)
     y = np.empty((n, kernels['wm'].shape[2]), np.float64)
-    for i in range(n):
-        A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
-        y[i] = A @ W[i]
+    step = 8192
+    for i in range(0, n, step):
+        sl = slice(i, min(i + step, n))
+        Asl = K[lut_idx[sl]]                            # (B, nS, n_wm)
+        y[sl] = np.einsum('bsa,ba->bs', Asl, W[sl, :n_wm]) \
+            + W[sl, n_wm:] * kernels['iso'][None, :]
     y = np.clip(y + 0.002 * rng.randn(*y.shape), 0, None)
     return y, DIRs, lut_idx
