@@ -103,6 +103,24 @@ class BaseModel(ABC):
             'compute_nrmse': bool(evaluation.get_config('doComputeNRMSE')),
         }
 
+    def _set_solver_common(self, lambda1, lambda2, fista_iters=None,
+                           cd_sweeps=None, refine_rounds=None, cg_iters=None,
+                           backend=None):
+        """Shared body for the per-model set_solver overrides (the
+        signatures stay explicit per model for the reference's
+        signature-filtered dispatch, core.py:301-325)."""
+        BaseModel.set_solver(self)
+        self.solver_params['lambda1'] = lambda1
+        self.solver_params['lambda2'] = lambda2
+        for key, val in (('fista_iters', fista_iters),
+                         ('cd_sweeps', cd_sweeps),
+                         ('refine_rounds', refine_rounds),
+                         ('cg_iters', cg_iters)):
+            if val is not None:
+                self.solver_params[key] = int(val)
+        if backend is not None:
+            self.solver_params['backend'] = str(backend)
+
     def _solver_kwargs(self) -> dict:
         sp = getattr(self, 'solver_params', {})
         return {
@@ -207,6 +225,8 @@ class BaseModel(ABC):
                             out_tiles[k][:done_until] = ck[k][:done_until]
 
         pending = []
+        n_done = 0
+        ckpt_every = int(evaluation.get_config('checkpoint_every') or 4)
         for start, stop, pad in iter_tile_chunks(plan.n_tiles, chunk_tiles):
             if stop <= done_until:
                 continue
@@ -228,7 +248,10 @@ class BaseModel(ABC):
                 s0, s1, r0 = pending.pop(0)
                 for k, arr in r0.items():
                     out_tiles[k][s0:s1] = np.asarray(arr, np.float32)[:s1 - s0]
-                if ckpt_path:
+                # full-rewrite npz checkpoints are O(total output) each, so
+                # throttle to every few chunks (resume granularity tradeoff)
+                n_done += 1
+                if ckpt_path and n_done % ckpt_every == 0:
                     np.savez(ckpt_path + '.tmp', n_tiles=plan.n_tiles,
                              tile_size=tile_size, done_until=s1, **out_tiles)
                     os.replace(ckpt_path + '.tmp.npz', ckpt_path)

@@ -52,19 +52,8 @@ class CylinderZeppelinBall(BaseModel):
                    cd_sweeps=None, refine_rounds=None, cg_iters=None,
                    backend=None):
         """Defaults per reference models.pyx:439-442."""
-        super().set_solver()
-        self.solver_params['lambda1'] = lambda1
-        self.solver_params['lambda2'] = lambda2
-        if fista_iters is not None:
-            self.solver_params['fista_iters'] = int(fista_iters)
-        if cd_sweeps is not None:
-            self.solver_params['cd_sweeps'] = int(cd_sweeps)
-        if refine_rounds is not None:
-            self.solver_params['refine_rounds'] = int(refine_rounds)
-        if cg_iters is not None:
-            self.solver_params['cg_iters'] = int(cg_iters)
-        if backend is not None:
-            self.solver_params['backend'] = str(backend)
+        self._set_solver_common(lambda1, lambda2, fista_iters, cd_sweeps,
+                                refine_rounds, cg_iters, backend)
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Reference models.pyx:445-479."""
@@ -150,9 +139,9 @@ class CylinderZeppelinBall(BaseModel):
         import jax
 
         Rs = jnp.asarray(self.Rs, jnp.float32)
-        prep_key = (id(kernels['wmr']),)
+        prep_key = (kernels['wmr'],)  # held by reference; compared with `is`
         cached = getattr(self, '_prep_cache', None)
-        if cached is not None and cached[0] == prep_key:
+        if cached is not None and cached[0][0] is prep_key[0]:
             A_all, G_all, L_all = cached[1]
         else:
             K_wm = jnp.asarray(np.ascontiguousarray(np.transpose(

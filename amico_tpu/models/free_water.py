@@ -64,19 +64,8 @@ class FreeWater(BaseModel):
         """Defaults per reference models.pyx:1077-1080.  (The reference notes
         'need more regul for mouse data' lambda2=0.25 but the assignment is
         dead code, models.pyx:1082-1085 -- we keep the live behavior.)"""
-        super().set_solver()
-        self.solver_params['lambda1'] = lambda1
-        self.solver_params['lambda2'] = lambda2
-        if fista_iters is not None:
-            self.solver_params['fista_iters'] = int(fista_iters)
-        if cd_sweeps is not None:
-            self.solver_params['cd_sweeps'] = int(cd_sweeps)
-        if refine_rounds is not None:
-            self.solver_params['refine_rounds'] = int(refine_rounds)
-        if cg_iters is not None:
-            self.solver_params['cg_iters'] = int(cg_iters)
-        if backend is not None:
-            self.solver_params['backend'] = str(backend)
+        self._set_solver_common(lambda1, lambda2, fista_iters, cd_sweeps,
+                                refine_rounds, cg_iters, backend)
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Reference models.pyx:1088-1110."""
@@ -147,9 +136,9 @@ class FreeWater(BaseModel):
 
         import jax
 
-        prep_key = (id(kernels['D']),)
+        prep_key = (kernels['D'],)   # held by reference; compared with `is`
         cached = getattr(self, '_prep_cache', None)
-        if cached is not None and cached[0] == prep_key:
+        if cached is not None and cached[0][0] is prep_key[0]:
             A_all, G_all, L_all = cached[1]
         else:
             K_D = jnp.asarray(np.ascontiguousarray(

@@ -65,19 +65,8 @@ class NODDI(BaseModel):
                    cd_sweeps=None, refine_rounds=None, cg_iters=None,
                    backend=None):
         """Defaults per reference models.pyx:721-724."""
-        super().set_solver()
-        self.solver_params['lambda1'] = lambda1
-        self.solver_params['lambda2'] = lambda2
-        if fista_iters is not None:
-            self.solver_params['fista_iters'] = int(fista_iters)
-        if cd_sweeps is not None:
-            self.solver_params['cd_sweeps'] = int(cd_sweeps)
-        if refine_rounds is not None:
-            self.solver_params['refine_rounds'] = int(refine_rounds)
-        if cg_iters is not None:
-            self.solver_params['cg_iters'] = int(cg_iters)
-        if backend is not None:
-            self.solver_params['backend'] = str(backend)
+        self._set_solver_common(lambda1, lambda2, fista_iters, cd_sweeps,
+                                refine_rounds, cg_iters, backend)
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Coupled IC+EC atoms over the (IC_OD, IC_VF) grid + isotropic atom
@@ -175,9 +164,12 @@ class NODDI(BaseModel):
         # models.pyx:905-908); single compiled dispatch + no host re-uploads
         # -- both eager op latency and wire transfers dominate on
         # tunneled/remote TPU backends
-        prep_key = (id(kernels['wm']), is_exvivo, single_b0)
+        # NB: cache holds a reference to the keyed array and compares with
+        # `is` -- id() alone can be recycled after garbage collection
+        prep_key = (kernels['wm'], is_exvivo, single_b0)
         cached = getattr(self, '_prep_cache', None)
-        if cached is not None and cached[0] == prep_key:
+        if cached is not None and cached[0][0] is prep_key[0] \
+                and cached[0][1:] == prep_key[1:]:
             (A_all, G1_all, L1_all, G2_all, L2_all,
              K_iso, norms, icvf, kappa, rows_dwi_j) = cached[1]
         else:

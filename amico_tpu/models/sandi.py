@@ -54,19 +54,8 @@ class SANDI(BaseModel):
                    cd_sweeps=None, refine_rounds=None, cg_iters=None,
                    backend=None):
         """Defaults per reference models.pyx:1405-1408."""
-        super().set_solver()
-        self.solver_params['lambda1'] = lambda1
-        self.solver_params['lambda2'] = lambda2
-        if fista_iters is not None:
-            self.solver_params['fista_iters'] = int(fista_iters)
-        if cd_sweeps is not None:
-            self.solver_params['cd_sweeps'] = int(cd_sweeps)
-        if refine_rounds is not None:
-            self.solver_params['refine_rounds'] = int(refine_rounds)
-        if cg_iters is not None:
-            self.solver_params['cg_iters'] = int(cg_iters)
-        if backend is not None:
-            self.solver_params['backend'] = str(backend)
+        self._set_solver_common(lambda1, lambda2, fista_iters, cd_sweeps,
+                                refine_rounds, cg_iters, backend)
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Reference models.pyx:1411-1443; all atoms treated isotropic."""

@@ -1,26 +1,30 @@
-"""Pallas TPU kernel: per-tile non-negative QP solver, VMEM-resident.
+"""Pallas TPU kernels: per-tile non-negative QP solvers, VMEM-resident.
 
 The XLA solver path (ops.solvers) re-reads the tile Gram matrix and the
-iterate arrays from HBM on every FISTA/CG matvec and rewrites the full
-gradient cache on every CD coordinate step -- bandwidth-bound.  This kernel
-runs the *entire* solve (FISTA warm start + coordinate-descent sweeps +
-active-set polish rounds with masked-CG subproblem solves, identical math
-to ops.solvers.nneg_qp_batch) for one voxel tile per grid step with
+iterate arrays from HBM on every FISTA/CG matvec -- bandwidth-bound.  These
+kernels run the *entire* solve (FISTA warm start + active-set polish rounds
+with masked-CG subproblem solves, identical math to
+ops.solvers.nneg_qp_batch) for one voxel tile per grid step with
 
-    G (n x n), b/x/q/mask (n x M)
+    G (n x n), b/x/mask (n x M)
 
 held in VMEM throughout: HBM traffic drops to one read of (G, b, mask) and
 one write of x per tile, and the matvecs run back-to-back on the MXU.
 
-The coordinate-descent phase is intentionally absent here: Mosaic has no
-dynamic slicing of kernel values, and with the active-set polish CD adds
-no accuracy (see the iteration-config study in the repo history) -- the
-``cd_sweeps`` argument is accepted and ignored.
+The coordinate-descent phase of the XLA path is intentionally absent here:
+Mosaic has no dynamic slicing of kernel values, and with the active-set
+polish CD adds no accuracy (see the iteration-config study in the repo
+history) -- the ``cd_sweeps`` argument is accepted and ignored.
 
 Layout: coefficients on the sublane axis (n padded to a multiple of 8),
-voxels on the lane axis (M multiple of 128); matvec = dot(G, X) with
-preferred f32 output and HIGHEST precision (bf16 passes diverge on
+voxels on the lane axis (M ideally a multiple of 128); matvec = dot(G, X)
+with preferred f32 output and HIGHEST precision (bf16 passes diverge on
 cond ~ 1e8 dictionaries, see ops.solvers._mv).
+
+Two kernels share one solver body (:func:`_build_as_solve`):
+* :func:`nneg_qp_tiles_pallas` -- generic single QP per tile;
+* :func:`noddi_fused_tiles_pallas` -- all three NODDI stages + inter-stage
+  plumbing fused into one grid step, emitting the maps directly.
 """
 from __future__ import annotations
 
@@ -38,17 +42,124 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _dot_g(Gm, X):
+    return jax.lax.dot_general(Gm, X, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_HI)
+
+
+def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
+                    cg_iters: int, inner_passes: int):
+    """Build the shared in-kernel solver: FISTA (in-kernel power-iteration
+    Lipschitz estimate, adaptive restart) followed by Lawson-Hanson-style
+    active-set rounds with masked-CG subproblem solves.
+
+    Returns ``as_solve(G, b, l1, l2, cmask) -> x`` operating on the
+    (n_padded, M) sublane-major layout; ``cmask`` pins padded/masked
+    coefficients to zero.  All constants are Python floats (jnp constants
+    defined outside the kernel body would become captured tracers).
+    """
+    tol = 3e-6
+    big = 3.0e38
+
+    def as_solve(G, b, l1, l2, cmask):
+        npad_l = G.shape[0]
+
+        def powb(_, v):
+            w = _dot_g(G, v)
+            return w / (jnp.sqrt(jnp.sum(w * w)) + 1e-30)
+
+        v = jax.lax.fori_loop(0, 10, powb, jnp.ones((npad_l, 1), jnp.float32))
+        L = jnp.sum(v * _dot_g(G, v)) * 1.01 + 1e-30
+        step = 1.0 / (L + l2 + 1e-30)
+        bm = b * cmask
+
+        def prox(z):
+            return jnp.maximum(z, 0.0) * cmask
+
+        def fista_body(_, s):
+            x, z, t = s
+            grad = _dot_g(G, z) - bm + l2 * z
+            x_new = prox(z - step * (grad + l1))
+            restart = jnp.sum((z - x_new) * (x_new - x), axis=0,
+                              keepdims=True) > 0.0
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            t_eff = jnp.where(restart, 1.0, t_new)
+            beta = jnp.where(restart, 0.0, (t - 1.0) / t_new)
+            return x_new, x_new + beta * (x_new - x), t_eff
+
+        x0 = jnp.zeros((npad_l, M), jnp.float32)
+        t0 = jnp.ones((1, M), jnp.float32)
+        x, _, _ = jax.lax.fori_loop(0, fista_iters, fista_body, (x0, x0, t0))
+        if refine_rounds <= 0:
+            return x
+
+        b_eff = (bm - l1) * cmask
+        scale = jnp.max(jnp.abs(b_eff), axis=0, keepdims=True) + 1e-30
+
+        def cg(m, z0):
+            def Aop(p):
+                return (_dot_g(G, p * m) + l2 * p) * m
+
+            z = z0 * m
+            r = (b_eff * m) - Aop(z)
+            p = r
+            rs = jnp.sum(r * r, axis=0, keepdims=True)
+
+            def cg_body(_, carry):
+                z, r, p, rs = carry
+                Ap = Aop(p)
+                denom = jnp.sum(p * Ap, axis=0, keepdims=True)
+                # guard: f32 Grams can carry tiny negative eigenvalues
+                safe = denom > 1e-30
+                alpha = jnp.where(safe, rs / jnp.where(safe, denom, 1.0), 0.0)
+                z = z + alpha * p
+                r = r - alpha * Ap
+                rs_new = jnp.sum(r * r, axis=0, keepdims=True)
+                beta = jnp.where(safe, rs_new / (rs + 1e-30), 0.0)
+                p = r + beta * p
+                return z, r, p, rs_new
+
+            z, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (z, r, p, rs))
+            return jnp.where(jnp.isfinite(z), z, 0.0)
+
+        def inner_solve(x, m):
+            z = cg(m, x)
+            neg = (z <= 0.0) & (m > 0.0)
+            ratio = jnp.where(neg, x / (x - z + 1e-30), big)
+            alpha = jnp.clip(jnp.min(ratio, axis=0, keepdims=True), 0.0, 1.0)
+            x = (x + alpha * (z - x)) * m
+            m = m * (x > tol * scale).astype(jnp.float32)
+            return x * m, m
+
+        def as_round(_, carry):
+            x, m = carry
+            for _r in range(inner_passes):
+                x, m = inner_solve(x, m)
+            w = b_eff - _dot_g(G, x) - l2 * x
+            allowed = (1.0 - m) * cmask
+            w_cand = jnp.where(allowed > 0.0, w, -big)
+            wmax = jnp.max(w_cand, axis=0, keepdims=True)
+            jstar = jnp.argmax(w_cand, axis=0)[None, :]
+            add = (wmax > tol * scale).astype(jnp.float32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (npad_l, M), 0)
+            onehot = (rows == jstar).astype(jnp.float32)
+            m = jnp.minimum(m + add * onehot, 1.0)
+            return x, m
+
+        m0 = (x > 0.0).astype(jnp.float32) * cmask
+        x, m = jax.lax.fori_loop(0, refine_rounds, as_round, (x, m0))
+        x, m = inner_solve(x, m)
+        return jnp.maximum(x, 0.0)
+
+    return as_solve
+
+
 def _make_kernel(n: int, npad: int, M: int, lam1: float, lam2: float,
                  fista_iters: int, cd_sweeps: int, refine_rounds: int,
                  cg_iters: int, has_mask: bool, inner_passes: int = 2):
-    from jax.experimental import pallas as pl  # noqa: F401
-
-    tol = 3e-6
-
-    def dot_g(G, X):
-        return jax.lax.dot_general(G, X, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=_HI)
+    as_solve = _build_as_solve(M, fista_iters, refine_rounds, cg_iters,
+                               inner_passes)
 
     def kernel(*refs):
         if has_mask:
@@ -57,105 +168,10 @@ def _make_kernel(n: int, npad: int, M: int, lam1: float, lam2: float,
             G_ref, B_ref, X_ref = refs
         G = G_ref[0]                    # (npad, npad)
         b = B_ref[0]                    # (npad, M)
-
-        # Lipschitz constant by in-kernel power iteration on the VMEM G
-        def pow_body(_, v):
-            w = dot_g(G, v)
-            return w / (jnp.sqrt(jnp.sum(w * w)) + 1e-30)
-
-        v = jax.lax.fori_loop(
-            0, 10, pow_body, jnp.ones((npad, 1), jnp.float32))
-        L = jnp.sum(v * dot_g(G, v)) * 1.01 + 1e-30
-        # valid-coefficient mask on the sublane axis
         pad = (jax.lax.broadcasted_iota(jnp.int32, (npad, M), 0) < n
                ).astype(jnp.float32)
         cmask = mask_ref[0] * pad if has_mask else pad
-        b = b * pad
-
-        step = 1.0 / (L + lam2 + 1e-30)
-
-        def prox(v):
-            return jnp.maximum(v, 0.0) * cmask
-
-        # ---------------- FISTA with adaptive restart ----------------
-        def fista_body(_, s):
-            x, z, t = s
-            grad = dot_g(G, z) - b + lam2 * z
-            x_new = prox(z - step * (grad + lam1))
-            restart = jnp.sum((z - x_new) * (x_new - x), axis=0,
-                              keepdims=True) > 0.0
-            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-            t_eff = jnp.where(restart, 1.0, t_new)
-            beta = jnp.where(restart, 0.0, (t - 1.0) / t_new)
-            z_new = x_new + beta * (x_new - x)
-            return x_new, z_new, t_eff
-
-        x0 = jnp.zeros((npad, M), jnp.float32)
-        t0 = jnp.ones((1, M), jnp.float32)
-        x, _, _ = jax.lax.fori_loop(0, fista_iters, fista_body, (x0, x0, t0))
-
-        # ---------------- active-set polish ----------------
-        if refine_rounds > 0:
-            b_eff = (b - lam1) * pad
-            scale = jnp.max(jnp.abs(b_eff), axis=0, keepdims=True) + 1e-30
-            big = jnp.float32(3.0e38)
-
-            def cg(m, z0):
-                def Aop(p):
-                    return (dot_g(G, p * m) + lam2 * p) * m
-
-                z = z0 * m
-                r = (b_eff * m) - Aop(z)
-                p = r
-                rs = jnp.sum(r * r, axis=0, keepdims=True)
-
-                def cg_body(_, carry):
-                    z, r, p, rs = carry
-                    Ap = Aop(p)
-                    denom = jnp.sum(p * Ap, axis=0, keepdims=True)
-                    safe = denom > 1e-30
-                    alpha = jnp.where(safe, rs / jnp.where(safe, denom, 1.0), 0.0)
-                    z = z + alpha * p
-                    r = r - alpha * Ap
-                    rs_new = jnp.sum(r * r, axis=0, keepdims=True)
-                    beta = jnp.where(safe, rs_new / (rs + 1e-30), 0.0)
-                    p = r + beta * p
-                    return z, r, p, rs_new
-
-                z, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body,
-                                               (z, r, p, rs))
-                return jnp.where(jnp.isfinite(z), z, 0.0)
-
-            def inner_solve(x, m):
-                z = cg(m, x)
-                neg = (z <= 0.0) & (m > 0.0)
-                ratio = jnp.where(neg, x / (x - z + 1e-30), big)
-                alpha = jnp.clip(jnp.min(ratio, axis=0, keepdims=True), 0.0, 1.0)
-                x = (x + alpha * (z - x)) * m
-                m = m * (x > tol * scale).astype(jnp.float32)
-                return x * m, m
-
-            def as_round(_, carry):
-                x, m = carry
-                for _r in range(inner_passes):
-                    x, m = inner_solve(x, m)
-                w = b_eff - dot_g(G, x) - lam2 * x
-                allowed = (1.0 - m) * cmask
-                w_cand = jnp.where(allowed > 0.0, w, -big)
-                wmax = jnp.max(w_cand, axis=0, keepdims=True)
-                jstar = jnp.argmax(w_cand, axis=0)[None, :]       # (1, M)
-                add = (wmax > tol * scale).astype(jnp.float32)
-                rows = jax.lax.broadcasted_iota(jnp.int32, (npad, M), 0)
-                onehot = (rows == jstar).astype(jnp.float32)
-                m = jnp.minimum(m + add * onehot, 1.0)
-                return x, m
-
-            m0 = (x > 0.0).astype(jnp.float32) * cmask
-            x, m = jax.lax.fori_loop(0, refine_rounds, as_round, (x, m0))
-            x, m = inner_solve(x, m)
-            x = jnp.maximum(x, 0.0)
-
-        X_ref[0] = x
+        X_ref[0] = as_solve(G, b * pad, lam1, lam2, cmask)
 
     return kernel
 
@@ -171,8 +187,8 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
     """Per-tile QP solve: G (C, n, n), b (C, M, n), L (C,) -> x (C, M, n).
 
     Same problem and same math as ops.solvers.nneg_qp_batch with a per-tile
-    shared Gram matrix; mask optional (C, M, n).  M must be a multiple of
-    128 for the lane layout (the tile engine's default tile_size).
+    shared Gram matrix; mask optional (C, M, n).  ``L`` is accepted for API
+    symmetry and ignored (the Lipschitz constant is estimated in-kernel).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -226,102 +242,8 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
 def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                        lam1, lam2, fista_iters, refine_rounds, cg_iters,
                        inner_passes, want_x):
-    from jax.experimental import pallas as pl  # noqa: F401
-
-    tol = 3e-6
-    big = 3.0e38  # python float: jnp constants here would be captured tracers
-
-    def dot_g(Gm, X):
-        return jax.lax.dot_general(Gm, X, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=_HI)
-
-    def as_solve(G, b, npad_l, n_l, l1, l2, cmask):
-        """FISTA + active-set polish (same math as ops.solvers)."""
-        def powb(_, v):
-            w = dot_g(G, v)
-            return w / (jnp.sqrt(jnp.sum(w * w)) + 1e-30)
-
-        v = jax.lax.fori_loop(0, 10, powb, jnp.ones((npad_l, 1), jnp.float32))
-        L = jnp.sum(v * dot_g(G, v)) * 1.01 + 1e-30
-        step = 1.0 / (L + l2 + 1e-30)
-        bm = b * cmask
-
-        def prox(z):
-            return jnp.maximum(z, 0.0) * cmask
-
-        def fista_body(_, s):
-            x, z, t = s
-            grad = dot_g(G, z) - bm + l2 * z
-            x_new = prox(z - step * (grad + l1))
-            restart = jnp.sum((z - x_new) * (x_new - x), axis=0,
-                              keepdims=True) > 0.0
-            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-            t_eff = jnp.where(restart, 1.0, t_new)
-            beta = jnp.where(restart, 0.0, (t - 1.0) / t_new)
-            return x_new, x_new + beta * (x_new - x), t_eff
-
-        x0 = jnp.zeros((npad_l, M), jnp.float32)
-        t0 = jnp.ones((1, M), jnp.float32)
-        x, _, _ = jax.lax.fori_loop(0, fista_iters, fista_body, (x0, x0, t0))
-
-        b_eff = (bm - l1) * cmask
-        scale = jnp.max(jnp.abs(b_eff), axis=0, keepdims=True) + 1e-30
-
-        def cg(m, z0):
-            def Aop(p):
-                return (dot_g(G, p * m) + l2 * p) * m
-
-            z = z0 * m
-            r = (b_eff * m) - Aop(z)
-            p = r
-            rs = jnp.sum(r * r, axis=0, keepdims=True)
-
-            def cg_body_fixed(i, carry):
-                z, r, p, rs = carry
-                Ap = Aop(p)
-                denom = jnp.sum(p * Ap, axis=0, keepdims=True)
-                safe = denom > 1e-30
-                alpha = jnp.where(safe, rs / jnp.where(safe, denom, 1.0), 0.0)
-                z = z + alpha * p
-                r = r - alpha * Ap
-                rs_new = jnp.sum(r * r, axis=0, keepdims=True)
-                beta = jnp.where(safe, rs_new / (rs + 1e-30), 0.0)
-                p = r + beta * p
-                return z, r, p, rs_new
-
-            z, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body_fixed,
-                                           (z, r, p, rs))
-            return jnp.where(jnp.isfinite(z), z, 0.0)
-
-        def inner_solve(x, m):
-            z = cg(m, x)
-            neg = (z <= 0.0) & (m > 0.0)
-            ratio = jnp.where(neg, x / (x - z + 1e-30), big)
-            alpha = jnp.clip(jnp.min(ratio, axis=0, keepdims=True), 0.0, 1.0)
-            x = (x + alpha * (z - x)) * m
-            m = m * (x > tol * scale).astype(jnp.float32)
-            return x * m, m
-
-        def as_round(_, carry):
-            x, m = carry
-            for _r in range(inner_passes):
-                x, m = inner_solve(x, m)
-            w = b_eff - dot_g(G, x) - l2 * x
-            allowed = (1.0 - m) * cmask
-            w_cand = jnp.where(allowed > 0.0, w, -big)
-            wmax = jnp.max(w_cand, axis=0, keepdims=True)
-            jstar = jnp.argmax(w_cand, axis=0)[None, :]
-            add = (wmax > tol * scale).astype(jnp.float32)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (npad_l, M), 0)
-            onehot = (rows == jstar).astype(jnp.float32)
-            m = jnp.minimum(m + add * onehot, 1.0)
-            return x, m
-
-        m0 = (x > 0.0).astype(jnp.float32) * cmask
-        x, m = jax.lax.fori_loop(0, refine_rounds, as_round, (x, m0))
-        x, m = inner_solve(x, m)
-        return jnp.maximum(x, 0.0)
+    as_solve = _build_as_solve(M, fista_iters, refine_rounds, cg_iters,
+                               inner_passes)
 
     def kernel(G1_ref, G2_ref, B1_ref, Ydwi_ref, A2T_ref, isod_ref,
                icvf_ref, kappa_ref, *out_refs):
@@ -340,13 +262,13 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                 < n_wm).astype(jnp.float32)
 
         # stage 1: NNLS on the full dictionary (models.pyx:911)
-        x1 = as_solve(G1, b1, npad, n_atoms, 0.0, 0.0, pad1)
+        x1 = as_solve(G1, b1 * pad1, 0.0, 0.0, pad1)
         x_iso = x1[n_atoms - 1:n_atoms, :]
 
         # stage 2 prep (models.pyx:914-926)
         Y2 = jnp.maximum(Y_dwi - iso_dwi * x_iso, 0.0)
-        b2 = dot_g(A2T, Y2)            # (n2pad, M)
-        x2 = as_solve(G2, b2, n2pad, n_wm, lam1, lam2, pad2)
+        b2 = _dot_g(A2T, Y2)           # (n2pad, M)
+        x2 = as_solve(G2, b2 * pad2, lam1, lam2, pad2)
 
         # stage 3: debias on positive support + forced iso (models.pyx:928-942)
         sup2 = (x2 > 0.0).astype(jnp.float32) * pad2
@@ -358,7 +280,7 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                             jnp.pad(sup2, ((0, npad - n2pad), (0, 0)))[:npad],
                             0.0)
         mask3 = jnp.minimum(wm_mask + iso_row, 1.0) * pad1
-        x = as_solve(G1, b1, npad, n_atoms, 0.0, 0.0, mask3)
+        x = as_solve(G1, b1 * pad1, 0.0, 0.0, mask3)
 
         # estimates (models.pyx:944-967)
         sum_atoms = jnp.sum(x, axis=0, keepdims=True) + 1e-16
