@@ -1,0 +1,77 @@
+"""Alternate ndirs values: 1000-direction LUT fit, and the special
+ndirs=1 / ndirs=32761 direction sets (reference lut.pyx:18-25)."""
+import os
+
+import numpy as np
+import pytest
+
+from amico_tpu import lut as _lut
+from amico_tpu.io.scheme import Scheme
+from amico_tpu.models import FreeWater
+from amico_tpu.ops import sphere
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from tests.test_models import EvalStub
+
+
+def test_special_direction_sets(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path)
+    d1 = sphere.load_directions(1)
+    np.testing.assert_allclose(d1, [[0, 0, 1]])
+    dg = sphere.load_directions(32761)
+    assert dg.shape == (32761, 3)
+    np.testing.assert_allclose(np.linalg.norm(dg, axis=1), 1.0, atol=1e-12)
+    ht1 = sphere.load_precomputed_hash_table(1)
+    assert (ht1 == 0).all()
+
+
+def test_fit_with_ndirs_1000(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    ndirs = 1000
+    g = fibonacci_hemisphere(24)
+    scheme = Scheme(np.vstack([np.zeros((2, 4)),
+                               np.c_[g, np.full(24, 1000.0)],
+                               np.c_[g, np.full(24, 2500.0)]]))
+    model = FreeWater()
+    model.set()
+    model.set_solver()
+    model.scheme = scheme
+    out = tmp_path / 'k'
+    out.mkdir()
+    aux = _lut.load_precomputed_rotation_matrices(12, ndirs)
+    i_in, i_out = _lut.aux_structures_generate(scheme, 12)
+    model.generate(str(out), aux, i_in, i_out, ndirs)
+    ridx, Ylm = _lut.aux_structures_resample(scheme, 12)
+    kernels = model.resample(str(out), ridx, Ylm, False, ndirs)
+    assert kernels['D'].shape[1] == ndirs
+    htable = _lut.load_precomputed_hash_table(ndirs)
+    assert htable.max() < ndirs
+
+    rng = np.random.RandomState(0)
+    n = 200
+    DIRs = rng.randn(n, 3)
+    DIRs /= np.linalg.norm(DIRs, axis=1, keepdims=True)
+    y = np.abs(rng.rand(n, scheme.nS))
+    ev = EvalStub(y, DIRs, htable, kernels, tile_size=32)
+    res = model.fit(ev)
+    assert res['estimates'].shape == (n, 2)
+    assert np.isfinite(res['estimates']).all()
+
+
+def test_stale_lut_detection(tmp_path):
+    """Loading a LUT generated with a different ndirs must ERROR
+    (reference models.pyx:776-777)."""
+    import amico_tpu
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    g = fibonacci_hemisphere(20)
+    scheme = Scheme(np.vstack([np.zeros((1, 4)), np.c_[g, np.full(20, 1000.0)]]))
+    model = FreeWater()
+    model.set()
+    model.scheme = scheme
+    out = tmp_path / 'k2'
+    out.mkdir()
+    aux = _lut.load_precomputed_rotation_matrices(12, 500)
+    i_in, i_out = _lut.aux_structures_generate(scheme, 12)
+    model.generate(str(out), aux, i_in, i_out, 500)
+    ridx, Ylm = _lut.aux_structures_resample(scheme, 12)
+    with pytest.raises(amico_tpu.AmicoError):
+        model.resample(str(out), ridx, Ylm, False, 1000)  # wrong ndirs
