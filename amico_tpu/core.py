@@ -1,29 +1,26 @@
-"""Orchestration / user API layer.
+"""Orchestration facade.
 
-TPU-native re-design of the reference pipeline
-(/root/reference/amico/core.py): the ``Evaluation`` god-object becomes a
-thin orchestrator over pure array stages --
-``scheme -> kernels (SH LUT) -> subject dictionary -> batched tile solve ->
-maps`` -- but keeps the exact public surface so reference scripts port
+``Evaluation`` here is a thin stateful wrapper that wires together the pure
+stage functions of :mod:`amico_tpu.pipeline` -- it owns the config dict, the
+loaded arrays, and the disk-cache bookkeeping, and nothing else.  The public
+surface (method names, config keys, call order) matches the reference
+(/root/reference/amico/core.py:42-648) so existing user scripts port
 unchanged:
 
     amico_tpu.setup()
     ev = amico_tpu.Evaluation(study_path, subject)
-    ev.load_data(dwi_filename, scheme_filename, mask_filename, b0_thr)
-    ev.set_model('NODDI')
-    ev.generate_kernels(regenerate=..., lmax=..., ndirs=...)
-    ev.load_kernels()
-    ev.fit()
-    ev.save_results()
+    ev.load_data(...); ev.set_model('NODDI')
+    ev.generate_kernels(); ev.load_kernels(); ev.fit(); ev.save_results()
 
-Design deltas from the reference (documented per SURVEY.md section 7):
+Design deltas vs the reference (SURVEY.md section 7):
+  * numerics live in pipeline/stage functions, not in the facade;
   * nibabel -> built-in NIfTI-1 I/O (amico_tpu.io.nifti);
-  * dipy TensorModel -> in-framework batched DTI (amico_tpu.ops.dti);
-  * per-voxel Cython/SPAMS loop -> direction-bucketed batched solves on the
-    accelerator (amico_tpu.models.engine + ops.solvers);
-  * 'nthreads'/'BLAS_nthreads' configs are accepted for compatibility; XLA
-    owns device parallelism (BLAS_nthreads still caps host BLAS via
-    threadpoolctl during the NumPy precompute stages, core.py:375,401,465).
+  * dipy TensorModel -> batched in-framework DTI (amico_tpu.ops.dti);
+  * per-voxel Cython/SPAMS loops -> direction-bucketed accelerator tiles
+    (amico_tpu.models.engine + ops.solvers);
+  * ``nthreads``/``BLAS_nthreads`` are accepted for compatibility -- XLA owns
+    device parallelism; BLAS_nthreads still caps host BLAS (threadpoolctl)
+    during the NumPy precompute stages.
 """
 from __future__ import annotations
 
@@ -37,6 +34,7 @@ import numpy as np
 
 from . import lut as _lut
 from . import models as _models
+from . import pipeline as _pl
 from .io import nifti
 from .io.scheme import Scheme
 from .preproc import debiasRician
@@ -46,14 +44,13 @@ from .utils.timers import StageTimers
 
 try:
     from threadpoolctl import ThreadpoolController
-    _HAS_TPC = True
 except ImportError:  # pragma: no cover
-    _HAS_TPC = False
+    ThreadpoolController = None
 
 
 def setup(lmax: int = 12) -> None:
-    """Precompute all rotation matrices + direction structures
-    (reference core.py:23-38).  Cached on disk; re-entry is cheap."""
+    """One-time precompute of every (lmax, ndirs) rotation structure,
+    disk-cached; safe to call repeatedly (reference core.py:23-38)."""
     LOG('\n-> Precomputing rotation matrices:')
     dirs = _lut.valid_dirs()
     with ProgressBar(total=len(dirs), disable=get_verbose() < 3) as pbar:
@@ -63,9 +60,40 @@ def setup(lmax: int = 12) -> None:
     LOG('   [ DONE ]')
 
 
+def _default_config(study_path, subject, output_path) -> dict:
+    """Initial config dict.  Keys are reference-compatible
+    (core.py:76-96); the last block is TPU-build additions."""
+    from . import __version__
+    cfg = dict(
+        version=__version__,
+        study_path=study_path,
+        subject=subject,
+        DATA_path=pjoin(study_path, subject),
+        OUTPUT_path=output_path,
+        peaks_filename=None,
+        doNormalizeSignal=True,
+        doKeepb0Intact=False,
+        doComputeRMSE=False,
+        doComputeNRMSE=False,
+        doSaveModulatedMaps=False,
+        doSaveCorrectedDWI=False,
+        doMergeB0=False,
+        doDebiasSignal=False,
+        doDirectionalAverage=False,
+        nthreads=-1,
+        DTI_fit_method='OLS',
+        BLAS_nthreads=1,
+        # TPU-build extras
+        tile_size='auto',
+        voxels_per_chunk=65536,
+    )
+    cfg['DWI-SNR'] = None
+    return cfg
+
+
 class Evaluation:
-    """Holds data and parameters of one fitting session
-    (reference core.py:42-648)."""
+    """State holder + stage sequencer for one subject fit
+    (public contract per reference core.py:42-648)."""
 
     def __init__(self, study_path='.', subject='.', output_path=None):
         self.niiDWI = None
@@ -83,35 +111,9 @@ class Evaluation:
         self.mean_b0s = None
         self.htable = None
         self.timers = StageTimers()
-
-        # config defaults (reference core.py:76-96)
-        self.CONFIG = {}
-        from . import __version__
-        self.set_config('version', __version__)
-        self.set_config('study_path', study_path)
-        self.set_config('subject', subject)
-        self.set_config('DATA_path', pjoin(study_path, subject))
-        self.set_config('OUTPUT_path', output_path)
-
-        self.set_config('peaks_filename', None)
-        self.set_config('doNormalizeSignal', True)
-        self.set_config('doKeepb0Intact', False)
-        self.set_config('doComputeRMSE', False)
-        self.set_config('doComputeNRMSE', False)
-        self.set_config('doSaveModulatedMaps', False)
-        self.set_config('doSaveCorrectedDWI', False)
-        self.set_config('doMergeB0', False)
-        self.set_config('doDebiasSignal', False)
-        self.set_config('DWI-SNR', None)
-        self.set_config('doDirectionalAverage', False)
-        self.set_config('nthreads', -1)
-        self.set_config('DTI_fit_method', 'OLS')
-        self.set_config('BLAS_nthreads', 1)
-        # TPU-build extras
-        self.set_config('tile_size', 'auto')
-        self.set_config('voxels_per_chunk', 65536)
-
-        self._controller = ThreadpoolController() if _HAS_TPC else None
+        self.CONFIG = _default_config(study_path, subject, output_path)
+        self._controller = (ThreadpoolController()
+                            if ThreadpoolController is not None else None)
 
         from .utils.jaxcfg import enable_compilation_cache
         enable_compilation_cache()
@@ -126,74 +128,65 @@ class Evaluation:
         import contextlib
         if self._controller is None:
             return contextlib.nullcontext()
-        n = self.BLAS_nthreads or 1
-        return self._controller.limit(limits=n, user_api='blas')
+        return self._controller.limit(limits=self.BLAS_nthreads or 1,
+                                      user_api='blas')
+
+    def _resolve_threads(self, key):
+        v = self.get_config(key)
+        if v is None:
+            return 1
+        if v > 0:
+            return v
+        if v == -1:
+            return cpu_count()
+        ERROR(f'"{key}" must be a positive count or -1 (= all cores)')
 
     # ------------------------------------------------------------ load_data
     def load_data(self, dwi_filename='DWI.nii', scheme_filename='DWI.scheme',
                   mask_filename=None, b0_thr=0, b0_min_signal=0,
                   replace_bad_voxels=None):
-        """Load DWI + scheme (+mask) and preprocess
+        """Load DWI/scheme/mask, then run the preprocessing stages
         (reference core.py:107-278)."""
         LOG('\n-> Loading data:')
         tic = time.time()
-
-        PRINT('\t* DWI signal')
-        if not isfile(pjoin(self.get_config('DATA_path'), dwi_filename)):
-            ERROR('DWI file not found')
+        data_path = self.get_config('DATA_path')
         self.set_config('dwi_filename', dwi_filename)
+        self.set_config('scheme_filename', scheme_filename)
+        self.set_config('mask_filename', mask_filename)
+        self.set_config('b0_thr', b0_thr)
         self.set_config('b0_min_signal', b0_min_signal)
         self.set_config('replace_bad_voxels', replace_bad_voxels)
-        self.niiDWI = nifti.load(pjoin(self.get_config('DATA_path'), dwi_filename))
-        self.niiDWI_img = self.niiDWI.get_fdata().astype(np.float32)
-        hdr = self.niiDWI.header
-        if self.niiDWI_img.ndim != 4:
+
+        PRINT('\t* DWI signal')
+        if not isfile(pjoin(data_path, dwi_filename)):
+            ERROR('DWI file not found')
+        self.niiDWI = nifti.load(pjoin(data_path, dwi_filename))
+        img = self.niiDWI.get_fdata().astype(np.float32)
+        if img.ndim != 4:
             ERROR('DWI file is not a 4D image')
-        self.set_config('dim', self.niiDWI_img.shape[:3])
+        hdr = self.niiDWI.header
+        self.set_config('dim', img.shape[:3])
         self.set_config('pixdim', tuple(hdr.get_zooms()[:3]))
-        PRINT('\t\t- dim    = %d x %d x %d x %d' % self.niiDWI_img.shape)
+        PRINT('\t\t- dim    = %d x %d x %d x %d' % img.shape)
         PRINT('\t\t- pixdim = %.3f x %.3f x %.3f' % self.get_config('pixdim'))
-
-        # scl_slope/inter rescale (reference core.py:146-150)
-        if (np.isfinite(hdr.scl_slope) and np.isfinite(hdr.scl_inter)
-                and hdr.scl_slope != 0
-                and (hdr.scl_slope != 1 or hdr.scl_inter != 0)):
-            PRINT('\t\t- rescaling data ', end='')
-            self.niiDWI_img = self.niiDWI_img * hdr.scl_slope + hdr.scl_inter
-            PRINT('[OK]')
-
-        if np.isnan(self.niiDWI_img).any() or np.isinf(self.niiDWI_img).any():
-            if replace_bad_voxels is not None:
-                WARNING('Nan or Inf values in the raw signal. They will be '
-                        f'replaced with: {replace_bad_voxels}')
-                np.nan_to_num(self.niiDWI_img, copy=False,
-                              nan=replace_bad_voxels, posinf=replace_bad_voxels,
-                              neginf=replace_bad_voxels)
-            else:
-                ERROR('Nan or Inf values in the raw signal. Try using the '
-                      '"replace_bad_voxels" or "b0_min_signal" parameters when '
-                      'calling "load_data()"')
+        img, rescaled = _pl.intensity_rescale(img, hdr.scl_slope, hdr.scl_inter)
+        if rescaled:
+            PRINT('\t\t- rescaling data  [OK]')
+        img = _pl.ensure_finite(img, replace_bad_voxels, 'raw')
 
         PRINT('\t* Acquisition scheme')
-        if not isfile(pjoin(self.get_config('DATA_path'), scheme_filename)):
+        if not isfile(pjoin(data_path, scheme_filename)):
             ERROR('SCHEME file not found')
-        self.set_config('scheme_filename', scheme_filename)
-        self.set_config('b0_thr', b0_thr)
-        self.scheme = Scheme(pjoin(self.get_config('DATA_path'), scheme_filename), b0_thr)
-        PRINT(f'\t\t- {self.scheme.nS} samples, {len(self.scheme.shells)} shells')
-        PRINT(f'\t\t- {self.scheme.b0_count} @ b=0', end=' ')
-        for shell in self.scheme.shells:
-            PRINT(f', {len(shell["idx"])} @ b={shell["b"]:.1f}', end=' ')
-        PRINT()
-
-        if self.scheme.nS != self.niiDWI_img.shape[3]:
+        self.scheme = Scheme(pjoin(data_path, scheme_filename), b0_thr)
+        self._print_scheme_summary()
+        if self.scheme.nS != img.shape[3]:
             ERROR('Scheme does not match with DWI data')
 
         PRINT('\t* Binary mask')
         if mask_filename is not None:
-            if not isfile(pjoin(self.get_config('DATA_path'), mask_filename)):
+            if not isfile(pjoin(data_path, mask_filename)):
                 ERROR('MASK file not found')
-            self.niiMASK = nifti.load(pjoin(self.get_config('DATA_path'), mask_filename))
+            self.niiMASK = nifti.load(pjoin(data_path, mask_filename))
             self.niiMASK_img = self.niiMASK.get_fdata().astype(np.uint8)
             PRINT('\t\t- dim    = %d x %d x %d' % self.niiMASK_img.shape[:3])
             if self.niiMASK.ndim != 3:
@@ -204,174 +197,134 @@ class Evaluation:
             self.niiMASK = None
             self.niiMASK_img = np.ones(self.get_config('dim'), dtype=np.uint8)
             PRINT('\t\t- not specified')
-        self.set_config('mask_filename', mask_filename)
         PRINT(f'\t\t- voxels = {np.count_nonzero(self.niiMASK_img)}')
-
         LOG(f'   [ {time.time() - tic:.1f} seconds ]')
 
-        # ---------------------------------------------------- preprocessing
+        self.niiDWI_img = self._preprocess(img, b0_thr, b0_min_signal,
+                                           replace_bad_voxels)
+
+    def _print_scheme_summary(self):
+        sch = self.scheme
+        PRINT(f'\t\t- {sch.nS} samples, {len(sch.shells)} shells')
+        parts = [f'{sch.b0_count} @ b=0'] + \
+            [f'{len(s["idx"])} @ b={s["b"]:.1f}' for s in sch.shells]
+        PRINT('\t\t- ' + ' , '.join(parts))
+
+    def _preprocess(self, img, b0_thr, b0_min_signal, replace_bad_voxels):
+        """Run the enabled preprocessing stages in reference order:
+        debias -> b0-normalize -> merge-b0 -> directional average."""
         LOG('\n-> Preprocessing:')
         tic = time.time()
 
         if self.get_config('doDebiasSignal'):
             PRINT('\t* Debiasing signal... ', end='')
             if self.get_config('DWI-SNR') is None:
-                ERROR("Set noise variance for debiasing (eg. ae.set_config('DWI-SNR', SNR))")
-            self.niiDWI_img = debiasRician(
-                self.niiDWI_img, self.get_config('DWI-SNR'),
-                self.niiMASK_img, self.scheme).astype(np.float32)
+                ERROR('Rician debias needs the acquisition SNR: '
+                      "set_config('DWI-SNR', value) before load_data()")
+            img = debiasRician(img, self.get_config('DWI-SNR'),
+                               self.niiMASK_img, self.scheme).astype(np.float32)
             PRINT(' [OK]')
 
         if self.get_config('doNormalizeSignal'):
             PRINT('\t* Normalizing to b0... ', end='')
-            if self.scheme.b0_count > 0:
-                self.mean_b0s = np.mean(
-                    self.niiDWI_img[:, :, :, self.scheme.b0_idx], axis=3)
-            else:
+            if self.scheme.b0_count == 0:
                 ERROR('No b0 volume to normalize signal with')
-            norm_factor = self.mean_b0s.copy()
-            idx = norm_factor <= b0_min_signal * norm_factor[norm_factor > 0].mean()
-            norm_factor[idx] = 1
-            norm_factor = 1 / norm_factor
-            norm_factor[idx] = 0
-            self.niiDWI_img = self.niiDWI_img * norm_factor[..., None]
-            PRINT(f'[ min={self.niiDWI_img.min():.2f},  '
-                  f'mean={self.niiDWI_img.mean():.2f}, '
-                  f'max={self.niiDWI_img.max():.2f} ]')
+            img, self.mean_b0s = _pl.b0_normalize(img, self.scheme.b0_idx,
+                                                  b0_min_signal)
+            PRINT(f'[ min={img.min():.2f},  mean={img.mean():.2f}, '
+                  f'max={img.max():.2f} ]')
 
         if self.get_config('doMergeB0'):
             PRINT('\t* Merging multiple b0 volume(s)')
-            mean = np.mean(self.niiDWI_img[:, :, :, self.scheme.b0_idx],
-                           axis=3, keepdims=True)
-            self.niiDWI_img = np.concatenate(
-                (mean, self.niiDWI_img[:, :, :, self.scheme.dwi_idx]), axis=3)
+            img = _pl.collapse_b0(img, self.scheme.b0_idx, self.scheme.dwi_idx)
         else:
             PRINT('\t* Keeping all b0 volume(s)')
 
         if self.get_config('doDirectionalAverage'):
-            # per-shell spherical mean -> (nshells+1)-volume image + synthetic
-            # scheme (reference core.py:232-268)
-            PRINT('\t* Performing the directional average on the signal of each shell... ')
-            num_shells = len(self.scheme.shells)
-            dir_avg_img = np.zeros(self.get_config('dim') + (num_shells + 1,),
-                                   dtype=np.float32)
-            scheme_table = np.zeros([num_shells + 1, 7])
-            dir_avg_img[:, :, :, 0] = np.mean(
-                self.niiDWI_img[:, :, :, self.scheme.b0_idx], axis=3)
-            scheme_table[0, :] = np.array([1, 0, 0, 0, 0, 0, 0])
-
-            bvals = [shell['b'] for shell in self.scheme.shells]
-            for k, shell_idx in enumerate(np.argsort(bvals)):
-                shell = self.scheme.shells[shell_idx]
-                dir_avg_img[:, :, :, k + 1] = np.mean(
-                    self.niiDWI_img[:, :, :, shell['idx']], axis=3)
-                scheme_table[k + 1, :] = np.array(
-                    [1, 0, 0, shell['G'], shell['Delta'], shell['delta'], shell['TE']])
-
-            self.niiDWI_img = dir_avg_img
-            self.set_config('dim', self.niiDWI_img.shape[:3])
-            PRINT('\t\t- dim    = %d x %d x %d x %d' % self.niiDWI_img.shape)
-
+            PRINT('\t* Directional average over each shell...')
+            img, self.scheme = _pl.spherical_mean(img, self.scheme, b0_thr)
+            self.set_config('dim', img.shape[:3])
+            PRINT('\t\t- dim    = %d x %d x %d x %d' % img.shape)
             PRINT('\t* Acquisition scheme')
-            self.scheme = Scheme(scheme_table, b0_thr)
-            PRINT(f'\t\t- {self.scheme.nS} samples, {len(self.scheme.shells)} shells')
-            if self.scheme.nS != self.niiDWI_img.shape[3]:
+            self._print_scheme_summary()
+            if self.scheme.nS != img.shape[3]:
                 ERROR('Scheme does not match with DWI data')
 
-        if np.isnan(self.niiDWI_img).any() or np.isinf(self.niiDWI_img).any():
-            if replace_bad_voxels is not None:
-                WARNING('Nan or Inf values in the signal after the pre-processing. '
-                        f'They will be replaced with: {replace_bad_voxels}')
-                np.nan_to_num(self.niiDWI_img, copy=False,
-                              nan=replace_bad_voxels, posinf=replace_bad_voxels,
-                              neginf=replace_bad_voxels)
-            else:
-                ERROR('Nan or Inf values in the signal after the pre-processing. '
-                      'Try using the "replace_bad_voxels" or "b0_min_signal" '
-                      'parameters when calling "load_data()"')
-
+        img = _pl.ensure_finite(img, replace_bad_voxels, 'preprocessed')
         LOG(f'   [ {time.time() - tic:.1f} seconds ]')
+        return img
 
     # ------------------------------------------------------------ set_model
     def set_model(self, model_name: str):
-        """Instantiate a model by class name (reference core.py:281-298)."""
-        if hasattr(_models, model_name):
-            self.model = getattr(_models, model_name)()
-        else:
+        """Instantiate a model class by name (reference core.py:281-298)."""
+        if not hasattr(_models, model_name):
             ERROR(f'Model "{model_name}" not recognized')
+        self.model = getattr(_models, model_name)()
         self.set_config('ATOMS_path', pjoin(self.get_config('study_path'),
                                             'kernels', self.model.id))
         self.set_solver()
 
     def set_solver(self, **params):
-        """Forward solver params to the model with signature filtering
+        """Pass solver knobs through to the model, dropping (with a warning)
+        any the model's set_solver signature does not accept
         (reference core.py:301-325)."""
         import inspect
         if self.model is None:
             ERROR('Model not set; call "set_model()" method first')
-        solver_params = list(inspect.signature(self.model.set_solver).parameters)
-        params_new = {}
-        for key in params:
-            if key not in solver_params:
-                WARNING(f"Cannot find the '{key}' solver-parameter for the "
-                        f"{self.model.name} model. It will be ignored")
-            else:
-                params_new[key] = params[key]
-        self.model.set_solver(**params_new)
-        self.set_config('solver_params', params_new)
+        accepted = set(inspect.signature(self.model.set_solver).parameters)
+        known = {k: v for k, v in params.items() if k in accepted}
+        for k in params.keys() - known.keys():
+            WARNING(f'solver parameter "{k}" is not used by '
+                    f'{self.model.name}; ignoring it')
+        self.model.set_solver(**known)
+        self.set_config('solver_params', known)
 
     # ----------------------------------------------------- generate_kernels
     def generate_kernels(self, regenerate=False, lmax=12, ndirs=500):
-        """Generate high-resolution response functions
-        (reference core.py:328-377)."""
+        """Build the high-resolution response-function LUT, unless a cached
+        one already exists (reference core.py:328-377)."""
         if self.scheme is None:
             ERROR('Scheme not loaded; call "load_data()" first')
         if self.model is None:
             ERROR('Model not set; call "set_model()" method first')
         if not _lut.is_valid(ndirs):
-            ERROR('Unsupported value for ndirs.\nNote: Supported values for '
-                  'ndirs are [1, 500 (default), 1000, 1500, 2000, 2500, 3000, '
-                  '3500, 4000, 4500, 5000, 5500, 6000, 6500, 7000, 7500, 8000, '
-                  '8500, 9000, 9500, 10000, 32761]')
+            ERROR(f'ndirs={ndirs} is not a precomputable direction count; '
+                  f'valid values: {_lut.valid_dirs()}')
         self.BLAS_nthreads = self._resolve_threads('BLAS_nthreads')
-
         self.set_config('lmax', lmax)
         self.set_config('ndirs', ndirs)
         self.model.scheme = self.scheme
+        atoms_path = self.get_config('ATOMS_path')
         LOG(f'\n-> Creating LUT for "{self.model.name}" model:')
 
-        tmp = glob.glob(pjoin(self.get_config('ATOMS_path'), 'A_*.npy'))
-        if len(tmp) > 0 and not regenerate:
-            LOG('   [ LUT already computed. Use option "regenerate=True" to force regeneration ]')
+        if glob.glob(pjoin(atoms_path, 'A_*.npy')) and not regenerate:
+            LOG('   [ cached LUT found on disk -- pass regenerate=True to '
+                'rebuild it ]')
             return
-
-        if not exists(self.get_config('ATOMS_path')):
-            makedirs(self.get_config('ATOMS_path'))
+        if not exists(atoms_path):
+            makedirs(atoms_path)
         else:
-            for f in glob.glob(pjoin(self.get_config('ATOMS_path'), '*')):
+            for f in glob.glob(pjoin(atoms_path, '*')):
                 remove(f)
 
         aux = _lut.load_precomputed_rotation_matrices(lmax, ndirs)
         idx_IN, idx_OUT = _lut.aux_structures_generate(self.scheme, lmax)
-
         tic = time.time()
         with self.timers.stage('generate_kernels'), self._blas_limit():
-            self.model.generate(self.get_config('ATOMS_path'), aux,
-                                idx_IN, idx_OUT, ndirs)
+            self.model.generate(atoms_path, aux, idx_IN, idx_OUT, ndirs)
         LOG(f'   [ {time.time() - tic:.1f} seconds ]')
 
     # --------------------------------------------------------- load_kernels
     def load_kernels(self):
-        """Resample kernels to the subject scheme (reference core.py:380-404)."""
+        """Project the SH-space LUT onto this subject's gradient scheme
+        (reference core.py:380-404)."""
         if self.model is None:
             ERROR('Model not set; call "set_model()" method first')
         if self.scheme is None:
             ERROR('Scheme not loaded; call "load_data()" first')
         self.BLAS_nthreads = self._resolve_threads('BLAS_nthreads')
-
         tic = time.time()
         LOG(f'\n-> Resampling LUT for subject "{self.get_config("subject")}":')
-
         idx_OUT, Ylm_OUT = _lut.aux_structures_resample(
             self.scheme, self.get_config('lmax'))
         self.htable = _lut.load_precomputed_hash_table(self.get_config('ndirs'))
@@ -381,220 +334,171 @@ class Evaluation:
                 self.get_config('doMergeB0'), self.get_config('ndirs'))
         LOG(f'   [ {time.time() - tic:.1f} seconds ]')
 
-    def _resolve_threads(self, key):
-        v = self.get_config(key)
-        if v is None:
-            return 1
-        if v > 0:
-            return v
-        if v == -1:
-            return cpu_count()
-        ERROR(f'Number of threads ({key}) must be positive or -1')
-
     # ------------------------------------------------------------------ fit
     def fit(self):
-        """Fit the model to the data (reference core.py:407-498)."""
+        """Directions + model fit + scatter back to volumes
+        (reference core.py:407-498)."""
         if self.niiDWI is None:
             ERROR('Data not loaded; call "load_data()" first')
         if self.model is None:
             ERROR('Model not set; call "set_model()" first')
         if self.KERNELS is None:
-            ERROR('Response functions not generated; call "generate_kernels()" and "load_kernels()" first')
+            ERROR('Response functions not generated; call "generate_kernels()" '
+                  'and "load_kernels()" first')
         if self.KERNELS['model'] != self.model.id:
             ERROR('Response functions were not created with the same model')
-        method = self.get_config('DTI_fit_method')
-        if method not in ['OLS', 'LS', 'WLS', 'NLLS', 'RT', 'RESTORE', 'restore']:
-            ERROR("DTI fit method must be one of the following:\n'OLS'(default) "
-                  "or 'LS': ordinary least squares\n'WLS': weighted least squares"
-                  "\n'NLLS': non-linear least squares\n'RT' or 'RESTORE' or "
-                  "'restore': robust tensor")
-        if method in ('NLLS', 'RT', 'RESTORE', 'restore'):
-            WARNING(f'DTI fit method "{method}" falls back to WLS in the TPU '
-                    'build (direction estimates are quantized to a 1-degree '
-                    'grid; see amico_tpu.ops.dti)')
-            method = 'WLS'
-
+        method = _pl.resolve_dti_method(self.get_config('DTI_fit_method'))
         self.nthreads = self._resolve_threads('nthreads')
         self.BLAS_nthreads = self._resolve_threads('BLAS_nthreads')
-
         self.set_config('fit_time', None)
-        totVoxels = np.count_nonzero(self.niiMASK_img)
+        mask = self.niiMASK_img
+        n_vox = np.count_nonzero(mask)
 
-        # masked voxels -> flat (N, nS) (reference core.py:451-452)
         t = time.time()
-        self.y = self.niiDWI_img[self.niiMASK_img == 1, :].astype(np.float64)
-        self.y[self.y < 0] = 0
-
-        # principal directions (reference core.py:429-460)
+        self.y = _pl.masked_voxels(self.niiDWI_img, mask)
+        LOG(f"\n-> Estimating principal directions "
+            f"({self.get_config('DTI_fit_method')}):")
         peaks_filename = self.get_config('peaks_filename')
-        LOG(f"\n-> Estimating principal directions ({self.get_config('DTI_fit_method')}):")
         if peaks_filename is not None:
-            if not isfile(pjoin(self.get_config('DATA_path'), peaks_filename)):
-                ERROR('PEAKS file not found')
-            niiPEAKS = nifti.load(pjoin(self.get_config('DATA_path'), peaks_filename))
-            peaks = niiPEAKS.get_fdata().astype(np.float32)
-            PRINT('\t* peaks dim = %d x %d x %d x %d' % peaks.shape[:4])
-            if peaks.shape[:3] != self.niiMASK_img.shape[:3]:
-                ERROR('PEAKS geometry does not match with DWI data')
-            self.DIRs = peaks[self.niiMASK_img == 1, :3]
+            self.DIRs = self._load_peaks(peaks_filename, mask)
         elif not self.get_config('doDirectionalAverage'):
-            from .ops.dti import fit_dti
-            if self.get_config('doMergeB0'):
-                b = np.hstack((0, self.scheme.b[self.scheme.dwi_idx]))
-                g = np.vstack((np.zeros((1, 3)),
-                               self.scheme.raw[self.scheme.dwi_idx, :3]))
-            else:
-                b = self.scheme.b
-                g = self.scheme.raw[:, :3]
             with self.timers.stage('directions'):
-                self.DIRs = np.asarray(fit_dti(self.y.astype(np.float32), b, g,
-                                               method), np.float32)
+                self.DIRs = _pl.principal_directions(
+                    self.y, self.scheme, method,
+                    bool(self.get_config('doMergeB0')))
         self.set_config('dirs_precomputing_time', time.time() - t)
         LOG('   [ %s ]' % time.strftime(
-            '%Hh %Mm %Ss', time.gmtime(self.get_config('dirs_precomputing_time'))))
+            '%Hh %Mm %Ss',
+            time.gmtime(self.get_config('dirs_precomputing_time'))))
 
         t = time.time()
-        LOG(f"\n-> Fitting '{self.model.name}' model to {totVoxels} voxels:")
+        LOG(f"\n-> Fitting '{self.model.name}' model to {n_vox} voxels:")
         with self.timers.stage('fit', profile=True):
             results = self.model.fit(self)
         self.set_config('fit_time', time.time() - t)
         LOG('   [ %s ]' % time.strftime(
             '%Hh %Mm %Ss', time.gmtime(self.get_config('fit_time'))))
 
-        # ------------------------------------------------- scatter results
+        self.RESULTS = self._scatter_results(results, mask)
+
+    def _load_peaks(self, peaks_filename, mask):
+        """Alternative direction source: a precomputed peaks NIfTI
+        (reference core.py:437-445)."""
+        path = pjoin(self.get_config('DATA_path'), peaks_filename)
+        if not isfile(path):
+            ERROR('PEAKS file not found')
+        peaks = nifti.load(path).get_fdata().astype(np.float32)
+        PRINT('\t* peaks dim = %d x %d x %d x %d' % peaks.shape[:4])
+        if peaks.shape[:3] != mask.shape[:3]:
+            ERROR('PEAKS geometry does not match with DWI data')
+        return peaks[mask == 1, :3]
+
+    def _scatter_results(self, results, mask):
+        """Expand per-voxel fit outputs into full volumes via the scatter
+        stage (reference core.py:472-498)."""
         dim = self.get_config('dim')
-        self.RESULTS = {}
-        self.RESULTS['MAPs'] = np.zeros(
-            [dim[0], dim[1], dim[2], len(self.model.maps_name)], dtype=np.float32)
-        self.RESULTS['MAPs'][self.niiMASK_img == 1, :] = results['estimates']
-        self.RESULTS['DIRs'] = np.zeros([dim[0], dim[1], dim[2], 3], dtype=np.float32)
-        if self.DIRs is not None:
-            self.RESULTS['DIRs'][self.niiMASK_img == 1, :] = self.DIRs
+        out = {'MAPs': _pl.scatter(np.asarray(results['estimates'],
+                                              np.float32), mask, dim)}
+        dirs = (np.asarray(self.DIRs, np.float32) if self.DIRs is not None
+                else np.zeros((np.count_nonzero(mask), 3), np.float32))
+        out['DIRs'] = _pl.scatter(dirs, mask, dim)
         if self.get_config('doComputeRMSE'):
-            self.RESULTS['RMSE'] = np.zeros(dim[:3], dtype=np.float32)
-            self.RESULTS['RMSE'][self.niiMASK_img == 1] = results['rmse']
+            out['RMSE'] = _pl.scatter(results['rmse'], mask, dim)
         if self.get_config('doComputeNRMSE'):
-            self.RESULTS['NRMSE'] = np.zeros(dim[:3], dtype=np.float32)
-            self.RESULTS['NRMSE'][self.niiMASK_img == 1] = results['nrmse']
+            out['NRMSE'] = _pl.scatter(results['nrmse'], mask, dim)
         if self.model.name == 'NODDI' and self.get_config('doSaveModulatedMaps'):
-            self.RESULTS['MAPs_mod'] = np.zeros([dim[0], dim[1], dim[2], 2],
-                                                dtype=np.float32)
-            self.RESULTS['MAPs_mod'][self.niiMASK_img == 1, :] = results['estimates_mod']
+            out['MAPs_mod'] = _pl.scatter(
+                np.asarray(results['estimates_mod'], np.float32), mask, dim)
         if self.model.name == 'Free-Water' and self.get_config('doSaveCorrectedDWI'):
-            y_corrected = results['y_corrected']
-            if self.get_config('doNormalizeSignal') and self.scheme.b0_count > 0:
-                y_corrected = y_corrected * np.reshape(
-                    self.mean_b0s[self.niiMASK_img == 1], (-1, 1))
-            if self.get_config('doKeepb0Intact') and self.scheme.b0_count > 0:
-                y_corrected[:, self.scheme.b0_idx] = \
-                    self.y[:, self.scheme.b0_idx] * np.reshape(
-                        self.mean_b0s[self.niiMASK_img == 1], (-1, 1))
-            self.RESULTS['DWI_corrected'] = np.zeros(self.niiDWI.shape, dtype=np.float32)
-            self.RESULTS['DWI_corrected'][self.niiMASK_img == 1, :] = y_corrected
+            mean_b0_masked = (self.mean_b0s[mask == 1]
+                              if self.mean_b0s is not None else None)
+            yc = _pl.reinstate_corrected_dwi(
+                results['y_corrected'], self.y, mean_b0_masked,
+                self.scheme.b0_idx,
+                bool(self.get_config('doNormalizeSignal'))
+                and self.scheme.b0_count > 0,
+                bool(self.get_config('doKeepb0Intact'))
+                and self.scheme.b0_count > 0)
+            out['DWI_corrected'] = _pl.scatter(yc.astype(np.float32), mask,
+                                               self.niiDWI.shape)
+        return out
 
     # --------------------------------------------------------- save_results
     def save_results(self, path_suffix=None, save_dir_avg=False):
-        """Save maps and metadata (reference core.py:501-648)."""
+        """Write parameter maps + metadata (reference core.py:501-648)."""
         if self.RESULTS is None:
             ERROR('Model not fitted to the data; call "fit()" first')
+        suffix = f'_{path_suffix}' if path_suffix else ''
         if self.get_config('OUTPUT_path') is None:
-            RESULTS_path = pjoin('AMICO', self.model.id)
-            if path_suffix:
-                RESULTS_path = RESULTS_path + '_' + path_suffix
-            self.RESULTS['RESULTS_path'] = RESULTS_path
-            LOG(f'\n-> Saving output to "{pjoin(RESULTS_path, "*")}":')
-            RESULTS_path = pjoin(self.get_config('DATA_path'), RESULTS_path)
+            rel = pjoin('AMICO', self.model.id) + suffix
+            self.RESULTS['RESULTS_path'] = rel
+            out_dir = pjoin(self.get_config('DATA_path'), rel)
         else:
-            RESULTS_path = self.get_config('OUTPUT_path')
-            if path_suffix:
-                RESULTS_path = RESULTS_path + '_' + path_suffix
-            self.RESULTS['RESULTS_path'] = RESULTS_path
-            LOG(f'\n-> Saving output to "{pjoin(RESULTS_path, "*")}":')
+            out_dir = self.get_config('OUTPUT_path') + suffix
+            self.RESULTS['RESULTS_path'] = out_dir
+        LOG(f'\n-> Saving output to "{pjoin(self.RESULTS["RESULTS_path"], "*")}":')
 
-        if not exists(RESULTS_path):
-            makedirs(RESULTS_path)
+        if not exists(out_dir):
+            makedirs(out_dir)
         else:
-            for f in glob.glob(pjoin(RESULTS_path, '*')):
+            for f in glob.glob(pjoin(out_dir, '*')):
                 remove(f)
 
         PRINT('\t- configuration', end=' ')
-        with open(pjoin(RESULTS_path, 'config.pickle'), 'wb+') as fid:
+        with open(pjoin(out_dir, 'config.pickle'), 'wb+') as fid:
             pickle.dump(self.CONFIG, fid, protocol=2)
         PRINT(' [OK]')
 
-        affine = self.niiDWI.affine
-        hdr = self.niiDWI.header
+        tag = f' (AMICO-TPU v{self.get_config("version")})'
 
-        def _save_map(img_data, fname, descrip=None, cal=(None, None)):
-            img = nifti.Nifti1Image(np.asarray(img_data, np.float32), affine)
-            img.header.pixdim[:] = hdr.pixdim
-            img.header.xyzt_units = hdr.xyzt_units
-            if descrip is not None:
-                img.header.descrip = descrip.encode() if isinstance(descrip, str) else descrip
-            img.header.cal_min = float(cal[0]) if cal[0] is not None else float(np.min(img_data))
-            img.header.cal_max = float(cal[1]) if cal[1] is not None else float(np.max(img_data))
-            img.header.scl_slope, img.header.scl_inter = 1.0, 0.0
-            nifti.save(img, pjoin(RESULTS_path, fname))
+        def emit(data, fname, descrip=None, cal=(None, None)):
+            PRINT(f'\t- {fname}', end=' ')
+            _pl.write_map(data, pjoin(out_dir, fname), self.niiDWI,
+                          descrip=descrip, cal=cal)
+            PRINT(' [OK]')
 
         if not self.get_config('doDirectionalAverage'):
-            PRINT('\t- fit_dir.nii.gz', end=' ')
-            _save_map(self.RESULTS['DIRs'], 'fit_dir.nii.gz', cal=(-1, 1))
-            PRINT(' [OK]')
-
+            emit(self.RESULTS['DIRs'], 'fit_dir.nii.gz', cal=(-1, 1))
         if self.get_config('doComputeRMSE'):
-            PRINT('\t- fit_RMSE.nii.gz', end=' ')
-            _save_map(self.RESULTS['RMSE'], 'fit_RMSE.nii.gz', cal=(0, 1))
-            PRINT(' [OK]')
+            emit(self.RESULTS['RMSE'], 'fit_RMSE.nii.gz', cal=(0, 1))
         if self.get_config('doComputeNRMSE'):
-            PRINT('\t- fit_NRMSE.nii.gz', end=' ')
-            _save_map(self.RESULTS['NRMSE'], 'fit_NRMSE.nii.gz', cal=(0, 1))
-            PRINT(' [OK]')
+            emit(self.RESULTS['NRMSE'], 'fit_NRMSE.nii.gz', cal=(0, 1))
 
         if self.get_config('doSaveCorrectedDWI'):
             if self.model.name == 'Free-Water':
-                PRINT('\t- DWI_corrected.nii.gz', end=' ')
-                _save_map(self.RESULTS['DWI_corrected'], 'DWI_corrected.nii.gz',
-                          cal=(0, 1))
-                PRINT(' [OK]')
+                emit(self.RESULTS['DWI_corrected'], 'DWI_corrected.nii.gz',
+                     cal=(0, 1))
             else:
-                WARNING(f'"doSaveCorrectedDWI" option not supported for "{self.model.name}" model')
+                WARNING(f'"doSaveCorrectedDWI" is only meaningful for the '
+                        f'Free-Water model, not "{self.model.name}"')
 
-        for i in range(len(self.model.maps_name)):
-            PRINT(f'\t- fit_{self.model.maps_name[i]}.nii.gz', end=' ')
-            _save_map(self.RESULTS['MAPs'][:, :, :, i],
-                      f'fit_{self.model.maps_name[i]}.nii.gz',
-                      descrip=self.model.maps_descr[i]
-                      + f' (AMICO-TPU v{self.get_config("version")})')
-            PRINT(' [OK]')
+        for i, name in enumerate(self.model.maps_name):
+            emit(self.RESULTS['MAPs'][:, :, :, i], f'fit_{name}.nii.gz',
+                 descrip=self.model.maps_descr[i] + tag)
 
         if self.get_config('doSaveModulatedMaps'):
             if self.model.name == 'NODDI':
-                mod_maps = [name + '_modulated' for name in self.model.maps_name[:2]]
-                descr = [d + ' modulated' for d in self.model.maps_descr[:2]]
-                for i, name in enumerate(mod_maps):
-                    PRINT(f'\t- fit_{name}.nii.gz', end=' ')
-                    _save_map(self.RESULTS['MAPs_mod'][:, :, :, i],
-                              f'fit_{name}.nii.gz',
-                              descrip=descr[i]
-                              + f' (AMICO-TPU v{self.get_config("version")})')
-                    PRINT(' [OK]')
+                for i in range(2):
+                    emit(self.RESULTS['MAPs_mod'][:, :, :, i],
+                         f'fit_{self.model.maps_name[i]}_modulated.nii.gz',
+                         descrip=self.model.maps_descr[i] + ' modulated' + tag)
             else:
-                WARNING(f'"doSaveModulatedMaps" option not supported for "{self.model.name}" model')
+                WARNING(f'"doSaveModulatedMaps" is only meaningful for NODDI, '
+                        f'not "{self.model.name}"')
 
         if save_dir_avg:
             if self.get_config('doDirectionalAverage'):
-                PRINT('\t- dir_avg_signal.nii.gz', end=' ')
-                _save_map(self.niiDWI_img, 'dir_avg_signal.nii.gz',
-                          descrip='Directional average signal of each shell'
-                          + f' (AMICO-TPU v{self.get_config("version")})')
-                PRINT(' [OK]')
+                emit(self.niiDWI_img, 'dir_avg_signal.nii.gz',
+                     descrip='Directional average signal of each shell' + tag)
                 PRINT('\t- dir_avg.scheme', end=' ')
-                np.savetxt(pjoin(RESULTS_path, 'dir_avg.scheme'),
-                           self.scheme.get_table(), fmt='%.06f', delimiter='\t',
-                           header=f'VERSION: {self.scheme.version}', comments='')
+                np.savetxt(pjoin(out_dir, 'dir_avg.scheme'),
+                           self.scheme.get_table(), fmt='%.06f',
+                           delimiter='\t',
+                           header=f'VERSION: {self.scheme.version}',
+                           comments='')
                 PRINT(' [OK]')
             else:
-                WARNING('The directional average signal was not created (The '
-                        'option doDirectionalAverage is False).')
+                WARNING('No directional-average signal to save: enable '
+                        'doDirectionalAverage before load_data()')
 
         LOG('   [ DONE ]')

@@ -42,7 +42,7 @@ class Scheme:
                         n_skip += 1
                 table = np.loadtxt(data, skiprows=n_skip)
             except Exception:
-                ERROR('Unable to open scheme file')
+                ERROR(f'Could not read a numeric table from scheme file "{data}"')
             self.load_from_table(table, b0_thr)
         else:
             self.load_from_table(np.asarray(data, dtype=np.float64), b0_thr)
@@ -61,7 +61,7 @@ class Scheme:
             self.b = (GAMMA * self.raw[:, 3] * self.raw[:, 5]) ** 2 \
                 * (self.raw[:, 4] - self.raw[:, 5] / 3.0) * 1e-6
         else:
-            ERROR('Unrecognized scheme format')
+            ERROR('Scheme table must have 4 columns (bvec+b) or 7 (STEJSKALTANNER)')
 
         self.b0_thr = b0_thr
         self.b0_idx = np.where(self.b <= b0_thr)[0]
@@ -95,7 +95,7 @@ class Scheme:
     def get_table(self) -> np.ndarray:
         """Rebuild the scheme matrix from the shell structure (scheme.py:123-150)."""
         if self.raw is None:
-            ERROR('The structure has not been created.')
+            ERROR('Scheme holds no data; build it from a table first')
         ncol = 4 if self.version == 0 else 7
         table = np.zeros((self.b0_count + self.dwi_count, ncol))
         for shell in self.shells:
@@ -116,21 +116,21 @@ class Scheme:
 
 def _load_bvals_bvecs(bvals_filename, bvecs_filename, delimiter):
     if not os.path.exists(bvals_filename):
-        ERROR('bvals file not exist:' + str(bvals_filename))
+        ERROR(f'bvals file does not exist: {bvals_filename}')
     if not os.path.exists(bvecs_filename):
-        ERROR('bvecs file not exist:' + str(bvecs_filename))
+        ERROR(f'bvecs file does not exist: {bvecs_filename}')
     bvecs = np.loadtxt(bvecs_filename, delimiter=delimiter)
     bvals = np.loadtxt(bvals_filename, delimiter=delimiter)
     if bvecs.ndim != 2 or bvals.ndim != 1 or bvecs.shape[0] != 3 \
             or bvecs.shape[1] != bvals.shape[0]:
-        ERROR('incorrect/incompatible bval/bvecs files')
+        ERROR('bvals/bvecs shapes disagree: need bvecs (3, n) and bvals (n,)')
     return bvals, bvecs
 
 
 def _apply_flips(bvecs, flipAxes):
     flipAxes = np.array(flipAxes, dtype=np.bool_)
     if flipAxes.ndim != 1 or flipAxes.size != 3:
-        ERROR('"flipAxes" must contain 3 boolean values (one for each axis)')
+        ERROR('flipAxes needs exactly one boolean per axis (3 values)')
     for ax in range(3):
         if flipAxes[ax]:
             bvecs[ax, :] *= -1
@@ -141,17 +141,17 @@ def _round_bvals(bvals, bStep):
     """b-value rounding / shell-snapping (reference util.py:93-109)."""
     bStep = np.array(bStep, dtype=np.double)
     if bStep.size == 1 and bStep > 1.0:
-        PRINT('-> Rounding b-values to nearest multiple of %s' % np.array_str(bStep))
+        PRINT(f'-> Rounding b-values to multiples of {np.array_str(bStep)}')
         bvals = np.round(bvals / bStep) * bStep
     elif bStep.size > 1:
-        PRINT('-> Setting b-values to the closest shell in %s' % np.array_str(bStep))
+        PRINT(f'-> Snapping b-values onto the shells {np.array_str(bStep)}')
         for i in range(bvals.size):
             diff = np.min(np.abs(bvals[i] - bStep))
             ind = np.argmin(np.abs(bvals[i] - bStep))
             if (bStep[ind] == 0.0 and diff > 100) or \
                     (bStep[ind] > 0.0 and diff > bStep[ind] / 20.0):
-                WARNING("Measurement %d has b-value %d, being forced to %d\n'"
-                        % (i, bvals[i], bStep[ind]))
+                WARNING(f'sample {i}: b={bvals[i]:.0f} is far from any shell; '
+                        f'snapping it to b={bStep[ind]:.0f}')
             bvals[i] = bStep[ind]
     return bvals
 
@@ -166,7 +166,7 @@ def fsl2scheme(bvalsFilename, bvecsFilename, schemeFilename=None,
     bvals = _round_bvals(bvals, bStep)
     np.savetxt(schemeFilename, np.c_[bvecs.T, bvals], fmt='%.06f',
                delimiter='\t', header='VERSION: BVECTOR', comments='')
-    LOG('\n-> Writing scheme file to [ %s ]' % schemeFilename)
+    LOG(f'\n-> Scheme written to {schemeFilename}')
     return schemeFilename
 
 
@@ -184,18 +184,18 @@ def sandi2scheme(bvalsFilename, bvecsFilename, Delta_data, smalldel_data,
     def _load_percol(data, name):
         if isinstance(data, (str, os.PathLike)):
             if not os.path.exists(data):
-                ERROR(f'{name} file not exist:' + str(data))
+                ERROR(f'{name} file does not exist: {data}')
             arr = np.loadtxt(data, delimiter=delimiter)
             if arr.ndim != 1 or arr.shape[0] != bvals.shape[0]:
-                ERROR(f'incorrect/incompatible {name} files')
+                ERROR(f'{name} column must be a 1-D array matching bvals in length')
             if arr.mean() > 0.1:
-                WARNING(f'The mean of the {name} values is {arr.mean():.4f}, '
-                        'these values must be in seconds.')
+                WARNING(f'{name} values average {arr.mean():.4f} -- timings are '
+                        'expected in seconds; check the units')
         else:
             arr = np.ones_like(bvals) * data
             if data > 0.1:
-                WARNING(f'The {name} value is {arr.mean():.4f}, '
-                        'this value must be in seconds.')
+                WARNING(f'{name}={arr.mean():.4f} -- timings are expected in '
+                        'seconds; check the units')
         return arr
 
     delta = _load_percol(Delta_data, 'delta')
@@ -207,11 +207,11 @@ def sandi2scheme(bvalsFilename, bvecsFilename, Delta_data, smalldel_data,
         if isinstance(TE_data, (str, os.PathLike)):
             TE = np.loadtxt(TE_data, delimiter=delimiter)
             if TE.ndim != 1 or TE.shape[0] != bvals.shape[0]:
-                ERROR('incorrect/incompatible TE files')
+                ERROR('TE column must be a 1-D array matching bvals in length')
         else:
             TE = np.ones_like(bvals) * TE_data
         if not (TE >= (delta + smalldel)).all():
-            ERROR('The value TE < (Delta + delta) ')
+            ERROR('Every TE must be at least Delta + delta')
 
     bvecs = _apply_flips(bvecs, flipAxes)
     bvals = _round_bvals(bvals, bStep)
@@ -219,5 +219,5 @@ def sandi2scheme(bvalsFilename, bvecsFilename, Delta_data, smalldel_data,
     G = np.sqrt(bvals * 1e6 / (GAMMA ** 2 * smalldel ** 2 * (delta - smalldel / 3.0)))
     np.savetxt(schemeFilename, np.c_[bvecs.T, G, delta, smalldel, TE], fmt='%.06f',
                delimiter='\t', header='VERSION: 1', comments='')
-    LOG('\n-> Writing scheme file to [ %s ]' % schemeFilename)
+    LOG(f'\n-> Scheme written to {schemeFilename}')
     return schemeFilename
