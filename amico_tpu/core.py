@@ -86,6 +86,9 @@ def _default_config(study_path, subject, output_path) -> dict:
         # TPU-build extras
         tile_size='auto',
         voxels_per_chunk=65536,
+        # 'auto' | 'reference' | 'generated': where direction sets and the
+        # high-res gradient table come from (amico_tpu.ops.sphere.resolve_source)
+        direction_source='auto',
     )
     cfg['DWI-SNR'] = None
     return cfg
@@ -307,11 +310,15 @@ class Evaluation:
             for f in glob.glob(pjoin(atoms_path, '*')):
                 remove(f)
 
-        aux = _lut.load_precomputed_rotation_matrices(lmax, ndirs)
+        aux = _lut.load_precomputed_rotation_matrices(
+            lmax, ndirs, self.get_config('direction_source'))
         idx_IN, idx_OUT = _lut.aux_structures_generate(self.scheme, lmax)
         tic = time.time()
         with self.timers.stage('generate_kernels'), self._blas_limit():
             self.model.generate(atoms_path, aux, idx_IN, idx_OUT, ndirs)
+        with open(pjoin(atoms_path, 'lut_meta.pickle'), 'wb') as fid:
+            pickle.dump({'lmax': lmax, 'ndirs': ndirs,
+                         'source': aux.get('source')}, fid)
         LOG(f'   [ {time.time() - tic:.1f} seconds ]')
 
     # --------------------------------------------------------- load_kernels
@@ -327,7 +334,20 @@ class Evaluation:
         LOG(f'\n-> Resampling LUT for subject "{self.get_config("subject")}":')
         idx_OUT, Ylm_OUT = _lut.aux_structures_resample(
             self.scheme, self.get_config('lmax'))
-        self.htable = _lut.load_precomputed_hash_table(self.get_config('ndirs'))
+        # the on-disk kernels record which direction source built them; the
+        # hash table must come from the same set or LUT indices are garbage
+        source = self.get_config('direction_source')
+        meta_path = pjoin(self.get_config('ATOMS_path'), 'lut_meta.pickle')
+        if isfile(meta_path):
+            with open(meta_path, 'rb') as fid:
+                meta = pickle.load(fid)
+            source = meta.get('source', source)
+            if meta.get('ndirs') != self.get_config('ndirs'):
+                ERROR(f'Cached kernels were built with ndirs={meta.get("ndirs")}'
+                      f' but this session uses ndirs={self.get_config("ndirs")};'
+                      ' call generate_kernels(regenerate=True)')
+        self.htable = _lut.load_precomputed_hash_table(
+            self.get_config('ndirs'), source)
         with self.timers.stage('load_kernels'), self._blas_limit():
             self.KERNELS = self.model.resample(
                 self.get_config('ATOMS_path'), idx_OUT, Ylm_OUT,

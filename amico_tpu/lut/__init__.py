@@ -1,3 +1,4 @@
+from . import refdata
 from .rotation import (
     N_HIGHRES_DIRS,
     aux_structures_generate,
@@ -17,6 +18,7 @@ from .rotation import (
 )
 
 __all__ = [
+    'refdata',
     'N_HIGHRES_DIRS', 'aux_structures_generate', 'aux_structures_resample',
     'create_high_resolution_scheme', 'dir_to_lut_idx', 'dir_to_lut_idx_jax',
     'highres_grad', 'is_valid', 'load_directions',

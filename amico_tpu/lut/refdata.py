@@ -1,0 +1,91 @@
+"""Loaders for the reference AMICO binary data files.
+
+The reference ships hemisphere direction sets and 181x181 quantizer hash
+tables as raw binaries (``ndirs=N.bin``: N*3 float64; ``htable_ndirs=N.bin``:
+32761 int16 -- read at /root/reference/amico/lut.pyx:47-91), plus a 500-dir
+per-shell gradient table embedded in source (lut.pyx:390-891).  This module
+makes all three available here so that kernels, LUT indices, and therefore
+parameter maps can reproduce upstream AMICO's exactly:
+
+* ``highres_grad500.npy`` -- the embedded 500-dir gradient table, vendored
+  as data (values from lut.pyx:390-891);
+* ``ref_dirs500.npy`` / ``ref_htable500.npy`` -- the default (ndirs=500)
+  direction set + hash table, vendored so the out-of-the-box configuration
+  is bit-compatible with upstream;
+* any other ndirs loads from an AMICO ``directions/`` folder named by the
+  ``AMICO_TPU_REFERENCE_DIRECTIONS`` environment variable (or an explicit
+  ``path=``), in the upstream binary format.
+
+Validation (tests/test_refdata.py): our programmatic generators reproduce
+this data -- the hash-table builder matches ``htable_ndirs=500.bin``
+bit-for-bit, and the 32761-dir set is exactly the 1-degree grid with an
+identity table.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), 'data')
+
+N_GRID = 32761  # 181 x 181 quantizer grid (lut.pyx:349-356)
+
+
+def reference_grad() -> np.ndarray:
+    """The (500, 3) float64 per-shell gradient table the reference uses to
+    synthesize every high-resolution kernel (lut.pyx:390-891)."""
+    return np.load(os.path.join(_DATA_DIR, 'highres_grad500.npy'))
+
+
+def _search_dir(path: str | None) -> str | None:
+    if path is not None:
+        return path
+    return os.environ.get('AMICO_TPU_REFERENCE_DIRECTIONS')
+
+
+def has_reference_directions(ndirs: int, path: str | None = None) -> bool:
+    """True when the upstream direction set for ``ndirs`` is obtainable --
+    vendored (500) or present in a configured AMICO directions folder."""
+    if ndirs == 500:
+        return True
+    d = _search_dir(path)
+    return d is not None and os.path.isfile(
+        os.path.join(d, f'ndirs={ndirs}.bin'))
+
+
+def load_reference_directions(ndirs: int,
+                              path: str | None = None) -> np.ndarray:
+    """(ndirs, 3) float64 hemisphere direction set in the upstream binary
+    layout (raw little-endian float64, C order; lut.pyx:65-66)."""
+    if ndirs == 500 and _search_dir(path) is None:
+        return np.load(os.path.join(_DATA_DIR, 'ref_dirs500.npy'))
+    d = _search_dir(path)
+    if d is None:
+        raise FileNotFoundError(
+            f'No reference direction data for ndirs={ndirs}: set '
+            'AMICO_TPU_REFERENCE_DIRECTIONS to an AMICO "directions" folder')
+    arr = np.fromfile(os.path.join(d, f'ndirs={ndirs}.bin'), dtype=np.float64)
+    if arr.size != ndirs * 3:
+        raise ValueError(f'ndirs={ndirs}.bin holds {arr.size} float64 values, '
+                         f'expected {ndirs * 3}')
+    return arr.reshape(ndirs, 3)
+
+
+def load_reference_hash_table(ndirs: int,
+                              path: str | None = None) -> np.ndarray:
+    """(32761,) int16 quantizer table in the upstream binary layout
+    (raw little-endian int16; lut.pyx:89)."""
+    if ndirs == 500 and _search_dir(path) is None:
+        return np.load(os.path.join(_DATA_DIR, 'ref_htable500.npy'))
+    d = _search_dir(path)
+    if d is None:
+        raise FileNotFoundError(
+            f'No reference hash table for ndirs={ndirs}: set '
+            'AMICO_TPU_REFERENCE_DIRECTIONS to an AMICO "directions" folder')
+    ht = np.fromfile(os.path.join(d, f'htable_ndirs={ndirs}.bin'),
+                     dtype=np.int16)
+    if ht.size != N_GRID:
+        raise ValueError(f'htable_ndirs={ndirs}.bin holds {ht.size} int16 '
+                         f'values, expected {N_GRID}')
+    return ht

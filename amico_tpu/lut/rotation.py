@@ -33,19 +33,20 @@ from ..utils.logging import ERROR
 
 N_HIGHRES_DIRS = 500  # directions per shell of the high-resolution scheme
 
-_grad_cache: np.ndarray | None = None
 
-
-def highres_grad() -> np.ndarray:
+def highres_grad(source: str | None = None) -> np.ndarray:
     """The (500, 3) per-shell gradient set used to synthesize kernels.
 
-    Replaces the reference's embedded ``grad`` table (lut.pyx:387-891) with a
-    deterministic spherical-Fibonacci hemisphere set.
+    'reference' (the default -- the table is vendored) returns upstream's
+    embedded ``grad`` table (lut.pyx:390-891) so synthesized kernels match
+    upstream bit-for-bit; 'generated' returns a deterministic
+    spherical-Fibonacci hemisphere set.
     """
-    global _grad_cache
-    if _grad_cache is None:
-        _grad_cache = _sphere.fibonacci_hemisphere(N_HIGHRES_DIRS)
-    return _grad_cache
+    src = source or os.environ.get('AMICO_TPU_DIRECTION_SOURCE', 'auto')
+    if src in ('auto', 'reference'):
+        from . import refdata
+        return refdata.reference_grad()
+    return _sphere.fibonacci_hemisphere(N_HIGHRES_DIRS)
 
 
 # re-exported sphere helpers so this module covers the reference lut surface
@@ -55,24 +56,31 @@ load_directions = _sphere.load_directions
 load_precomputed_hash_table = _sphere.load_precomputed_hash_table
 
 
-def _aux_filename(lmax: int, ndirs: int) -> str:
-    return os.path.join(_sphere.amico_home(),
-                        f'AMICO_aux_matrices_lmax={lmax}_ndirs={ndirs}.pickle')
+def _aux_filename(lmax: int, ndirs: int, source: str) -> str:
+    # reference-sourced AUX keeps the upstream cache name (lut.pyx:106);
+    # generated-source gets its own key so the two never collide
+    suffix = '' if source == 'reference' else '_src=generated'
+    return os.path.join(
+        _sphere.amico_home(),
+        f'AMICO_aux_matrices_lmax={lmax}_ndirs={ndirs}{suffix}.pickle')
 
 
-def precompute_rotation_matrices(lmax: int, ndirs: int) -> None:
+def precompute_rotation_matrices(lmax: int, ndirs: int,
+                                 source: str | None = None) -> None:
     """Precompute the per-(lmax, ndirs) rotation structures (lut.pyx:94-141).
 
-    AUX = {fit, Ylm_rot, const, idx_m0, lmax, ndirs} where
+    AUX = {fit, Ylm_rot, const, idx_m0, lmax, ndirs, grad, source} where
     ``Ylm_rot`` is a dense (ndirs, nSH) matrix (the reference stores an
-    object-array of row vectors, lut.pyx:122-126).
+    object-array of row vectors, lut.pyx:122-126) and ``grad`` is the
+    high-res gradient set the SH fit matrix was built on.
     Cached on disk; re-entry is a no-op (lut.pyx:107-108).
     """
-    filename = _aux_filename(lmax, ndirs)
+    source = _sphere.resolve_source(ndirs, source)
+    filename = _aux_filename(lmax, ndirs, source)
     if os.path.isfile(filename):
         return
-    directions = _sphere.load_directions(ndirs)
-    grad = highres_grad()
+    directions = _sphere.load_directions(ndirs, source)
+    grad = highres_grad(source)
 
     _, theta, phi = _sh.cart2sphere(grad[:, 0], grad[:, 1], grad[:, 2])
     fit = _sh.sh_fit_matrix(lmax, theta, phi)
@@ -83,20 +91,29 @@ def precompute_rotation_matrices(lmax: int, ndirs: int) -> None:
 
     _, _, idx_m0, const = _sh.sh_degree_info(lmax)
 
-    AUX = {'lmax': lmax, 'ndirs': ndirs, 'fit': fit,
-           'Ylm_rot': Ylm_rot, 'const': const, 'idx_m0': idx_m0}
+    AUX = {'lmax': lmax, 'ndirs': ndirs, 'fit': fit, 'Ylm_rot': Ylm_rot,
+           'const': const, 'idx_m0': idx_m0, 'grad': grad, 'source': source}
     with open(filename, 'wb+') as fid:
         pickle.dump(AUX, fid, protocol=4)
 
 
-def load_precomputed_rotation_matrices(lmax: int, ndirs: int) -> dict:
+def load_precomputed_rotation_matrices(lmax: int, ndirs: int,
+                                       source: str | None = None) -> dict:
     """Load AUX; errors if setup() was never run (lut.pyx:144-167)."""
-    filename = _aux_filename(lmax, ndirs)
+    source = _sphere.resolve_source(ndirs, source)
+    filename = _aux_filename(lmax, ndirs, source)
     if not os.path.isfile(filename):
         # unlike the reference we can self-heal: precompute is cheap
-        precompute_rotation_matrices(lmax, ndirs)
+        precompute_rotation_matrices(lmax, ndirs, source)
     with open(filename, 'rb') as fid:
-        return pickle.load(fid)
+        AUX = pickle.load(fid)
+    if AUX.get('source') != source:
+        # cache written by an older build (or with different data): rebuild
+        os.remove(filename)
+        precompute_rotation_matrices(lmax, ndirs, source)
+        with open(filename, 'rb') as fid:
+            AUX = pickle.load(fid)
+    return AUX
 
 
 def aux_structures_generate(scheme: Scheme, lmax: int = 12):
@@ -167,10 +184,16 @@ def resample_kernel(KRlm: np.ndarray, nS: int, idx_out: np.ndarray,
     return KR
 
 
-def create_high_resolution_scheme(scheme: Scheme, b_scale: float = 1) -> Scheme:
-    """Replicate the high-res gradient set for each shell (lut.pyx:359-384)."""
+def create_high_resolution_scheme(scheme: Scheme, b_scale: float = 1,
+                                  grad: np.ndarray | None = None) -> Scheme:
+    """Replicate the high-res gradient set for each shell (lut.pyx:359-384).
+
+    ``grad`` should be the set the rotation AUX was built on (AUX['grad']);
+    defaults to the module-level resolution for callers without an AUX.
+    """
     n = len(scheme.shells)
-    grad = highres_grad()
+    if grad is None:
+        grad = highres_grad()
     raw = np.zeros((N_HIGHRES_DIRS * n, 4 if scheme.version == 0 else 7))
     row = 0
     for i in range(n):

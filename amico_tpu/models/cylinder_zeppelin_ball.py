@@ -59,7 +59,8 @@ class CylinderZeppelinBall(BaseModel):
         """Reference models.pyx:445-479."""
         if self.scheme.version != 1:
             ERROR('This model requires a "VERSION: STEJSKALTANNER" scheme')
-        scheme_high = _lut.create_high_resolution_scheme(self.scheme)
+        scheme_high = _lut.create_high_resolution_scheme(self.scheme,
+                                                         grad=aux.get('grad'))
         cylinder = CylinderGPD(scheme_high)
         zeppelin = Zeppelin(scheme_high)
         ball = Ball(scheme_high)

@@ -69,7 +69,8 @@ class FreeWater(BaseModel):
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Reference models.pyx:1088-1110."""
-        scheme_high = _lut.create_high_resolution_scheme(self.scheme)
+        scheme_high = _lut.create_high_resolution_scheme(self.scheme,
+                                                         grad=aux.get('grad'))
         zeppelin = Zeppelin(scheme_high)
         ball = Ball(scheme_high)
 

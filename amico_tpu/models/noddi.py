@@ -71,7 +71,8 @@ class NODDI(BaseModel):
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Coupled IC+EC atoms over the (IC_OD, IC_VF) grid + isotropic atom
         (reference models.pyx:727-751)."""
-        scheme_high = _lut.create_high_resolution_scheme(self.scheme)
+        scheme_high = _lut.create_high_resolution_scheme(self.scheme,
+                                                         grad=aux.get('grad'))
         noddi_ic = NODDIIntraCellular(scheme_high)
         noddi_ec = NODDIExtraCellular(scheme_high)
         noddi_iso = NODDIIsotropic(scheme_high)

@@ -61,7 +61,8 @@ class SANDI(BaseModel):
         """Reference models.pyx:1411-1443; all atoms treated isotropic."""
         if self.scheme.version != 1:
             ERROR('This model requires a "VERSION: STEJSKALTANNER" scheme')
-        scheme_high = _lut.create_high_resolution_scheme(self.scheme)
+        scheme_high = _lut.create_high_resolution_scheme(self.scheme,
+                                                         grad=aux.get('grad'))
         sphere = SphereGPD(scheme_high)
         astrosticks = Astrosticks(scheme_high)
         ball = Ball(scheme_high)

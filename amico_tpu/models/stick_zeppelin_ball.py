@@ -48,7 +48,8 @@ class StickZeppelinBall(BaseModel):
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Reference models.pyx:296-324.  Note the reference builds the
         stick with d_par only; a nonzero d_perp uses a Zeppelin."""
-        scheme_high = _lut.create_high_resolution_scheme(self.scheme)
+        scheme_high = _lut.create_high_resolution_scheme(self.scheme,
+                                                         grad=aux.get('grad'))
         stick = Stick(scheme_high)
         zeppelin = Zeppelin(scheme_high)
         ball = Ball(scheme_high)

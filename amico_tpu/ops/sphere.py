@@ -44,6 +44,27 @@ def is_valid(ndirs: int) -> bool:
     return ndirs in valid_dirs()
 
 
+def resolve_source(ndirs: int, source: str | None = None) -> str:
+    """Resolve the direction-data source for ``ndirs``.
+
+    'reference' uses upstream AMICO's shipped binary data (vendored for the
+    default ndirs=500, loadable from an AMICO install for the rest; see
+    amico_tpu.lut.refdata) so LUT indices and maps are bit-compatible with
+    upstream.  'generated' uses the deterministic in-framework sets below.
+    'auto' (default, or via AMICO_TPU_DIRECTION_SOURCE) picks 'reference'
+    whenever that data is obtainable.
+    """
+    src = source or os.environ.get('AMICO_TPU_DIRECTION_SOURCE', 'auto')
+    if src == 'auto':
+        from ..lut import refdata
+        src = ('reference' if refdata.has_reference_directions(ndirs)
+               else 'generated')
+    if src not in ('reference', 'generated'):
+        raise ValueError(f'direction source must be "reference", "generated" '
+                         f'or "auto", got "{src}"')
+    return src
+
+
 def fibonacci_hemisphere(n: int) -> np.ndarray:
     """n spherical-Fibonacci points on the y>=0 hemisphere, unit vectors.
 
@@ -73,8 +94,15 @@ def grid_directions() -> np.ndarray:
                     axis=-1).reshape(-1, 3)
 
 
-def load_directions(ndirs: int) -> np.ndarray:
-    """Return the (ndirs, 3) float64 direction set (reference lut.pyx:47-68)."""
+def load_directions(ndirs: int, source: str | None = None) -> np.ndarray:
+    """Return the (ndirs, 3) float64 direction set (reference lut.pyx:47-68).
+
+    ``source``: 'reference' | 'generated' | None (= 'auto', prefer
+    reference data when obtainable; see :func:`resolve_source`).
+    """
+    if resolve_source(ndirs, source) == 'reference':
+        from ..lut import refdata
+        return refdata.load_reference_directions(ndirs)
     if ndirs == 1:
         return np.array([[0.0, 0.0, 1.0]])
     if ndirs == 32761:
@@ -107,13 +135,26 @@ def build_hash_table(directions: np.ndarray) -> np.ndarray:
     return out
 
 
-def load_precomputed_hash_table(ndirs: int) -> np.ndarray:
-    """Disk-cached hash table (reference lut.pyx:71-91 semantics)."""
+def load_precomputed_hash_table(ndirs: int,
+                                source: str | None = None) -> np.ndarray:
+    """Disk-cached hash table (reference lut.pyx:71-91 semantics).
+
+    The builder reproduces the shipped tables: bit-identical for the
+    default ndirs=500 set (tests/test_refdata.py) -- residual differences
+    at other counts are argmax ties between equidistant directions.
+    """
+    if resolve_source(ndirs, source) == 'reference':
+        from ..lut import refdata
+        return refdata.load_reference_hash_table(ndirs)
+    if ndirs == 32761:
+        # the grid's nearest grid direction is itself; the shipped
+        # htable_ndirs=32761.bin is exactly this identity map
+        return np.arange(32761, dtype=np.int16)
     cache = os.path.join(amico_home(), 'directions')
     os.makedirs(cache, exist_ok=True)
     fn = os.path.join(cache, f'htable_ndirs={ndirs}.npy')
     if os.path.isfile(fn):
         return np.load(fn)
-    ht = build_hash_table(load_directions(ndirs))
+    ht = build_hash_table(load_directions(ndirs, source='generated'))
     np.save(fn, ht)
     return ht

@@ -1,0 +1,49 @@
+"""Regenerate the golden NODDI fixture (golden_noddi_small.npz).
+
+Run from the repo root after an INTENTIONAL semantics change:
+
+    python tests/data/regen_golden.py
+
+The fixture freezes the map outputs of the frozen synthetic subject in
+tests/test_golden.py; regenerating it resets the regression baseline, so
+only do it when the numeric change is understood and documented.
+"""
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
+os.environ.pop('JAX_PLATFORMS', None)
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+from amico_tpu.testing import demo_noddi, demo_scheme, demo_voxels  # noqa: E402
+
+
+def main():
+    home = tempfile.mkdtemp(prefix='golden_home_')
+    os.environ['AMICO_TPU_HOME'] = home
+    scheme = demo_scheme()
+    model, kernels, htable = demo_noddi(scheme, small=True,
+                                        kernels_dir=tempfile.mkdtemp())
+    y, DIRs, _ = demo_voxels(256, kernels, htable, seed=42)
+
+    class Ctx:
+        def __init__(s):
+            s.y, s.DIRs, s.htable, s.KERNELS = y, DIRs, htable, kernels
+
+        def get_config(s, k):
+            return {'tile_size': 32, 'voxels_per_chunk': 8192}.get(k)
+
+    res = model.fit(Ctx())
+    out = os.path.join(os.path.dirname(__file__), 'golden_noddi_small.npz')
+    np.savez_compressed(out, estimates=np.asarray(res['estimates'],
+                                                  np.float32))
+    print(f'wrote {out}: estimates {res["estimates"].shape}')
+
+
+if __name__ == '__main__':
+    main()
