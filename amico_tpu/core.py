@@ -89,6 +89,9 @@ def _default_config(study_path, subject, output_path) -> dict:
         # 'auto' | 'reference' | 'generated': where direction sets and the
         # high-res gradient table come from (amico_tpu.ops.sphere.resolve_source)
         direction_source='auto',
+        # multi-host: fit only this host's voxel slab, all-gather the maps
+        # (amico_tpu.parallel.dist; call dist.initialize() first)
+        distributed=False,
     )
     cfg['DWI-SNR'] = None
     return cfg
@@ -376,11 +379,27 @@ class Evaluation:
 
         t = time.time()
         self.y = _pl.masked_voxels(self.niiDWI_img, mask)
+
+        # multi-host: fit only this host's voxel slab (bulk voxel data never
+        # crosses DCN; maps are gathered after the fit)
+        from .parallel import dist
+        dist_on = bool(self.get_config('distributed')) \
+            and dist.process_count() > 1
+        y_full = self.y
+        if dist_on:
+            slab = dist.host_slab(n_vox)
+            self.y = y_full[slab]
+            LOG(f'\n-> Distributed fit: host {dist.process_index()}/'
+                f'{dist.process_count()} takes voxels '
+                f'[{slab.start}:{slab.stop}) of {n_vox}')
+
         LOG(f"\n-> Estimating principal directions "
             f"({self.get_config('DTI_fit_method')}):")
         peaks_filename = self.get_config('peaks_filename')
         if peaks_filename is not None:
             self.DIRs = self._load_peaks(peaks_filename, mask)
+            if dist_on:
+                self.DIRs = self.DIRs[slab]
         elif not self.get_config('doDirectionalAverage'):
             with self.timers.stage('directions'):
                 self.DIRs = _pl.principal_directions(
@@ -399,6 +418,13 @@ class Evaluation:
         LOG('   [ %s ]' % time.strftime(
             '%Hh %Mm %Ss', time.gmtime(self.get_config('fit_time'))))
 
+        if dist_on:
+            results = {k: dist.allgather_rows(np.asarray(v), n_vox)
+                       for k, v in results.items()}
+            if self.DIRs is not None:
+                self.DIRs = dist.allgather_rows(
+                    np.asarray(self.DIRs, np.float32), n_vox)
+            self.y = y_full
         self.RESULTS = self._scatter_results(results, mask)
 
     def _load_peaks(self, peaks_filename, mask):
@@ -445,9 +471,19 @@ class Evaluation:
 
     # --------------------------------------------------------- save_results
     def save_results(self, path_suffix=None, save_dir_avg=False):
-        """Write parameter maps + metadata (reference core.py:501-648)."""
+        """Write parameter maps + metadata (reference core.py:501-648).
+        In distributed runs only the coordinator writes (every host holds
+        the gathered maps); all hosts synchronize before returning."""
         if self.RESULTS is None:
             ERROR('Model not fitted to the data; call "fit()" first')
+        from .parallel import dist
+        dist_on = bool(self.get_config('distributed')) \
+            and dist.process_count() > 1
+        if dist_on and not dist.is_coordinator():
+            LOG(f'\n-> Host {dist.process_index()}: coordinator writes the '
+                'results; waiting at barrier')
+            dist.barrier('save_results')
+            return
         suffix = f'_{path_suffix}' if path_suffix else ''
         if self.get_config('OUTPUT_path') is None:
             rel = pjoin('AMICO', self.model.id) + suffix
@@ -521,4 +557,6 @@ class Evaluation:
                 WARNING('No directional-average signal to save: enable '
                         'doDirectionalAverage before load_data()')
 
+        if dist_on:
+            dist.barrier('save_results')
         LOG('   [ DONE ]')

@@ -134,20 +134,43 @@ def _read_bytes(filename: str) -> bytes:
         return f.read()
 
 
+def _companion(filename: str, ext: str) -> str:
+    """Sibling file of an .hdr/.img pair, preserving optional .gz."""
+    name = str(filename)
+    gz = name.endswith('.gz')
+    stem = name[:-3] if gz else name
+    stem = stem[:stem.rfind('.')]
+    return stem + ext + ('.gz' if gz else '')
+
+
 def load(filename: str) -> Nifti1Image:
-    """Load a .nii or .nii.gz single-file NIfTI-1 image (raw, unscaled data)."""
-    raw = _read_bytes(filename)
+    """Load a NIfTI-1 image (raw, unscaled data).
+
+    Supports single-file ``.nii``/``.nii.gz`` (magic ``n+1``) and two-file
+    ``.hdr``/``.img`` pairs (magic ``ni1``), either endianness.  NIfTI-2
+    files fail loudly (sizeof_hdr 540) rather than being misparsed.
+    """
+    name = str(filename)
+    if name.replace('.gz', '').endswith('.img'):
+        name = _companion(name, '.hdr')
+    raw = _read_bytes(name)
     if len(raw) < _HDR_SIZE:
         raise ValueError(f'{filename}: too small to be a NIfTI-1 file')
     hdr = Nifti1Header()
     sizeof_hdr = struct.unpack('<i', raw[0:4])[0]
     endian = '<'
     if sizeof_hdr != _HDR_SIZE:
+        if sizeof_hdr == 540 or struct.unpack('>i', raw[0:4])[0] == 540:
+            raise ValueError(f'{filename}: NIfTI-2 is not supported; convert '
+                             'to NIfTI-1 (e.g. mrconvert/fslchfiletype)')
         sizeof_hdr = struct.unpack('>i', raw[0:4])[0]
         if sizeof_hdr != _HDR_SIZE:
-            raise ValueError(f'{filename}: bad sizeof_hdr')
+            raise ValueError(f'{filename}: bad sizeof_hdr (not a NIfTI file?)')
         endian = '>'
     hdr.endian = endian
+    magic = raw[344:348]
+    if magic not in (b'n+1\x00', b'ni1\x00'):
+        raise ValueError(f'{filename}: bad NIfTI magic {magic!r}')
     u = lambda fmt, off: struct.unpack(endian + fmt, raw[off:off + struct.calcsize(fmt)])
 
     hdr.dim = np.array(u('8h', 40), dtype=np.int64)
@@ -172,7 +195,12 @@ def load(filename: str) -> Nifti1Image:
     dtype = np.dtype(_DTYPES[hdr.datatype]).newbyteorder(endian)
     shape = hdr.shape
     count = int(np.prod(shape)) if shape else 0
-    off = int(hdr.vox_offset)
+    if magic == b'ni1\x00':
+        # two-file pair: voxels live in the sibling .img at vox_offset
+        raw = _read_bytes(_companion(name, '.img'))
+        off = int(hdr.vox_offset)
+    else:
+        off = int(hdr.vox_offset)
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=off)
     # NIfTI voxel data is Fortran-ordered (x fastest)
     data = data.reshape(shape, order='F')

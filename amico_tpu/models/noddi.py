@@ -265,8 +265,11 @@ class NODDI(BaseModel):
             mask_wm = (x2 > 0.0).astype(Y.dtype)
             ones_tail = jnp.ones(Y.shape[:2] + (n_atoms - n_wm,), Y.dtype)
             mask = jnp.concatenate([mask_wm, ones_tail], axis=-1)
+            # warm start: seed the working set with the (small) allowed
+            # support and start CG from the stage-1 solution on it
             x = solve_tiles(G1, b1, L1, 0.0, 0.0, mask=mask,
-                            solver_kw=solver_kw, backend=backend)
+                            solver_kw=solver_kw, backend=backend,
+                            m0=mask, x0=x1 * mask)
 
             # ---- estimates (models.pyx:944-967)
             sum_atoms = jnp.sum(x, axis=-1) + 1e-16

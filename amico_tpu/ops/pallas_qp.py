@@ -49,36 +49,37 @@ def _dot_g(Gm, X):
 
 
 def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
-                    cg_iters: int, inner_passes: int):
+                    cg_iters: int, inner_passes: int,
+                    early_exit: bool = False):
     """Build the shared in-kernel solver: FISTA (in-kernel power-iteration
     Lipschitz estimate, adaptive restart) followed by Lawson-Hanson-style
     active-set rounds with masked-CG subproblem solves.
 
-    Returns ``as_solve(G, b, l1, l2, cmask) -> x`` operating on the
-    (n_padded, M) sublane-major layout; ``cmask`` pins padded/masked
-    coefficients to zero.  All constants are Python floats (jnp constants
+    Returns ``as_solve(G, b, l1, l2, cmask, m0=None, x_init=None) -> x``
+    operating on the (n_padded, M) sublane-major layout; ``cmask`` pins
+    padded/masked coefficients to zero.  ``m0`` seeds the working set
+    directly (skips FISTA -- used to warm-start the NODDI debias stage from
+    the stage-2 support); ``x_init`` warm-starts the first CG solve.
+    With ``early_exit`` the iteration caps become while-loop bounds: the
+    tile stops as soon as every lane's working set is stable (most tiles
+    converge in a fraction of the cap; the serial Pallas grid makes this a
+    direct wall-clock win).  All constants are Python floats (jnp constants
     defined outside the kernel body would become captured tracers).
     """
     tol = 3e-6
+    ftol = 1e-4
     big = 3.0e38
 
-    def as_solve(G, b, l1, l2, cmask):
+    def as_solve(G, b, l1, l2, cmask, m0=None, x_init=None):
         npad_l = G.shape[0]
 
-        def powb(_, v):
-            w = _dot_g(G, v)
-            return w / (jnp.sqrt(jnp.sum(w * w)) + 1e-30)
-
-        v = jax.lax.fori_loop(0, 10, powb, jnp.ones((npad_l, 1), jnp.float32))
-        L = jnp.sum(v * _dot_g(G, v)) * 1.01 + 1e-30
-        step = 1.0 / (L + l2 + 1e-30)
         bm = b * cmask
 
         def prox(z):
             return jnp.maximum(z, 0.0) * cmask
 
-        def fista_body(_, s):
-            x, z, t = s
+        def fista_body(s):
+            x, z, t, i, _ = s
             grad = _dot_g(G, z) - bm + l2 * z
             x_new = prox(z - step * (grad + l1))
             restart = jnp.sum((z - x_new) * (x_new - x), axis=0,
@@ -86,11 +87,33 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
             t_eff = jnp.where(restart, 1.0, t_new)
             beta = jnp.where(restart, 0.0, (t - 1.0) / t_new)
-            return x_new, x_new + beta * (x_new - x), t_eff
+            done = jnp.max(jnp.abs(x_new - x)) <= ftol * bscale
+            return x_new, x_new + beta * (x_new - x), t_eff, i + 1, done
 
-        x0 = jnp.zeros((npad_l, M), jnp.float32)
-        t0 = jnp.ones((1, M), jnp.float32)
-        x, _, _ = jax.lax.fori_loop(0, fista_iters, fista_body, (x0, x0, t0))
+        if m0 is None and fista_iters > 0:
+            def powb(_, v):
+                w = _dot_g(G, v)
+                return w / (jnp.sqrt(jnp.sum(w * w)) + 1e-30)
+
+            v = jax.lax.fori_loop(0, 10, powb,
+                                  jnp.ones((npad_l, 1), jnp.float32))
+            L = jnp.sum(v * _dot_g(G, v)) * 1.01 + 1e-30
+            step = 1.0 / (L + l2 + 1e-30)
+            bscale = jnp.max(jnp.abs(bm)) + 1e-30
+            x0 = jnp.zeros((npad_l, M), jnp.float32)
+            t0 = jnp.ones((1, M), jnp.float32)
+            if early_exit:
+                x, _, _, _, _ = jax.lax.while_loop(
+                    lambda s: jnp.logical_and(s[3] < fista_iters,
+                                              jnp.logical_not(s[4])),
+                    fista_body, (x0, x0, t0, 0, False))
+            else:
+                x, _, _, _, _ = jax.lax.fori_loop(
+                    0, fista_iters, lambda _, s: fista_body(s),
+                    (x0, x0, t0, 0, False))
+        else:
+            x = jnp.zeros((npad_l, M), jnp.float32) if x_init is None \
+                else x_init
         if refine_rounds <= 0:
             return x
 
@@ -132,8 +155,9 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             m = m * (x > tol * scale).astype(jnp.float32)
             return x * m, m
 
-        def as_round(_, carry):
-            x, m = carry
+        def as_round(carry):
+            x, m, i, _ = carry
+            m_before = m
             for _r in range(inner_passes):
                 x, m = inner_solve(x, m)
             w = b_eff - _dot_g(G, x) - l2 * x
@@ -144,11 +168,24 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             add = (wmax > tol * scale).astype(jnp.float32)
             rows = jax.lax.broadcasted_iota(jnp.int32, (npad_l, M), 0)
             onehot = (rows == jstar).astype(jnp.float32)
-            m = jnp.minimum(m + add * onehot, 1.0)
-            return x, m
+            m_new = jnp.minimum(m + add * onehot, 1.0)
+            # tile-converged: no violated atoms added and no working-set
+            # churn anywhere in the tile this round
+            stable = jnp.logical_and(jnp.max(add) <= 0.0,
+                                     jnp.max(jnp.abs(m_new - m_before)) <= 0.0)
+            return x, m_new, i + 1, stable
 
-        m0 = (x > 0.0).astype(jnp.float32) * cmask
-        x, m = jax.lax.fori_loop(0, refine_rounds, as_round, (x, m0))
+        m_init = (x > 0.0).astype(jnp.float32) * cmask if m0 is None \
+            else m0 * cmask
+        if early_exit:
+            x, m, _, _ = jax.lax.while_loop(
+                lambda c: jnp.logical_and(c[2] < refine_rounds,
+                                          jnp.logical_not(c[3])),
+                as_round, (x, m_init, 0, False))
+        else:
+            x, m, _, _ = jax.lax.fori_loop(
+                0, refine_rounds, lambda _, c: as_round(c),
+                (x, m_init, 0, False))
         x, m = inner_solve(x, m)
         return jnp.maximum(x, 0.0)
 
@@ -157,21 +194,31 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
 
 def _make_kernel(n: int, npad: int, M: int, lam1: float, lam2: float,
                  fista_iters: int, cd_sweeps: int, refine_rounds: int,
-                 cg_iters: int, has_mask: bool, inner_passes: int = 2):
+                 cg_iters: int, has_mask: bool, inner_passes: int = 2,
+                 has_warm: bool = False, early_exit: bool = False):
     as_solve = _build_as_solve(M, fista_iters, refine_rounds, cg_iters,
-                               inner_passes)
+                               inner_passes, early_exit)
 
     def kernel(*refs):
+        refs = list(refs)
+        G_ref, B_ref = refs[:2]
+        k = 2
+        mask_ref = m0_ref = x0_ref = None
         if has_mask:
-            G_ref, B_ref, mask_ref, X_ref = refs
-        else:
-            G_ref, B_ref, X_ref = refs
+            mask_ref = refs[k]; k += 1
+        if has_warm:
+            m0_ref = refs[k]; x0_ref = refs[k + 1]; k += 2
+        X_ref = refs[k]
         G = G_ref[0]                    # (npad, npad)
         b = B_ref[0]                    # (npad, M)
         pad = (jax.lax.broadcasted_iota(jnp.int32, (npad, M), 0) < n
                ).astype(jnp.float32)
         cmask = mask_ref[0] * pad if has_mask else pad
-        X_ref[0] = as_solve(G, b * pad, lam1, lam2, cmask)
+        if has_warm:
+            X_ref[0] = as_solve(G, b * pad, lam1, lam2, cmask,
+                                m0=m0_ref[0] * cmask, x_init=x0_ref[0] * cmask)
+        else:
+            X_ref[0] = as_solve(G, b * pad, lam1, lam2, cmask)
 
     return kernel
 
@@ -183,12 +230,15 @@ def _make_kernel(n: int, npad: int, M: int, lam1: float, lam2: float,
 def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
                          fista_iters: int = 60, cd_sweeps: int = 4,
                          refine_rounds: int = 14, cg_iters: int = 24,
-                         interpret: bool = False, inner_passes: int = 2):
+                         interpret: bool = False, inner_passes: int = 2,
+                         m0=None, x0=None):
     """Per-tile QP solve: G (C, n, n), b (C, M, n), L (C,) -> x (C, M, n).
 
     Same problem and same math as ops.solvers.nneg_qp_batch with a per-tile
     shared Gram matrix; mask optional (C, M, n).  ``L`` is accepted for API
     symmetry and ignored (the Lipschitz constant is estimated in-kernel).
+    ``m0``/``x0`` (both (C, M, n)) warm-start the active-set rounds and skip
+    the FISTA phase.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -196,29 +246,35 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
     C, M, n = b.shape
     npad = _round_up(n, 8)
 
+    def padT(a):
+        return jnp.zeros((C, npad, M), jnp.float32).at[:, :n, :].set(
+            jnp.swapaxes(jnp.asarray(a, jnp.float32), 1, 2))
+
     Gp = jnp.zeros((C, npad, npad), jnp.float32).at[:, :n, :n].set(G)
-    bT = jnp.zeros((C, npad, M), jnp.float32).at[:, :n, :].set(
-        jnp.swapaxes(b, 1, 2))
+    bT = padT(b)
 
     has_mask = mask is not None
+    has_warm = m0 is not None
+    tile_spec = pl.BlockSpec((1, npad, M), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
     inputs = [Gp, bT]
     in_specs = [
         pl.BlockSpec((1, npad, npad), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, npad, M), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        tile_spec,
     ]
     if has_mask:
-        mT = jnp.zeros((C, npad, M), jnp.float32).at[:, :n, :].set(
-            jnp.swapaxes(jnp.asarray(mask, jnp.float32), 1, 2))
-        inputs.append(mT)
-        in_specs.append(pl.BlockSpec((1, npad, M), lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        inputs.append(padT(mask))
+        in_specs.append(tile_spec)
+    if has_warm:
+        inputs.append(padT(m0))
+        inputs.append(padT(x0 if x0 is not None else jnp.zeros_like(b)))
+        in_specs.extend([tile_spec, tile_spec])
 
     kernel = _make_kernel(n, npad, M, float(lam1), float(lam2),
                           int(fista_iters), int(cd_sweeps),
                           int(refine_rounds), int(cg_iters), has_mask,
-                          int(inner_passes))
+                          int(inner_passes), has_warm)
 
     xT = pl.pallas_call(
         kernel,
@@ -280,7 +336,11 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                             jnp.pad(sup2, ((0, npad - n2pad), (0, 0)))[:npad],
                             0.0)
         mask3 = jnp.minimum(wm_mask + iso_row, 1.0) * pad1
-        x = as_solve(G1, b1 * pad1, 0.0, 0.0, mask3)
+        # warm start: the allowed support IS mask3 (small), so seed the
+        # working set with it directly (skips FISTA) and start CG from the
+        # stage-1 solution restricted to it
+        x = as_solve(G1, b1 * pad1, 0.0, 0.0, mask3, m0=mask3,
+                     x_init=x1 * mask3)
 
         # estimates (models.pyx:944-967)
         sum_atoms = jnp.sum(x, axis=0, keepdims=True) + 1e-16

@@ -102,7 +102,7 @@ def _cg_masked(G, b, m, x0, lam2, iters: int):
 def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
                   fista_iters: int = 200, cd_sweeps: int = 40, x0=None,
                   refine_rounds: int = 0, cg_iters: int = 32,
-                  inner_passes: int = 2):
+                  inner_passes: int = 2, m0=None, early_exit: bool = True):
     """Solve min_x 0.5 x'Gx - b'x + lam1 1'x + 0.5 lam2 |x|^2,  x >= 0
     for a broadcastable batch of problems.
 
@@ -115,6 +115,11 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
     mask : optional {0,1} array broadcastable to b; 0-coordinates pinned to 0
     L : optional Lipschitz constants broadcastable to b's batch dims
         (lam2 excluded); computed by power iteration when None
+    m0 : optional initial working set for the active-set rounds (seeds the
+        support directly instead of the FISTA/CD solution's positives --
+        combine with fista_iters=0, cd_sweeps=0 and an x0 to warm-start)
+    early_exit : stop the FISTA/active-set loops once the whole batch is
+        converged (while_loop instead of fixed trip count)
     """
     b = jnp.asarray(b)
     G = jnp.asarray(G, b.dtype)
@@ -143,7 +148,7 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
             out = out * mask
         return out
 
-    def fista_body(_, s: _FistaState) -> _FistaState:
+    def fista_body(s: _FistaState) -> _FistaState:
         grad = _mv(G, s.z) - b + lam2 * s.z
         x_new = prox(s.z - step * (grad + lam1))
         # adaptive gradient restart (per problem)
@@ -155,12 +160,30 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
         return _FistaState(x_new, z_new, t_eff)
 
     state = _FistaState(x_init, x_init, jnp.ones(b.shape[:-1], b.dtype))
-    if fista_iters > 0:
-        state = jax.lax.fori_loop(0, fista_iters, fista_body, state)
+    if fista_iters > 0 and m0 is None:
+        if early_exit:
+            bscale = jnp.max(jnp.abs(b)) + 1e-30
+            ftol = 1e-4 if b.dtype == jnp.float32 else 1e-6
+
+            def fcond(carry):
+                s, prev, i = carry
+                moved = jnp.max(jnp.abs(s.x - prev)) > ftol * bscale
+                return jnp.logical_and(i < fista_iters,
+                                       jnp.logical_or(i < 2, moved))
+
+            def fbody(carry):
+                s, _, i = carry
+                return fista_body(s), s.x, i + 1
+
+            state, _, _ = jax.lax.while_loop(
+                fcond, fbody, (state, jnp.full_like(x_init, jnp.inf), 0))
+        else:
+            state = jax.lax.fori_loop(0, fista_iters,
+                                      lambda _, s: fista_body(s), state)
     x = state.x
 
     # ---- coordinate-descent polish (exact coordinate minimization) ----
-    if cd_sweeps > 0:
+    if cd_sweeps > 0 and m0 is None:
         Gdiag = jnp.diagonal(G, axis1=-2, axis2=-1)  # (..., n)
         lam1_j = jnp.broadcast_to(lam1, b.shape) if lam1.ndim else lam1
         lam2_j = jnp.broadcast_to(lam2, b.shape) if lam2.ndim else lam2
@@ -209,8 +232,9 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
             m = m * (x > tol * scale).astype(b.dtype)
             return x * m, m
 
-        def as_round(_, carry):
-            x, m = carry
+        def as_round(carry):
+            x, m, i, _ = carry
+            m_before = m
             for _r in range(inner_passes):   # solve (+ optional removal pass)
                 x, m = inner_solve((x, m))
             # addition step: best violated atom outside the working set
@@ -221,13 +245,29 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
             wmax = jnp.take_along_axis(w_cand, jstar[..., None], axis=-1)
             add = (wmax > tol * scale).astype(b.dtype)
             onehot = jax.nn.one_hot(jstar, b.shape[-1], dtype=b.dtype)
-            m = jnp.minimum(m + add * onehot, 1.0)
-            return x, m
+            m_new = jnp.minimum(m + add * onehot, 1.0)
+            stable = jnp.logical_and(
+                jnp.max(add) <= 0.0,
+                jnp.max(jnp.abs(m_new - m_before)) <= 0.0)
+            return x, m_new, i + 1, stable
 
-        m0 = (x > 0.0).astype(b.dtype)
-        if mask is not None:
-            m0 = m0 * mask
-        x, m = jax.lax.fori_loop(0, refine_rounds, as_round, (x, m0))
+        if m0 is not None:
+            m_init = jnp.broadcast_to(jnp.asarray(m0, b.dtype), b.shape)
+            if mask is not None:
+                m_init = m_init * mask
+        else:
+            m_init = (x > 0.0).astype(b.dtype)
+            if mask is not None:
+                m_init = m_init * mask
+        if early_exit:
+            x, m, _, _ = jax.lax.while_loop(
+                lambda c: jnp.logical_and(c[2] < refine_rounds,
+                                          jnp.logical_not(c[3])),
+                as_round, (x, m_init, 0, False))
+        else:
+            x, m, _, _ = jax.lax.fori_loop(
+                0, refine_rounds, lambda _, c: as_round(c),
+                (x, m_init, 0, False))
         x, m = inner_solve((x, m))
         x = jnp.maximum(x, 0.0)
     return x

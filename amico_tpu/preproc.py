@@ -37,27 +37,38 @@ def debias_rician_batch(signal, sigma, iters: int = 50):
 
     signal: (..., ) array of measured magnitudes; sigma broadcastable.
     Samples below the Rician noise floor g(0) = sigma sqrt(pi/2) map to 0.
+
+    Newton runs in the variable x = E^2 / (2 sigma^2): dg/dE vanishes at
+    E = 0 (g is quadratic there), which makes Newton-in-E blow up for
+    signals just above the noise floor, while dg/dx -> floor/2 > 0 stays
+    bounded away from zero (caught by
+    tests/test_preproc_oracle.py::test_newton_inversion_matches_lbfgsb_oracle).
     """
     import jax
     import jax.numpy as jnp
+    from jax.scipy.special import i0e, i1e
 
     S = jnp.asarray(signal)
     sigma = jnp.broadcast_to(jnp.asarray(sigma, S.dtype), S.shape)
+    k = sigma * jnp.sqrt(jnp.pi / 2.0)                 # = g(0), noise floor
 
-    g = _rician_mean
-    dg = jax.grad(lambda e, s: _rician_mean(e, s).sum(), argnums=0)
+    def g_of_x(x, k):
+        half = x / 2.0
+        return k * ((1.0 + x) * i0e(half) + x * i1e(half))
 
-    floor = sigma * jnp.sqrt(jnp.pi / 2.0)
-    E0 = jnp.sqrt(jnp.maximum(S * S - 2.0 * sigma * sigma, 0.0))
+    dg = jax.grad(lambda x, k: g_of_x(x, k).sum(), argnums=0)
 
-    def body(_, E):
-        r = g(E, sigma) - S
-        d = jnp.clip(dg(E, sigma), 1e-6, None)
-        E_new = E - r / d
-        return jnp.clip(E_new, 0.0, None)
+    x0 = jnp.maximum(S * S - 2.0 * sigma * sigma, 0.0) \
+        / (2.0 * sigma * sigma + 1e-30)
 
-    E = jax.lax.fori_loop(0, iters, body, E0)
-    return jnp.where(S <= floor, 0.0, E)
+    def body(_, x):
+        r = g_of_x(x, k) - S
+        d = jnp.clip(dg(x, k), 1e-12, None)
+        return jnp.clip(x - r / d, 0.0, None)
+
+    x = jax.lax.fori_loop(0, iters, body, x0)
+    E = sigma * jnp.sqrt(2.0 * x)
+    return jnp.where(S <= k, 0.0, E)
 
 
 def debiasRician(DWI, SNR, mask, scheme):

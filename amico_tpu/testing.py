@@ -44,10 +44,17 @@ def demo_noddi(scheme: Scheme | None = None, small: bool = True,
 
     out = kernels_dir or tempfile.mkdtemp(prefix='amico_tpu_demo_')
     os.makedirs(out, exist_ok=True)
-    if not os.path.isfile(os.path.join(out, 'A_001.npy')):
+    from .ops.sphere import resolve_source
+    src = resolve_source(NDIRS)
+    marker = os.path.join(out, f'source={src}')
+    if not (os.path.isfile(os.path.join(out, 'A_001.npy'))
+            and os.path.isfile(marker)):
+        for f in os.listdir(out):
+            os.remove(os.path.join(out, f))
         aux = _lut.load_precomputed_rotation_matrices(LMAX, NDIRS)
         idx_in, idx_out = _lut.aux_structures_generate(scheme, LMAX)
         model.generate(out, aux, idx_in, idx_out, NDIRS)
+        open(marker, 'w').close()
     ridx, Ylm = _lut.aux_structures_resample(scheme, LMAX)
     kernels = model.resample(out, ridx, Ylm, False, NDIRS)
     htable = _lut.load_precomputed_hash_table(NDIRS)

@@ -1,9 +1,39 @@
 """JAX runtime configuration helpers."""
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 _cache_enabled = False
+
+
+def _machine_fingerprint() -> str:
+    """Short tag identifying the compile target well enough to keep
+    executables from one machine type out of another's cache.
+
+    XLA:CPU executables embed host-ISA-specific code, so a cache directory
+    shared between machine types (e.g. an NFS home) could serve a SIGILL.
+    The fingerprint folds in the arch, the CPU model/flags, and the JAX
+    version; TPU executables are additionally keyed by device kind inside
+    JAX's own cache key.
+    """
+    parts = [platform.machine(), platform.system()]
+    try:
+        import jax
+        parts.append(jax.__version__)
+        parts.append(jax.default_backend())
+    except Exception:
+        pass
+    try:
+        with open('/proc/cpuinfo') as fid:
+            for line in fid:
+                if line.startswith(('model name', 'flags')):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1('|'.join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache() -> None:
@@ -11,20 +41,17 @@ def enable_compilation_cache() -> None:
 
     Compiles dominate cold-start on remote/tunneled TPU backends (minutes
     for the fit graphs); the on-disk cache drops warm-process compiles to
-    milliseconds.  Idempotent; safe to call before or after jax import.
+    milliseconds.  The cache directory is keyed by a machine fingerprint so
+    CPU executables never cross machine types.  Idempotent.
     """
     global _cache_enabled
     if _cache_enabled:
         return
     try:
         import jax
-        # CPU executables in the cache may have been compiled by a remote
-        # compile service on a different machine type (SIGILL risk when
-        # loaded here); only cache for TPU backends
-        if jax.default_backend() != 'tpu':
-            return
         from ..ops.sphere import amico_home
-        cache_dir = os.path.join(amico_home(), 'jax_cache')
+        cache_dir = os.path.join(amico_home(), 'jax_cache',
+                                 _machine_fingerprint())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

@@ -1,0 +1,104 @@
+"""Generate foreign NIfTI fixtures for tests/test_nifti_foreign.py.
+
+Deliberately independent of amico_tpu.io.nifti: every header byte is packed
+here straight from the NIfTI-1/2 specification (nifti1.h field offsets), so
+these files exercise the production reader the way a scanner/nibabel file
+would -- not a round-trip through our own writer.
+
+Run from the repo root:  python tests/data/make_nifti_fixtures.py
+"""
+import gzip
+import os
+import struct
+
+import numpy as np
+
+OUT = os.path.dirname(os.path.abspath(__file__))
+
+
+def nifti1_header(endian, dim, datatype, bitpix, pixdim, vox_offset,
+                  scl_slope=1.0, scl_inter=0.0, qform_code=0, sform_code=0,
+                  quatern=(0, 0, 0), qoffset=(0, 0, 0), srow=None,
+                  descrip=b'', magic=b'n+1\x00', qfac=1.0,
+                  xyzt_units=10, cal=(0.0, 0.0)):
+    buf = bytearray(348)
+    struct.pack_into(endian + 'i', buf, 0, 348)          # sizeof_hdr
+    dims = np.ones(8, np.int16)
+    dims[0] = len(dim)
+    dims[1:1 + len(dim)] = dim
+    struct.pack_into(endian + '8h', buf, 40, *dims)
+    struct.pack_into(endian + 'h', buf, 70, datatype)
+    struct.pack_into(endian + 'h', buf, 72, bitpix)
+    pd = np.ones(8, np.float32)
+    pd[0] = qfac
+    pd[1:1 + len(pixdim)] = pixdim
+    struct.pack_into(endian + '8f', buf, 76, *pd)
+    struct.pack_into(endian + 'f', buf, 108, float(vox_offset))
+    struct.pack_into(endian + 'f', buf, 112, scl_slope)
+    struct.pack_into(endian + 'f', buf, 116, scl_inter)
+    buf[123] = xyzt_units
+    struct.pack_into(endian + 'f', buf, 124, cal[1])     # cal_max
+    struct.pack_into(endian + 'f', buf, 128, cal[0])     # cal_min
+    buf[148:148 + len(descrip)] = descrip
+    struct.pack_into(endian + 'h', buf, 252, qform_code)
+    struct.pack_into(endian + 'h', buf, 254, sform_code)
+    struct.pack_into(endian + '3f', buf, 256, *quatern)
+    struct.pack_into(endian + '3f', buf, 268, *qoffset)
+    if srow is not None:
+        struct.pack_into(endian + '12f', buf, 280,
+                         *np.asarray(srow, np.float32).reshape(-1))
+    buf[344:348] = magic
+    return bytes(buf)
+
+
+def main():
+    # 1. qform-only rotation (90 deg about z: quaternion (a,b,c,d) =
+    #    (cos45, 0, 0, sin45)), int16 data, scl_slope=2.5/inter=-3, qfac=-1
+    dim = (4, 3, 2)
+    data = (np.arange(np.prod(dim), dtype=np.int16) - 5).reshape(dim, order='C')
+    hdr = nifti1_header('<', dim, datatype=4, bitpix=16,
+                        pixdim=(1.5, 2.0, 2.5), vox_offset=352,
+                        scl_slope=2.5, scl_inter=-3.0,
+                        qform_code=1, quatern=(0.0, 0.0, np.sin(np.pi / 4)),
+                        qoffset=(10.0, -20.0, 30.0), qfac=-1.0,
+                        descrip=b'qform fixture')
+    with gzip.open(os.path.join(OUT, 'foreign_qform_int16.nii.gz'), 'wb') as f:
+        f.write(hdr + b'\x00' * 4 + data.tobytes(order='F'))
+
+    # 2. big-endian float64 single file with sform affine
+    dim = (3, 3, 3, 2)
+    data = np.linspace(-1.0, 1.0, int(np.prod(dim))).reshape(dim, order='C')
+    srow = np.array([[0.0, -2.0, 0.0, 5.0],
+                     [2.0, 0.0, 0.0, -5.0],
+                     [0.0, 0.0, 2.0, 0.0]])
+    hdr = nifti1_header('>', dim, datatype=64, bitpix=64,
+                        pixdim=(2.0, 2.0, 2.0, 1.0), vox_offset=352,
+                        sform_code=2, srow=srow, descrip=b'big endian')
+    with open(os.path.join(OUT, 'foreign_bigendian.nii'), 'wb') as f:
+        f.write(hdr + b'\x00' * 4 + data.astype('>f8').tobytes(order='F'))
+
+    # 3. .hdr/.img pair (magic ni1, vox_offset 0), uint8
+    dim = (5, 4, 3)
+    data = np.arange(np.prod(dim), dtype=np.uint8).reshape(dim, order='C')
+    hdr = nifti1_header('<', dim, datatype=2, bitpix=8,
+                        pixdim=(1.0, 1.0, 1.0), vox_offset=0,
+                        sform_code=1,
+                        srow=np.c_[np.eye(3), np.zeros(3)],
+                        magic=b'ni1\x00', descrip=b'pair fixture')
+    with open(os.path.join(OUT, 'foreign_pair.hdr'), 'wb') as f:
+        f.write(hdr)
+    with open(os.path.join(OUT, 'foreign_pair.img'), 'wb') as f:
+        f.write(data.tobytes(order='F'))
+
+    # 4. minimal NIfTI-2 header (sizeof 540, magic n+2) -- must fail loudly
+    buf = bytearray(540)
+    struct.pack_into('<i', buf, 0, 540)
+    buf[4:8] = b'n+2\x00'
+    with open(os.path.join(OUT, 'foreign_nifti2.nii'), 'wb') as f:
+        f.write(bytes(buf))
+
+    print('fixtures written to', OUT)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,44 @@
+"""Worker for tests/test_dist.py: one rank of a 2-process CPU cluster.
+
+Runs the full Evaluation pipeline with config 'distributed'=True on a
+deterministic synthetic subject (identical on every rank), so the
+coordinator's written maps must equal a single-process run's.
+
+Usage: dist_worker.py <rank> <nproc> <port> <workdir>
+"""
+import os
+import sys
+
+rank, nproc, port, workdir = (int(sys.argv[1]), int(sys.argv[2]),
+                              sys.argv[3], sys.argv[4])
+os.environ.pop('JAX_PLATFORMS', None)
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+os.environ['AMICO_TPU_HOME'] = os.path.join(workdir, f'home{rank}')
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np  # noqa: E402
+
+import amico_tpu  # noqa: E402
+from amico_tpu.parallel import dist  # noqa: E402
+from tests.test_dist import make_study  # noqa: E402
+
+dist.initialize(f'localhost:{port}', nproc, rank)
+assert dist.process_count() == nproc
+
+study = os.path.join(workdir, f'study{rank}')
+make_study(study)
+
+ev = amico_tpu.Evaluation(study, 'subj')
+ev.set_config('distributed', True)
+ev.load_data(dwi_filename='DWI.nii.gz', scheme_filename='DWI.scheme')
+ev.set_model('NODDI')
+ev.model.set(IC_VFs=np.linspace(0.3, 0.99, 4),
+             IC_ODs=np.array([0.06, 0.3, 0.8]))
+ev.generate_kernels(ndirs=500)
+ev.load_kernels()
+ev.fit()
+ev.save_results()
+print(f'rank {rank}: OK', flush=True)

@@ -1,0 +1,87 @@
+"""Reader tests on foreign NIfTI files (not produced by our writer).
+
+Fixtures are packed byte-by-byte from the NIfTI-1 spec by
+tests/data/make_nifti_fixtures.py (independent of amico_tpu.io.nifti), so
+these catch silent offset/endianness/scaling misreads that a
+write-then-read round-trip never could (the failure mode the reference
+avoids by using nibabel, core.py:135-150).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from amico_tpu.io import nifti
+
+DATA = os.path.join(os.path.dirname(__file__), 'data')
+
+
+def test_qform_int16_scaled():
+    img = nifti.load(os.path.join(DATA, 'foreign_qform_int16.nii.gz'))
+    dim = (4, 3, 2)
+    want = (np.arange(np.prod(dim), dtype=np.int16) - 5).reshape(dim,
+                                                                 order='C')
+    got = img.get_fdata()
+    assert got.shape == dim
+    np.testing.assert_array_equal(got, want.astype(np.float64))
+    h = img.header
+    assert h.scl_slope == pytest.approx(2.5)
+    assert h.scl_inter == pytest.approx(-3.0)
+    assert h.get_zooms() == pytest.approx((1.5, 2.0, 2.5))
+    assert h.descrip == b'qform fixture'
+
+    # qform affine: 90-degree rotation about z (quaternion (0,0,sin45)),
+    # qfac=-1 flips the third column; computed independently here
+    R = np.array([[0.0, -1.0, 0.0],
+                  [1.0, 0.0, 0.0],
+                  [0.0, 0.0, 1.0]])
+    want_aff = np.eye(4)
+    want_aff[:3, :3] = R @ np.diag([1.5, 2.0, -2.5])
+    want_aff[:3, 3] = [10.0, -20.0, 30.0]
+    np.testing.assert_allclose(img.affine, want_aff, atol=1e-6)
+
+
+def test_qform_scaling_applied_by_pipeline():
+    """The pipeline stage must apply v*slope+inter exactly as nibabel's
+    get_fdata would (reference core.py:146-150)."""
+    from amico_tpu.pipeline import intensity_rescale
+    img = nifti.load(os.path.join(DATA, 'foreign_qform_int16.nii.gz'))
+    scaled, applied = intensity_rescale(img.get_fdata().astype(np.float32),
+                                        img.header.scl_slope,
+                                        img.header.scl_inter)
+    assert applied
+    np.testing.assert_allclose(scaled, img.get_fdata() * 2.5 - 3.0,
+                               rtol=1e-6)
+
+
+def test_big_endian_sform():
+    img = nifti.load(os.path.join(DATA, 'foreign_bigendian.nii'))
+    dim = (3, 3, 3, 2)
+    want = np.linspace(-1.0, 1.0, int(np.prod(dim))).reshape(dim, order='C')
+    np.testing.assert_allclose(img.get_fdata(), want, atol=1e-12)
+    srow = np.array([[0.0, -2.0, 0.0, 5.0],
+                     [2.0, 0.0, 0.0, -5.0],
+                     [0.0, 0.0, 2.0, 0.0]])
+    np.testing.assert_allclose(img.affine[:3], srow, atol=1e-6)
+    assert img.header.endian == '>'
+
+
+def test_hdr_img_pair():
+    dim = (5, 4, 3)
+    want = np.arange(np.prod(dim), dtype=np.uint8).reshape(dim, order='C')
+    for entry in ('foreign_pair.hdr', 'foreign_pair.img'):
+        img = nifti.load(os.path.join(DATA, entry))
+        assert img.shape == dim
+        np.testing.assert_array_equal(img.get_fdata(), want)
+
+
+def test_nifti2_fails_loudly():
+    with pytest.raises(ValueError, match='NIfTI-2'):
+        nifti.load(os.path.join(DATA, 'foreign_nifti2.nii'))
+
+
+def test_garbage_fails_loudly(tmp_path):
+    bad = tmp_path / 'junk.nii'
+    bad.write_bytes(b'\x00' * 500)
+    with pytest.raises(ValueError, match='sizeof_hdr'):
+        nifti.load(str(bad))

@@ -59,8 +59,11 @@ def test_fused_matches_stagewise(noddi_problem):
                        L=L2[:, None], cd_sweeps=0, **kw)
     mask = jnp.concatenate([(x2 > 0).astype(jnp.float32),
                             jnp.ones((C, M, 1), jnp.float32)], -1)
+    # same warm start the production paths use (m0 = allowed support,
+    # x0 = stage-1 solution restricted to it)
     x3 = nneg_qp_batch(jnp.asarray(G1)[:, None], jnp.asarray(b1), 0., 0.,
-                       mask=mask, L=L1[:, None], cd_sweeps=0, **kw)
+                       mask=mask, L=L1[:, None], cd_sweeps=0,
+                       m0=mask, x0=x1 * mask, **kw)
     x3 = np.asarray(x3)
     sa = x3.sum(-1) + 1e-16
     xn = x3[..., :n_wm] / sa[..., None]
@@ -83,8 +86,18 @@ def test_fused_matches_stagewise(noddi_problem):
     err = np.abs(est - ref)
     assert np.median(err) < 1e-4, np.median(err)
     assert np.percentile(err, 95) < 1e-2
-    # coefficients: marginal support decisions on degenerate problems may
-    # flip between two equally-valid solvers; compare in distribution
+    # coefficients: marginal support decisions on near-collinear atoms can
+    # flip between equally-valid KKT points (the two paths may stop at
+    # different early-exit rounds), so compare (a) in distribution and
+    # (b) by stage-3 objective value -- equal objectives mean both vectors
+    # solve the same debias NNLS
     dx = np.abs(np.asarray(x_f) - x3)
     assert np.median(dx) < 1e-5
-    assert np.percentile(dx, 99) < 5e-2
+
+    def obj(x):
+        Gx = np.einsum('cab,cmb->cma', np.asarray(G1), x)
+        return 0.5 * np.sum(x * Gx, -1) - np.sum(np.asarray(b1) * x, -1)
+
+    o_f, o_s = obj(np.asarray(x_f)), obj(x3)
+    scale = np.abs(o_s) + 1e-6
+    assert np.percentile(np.abs(o_f - o_s) / scale, 99) < 1e-3
