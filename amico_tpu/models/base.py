@@ -27,6 +27,13 @@ DEFAULT_FISTA_ITERS = 40
 DEFAULT_CD_SWEEPS = 4
 DEFAULT_REFINE_ROUNDS = 12
 DEFAULT_CG_ITERS = 12
+# NODDI per-stage schedule ((fista, rounds, cg, inner) x2, (rounds, cg,
+# inner) for the warm-started debias): pure Lawson-Hanson from the empty
+# working set.  On the full 145-atom dictionary the old FISTA-seeded
+# schedule landed on wrong stage-2 supports (median map error 7e-2 vs the
+# exact oracle); this schedule reaches the oracle vertex (median 8e-6,
+# p95 4e-3 in f32) with ~40% fewer matvecs (tests/test_models_fullgrid.py)
+DEFAULT_NODDI_STAGE_ITERS = ((0, 10, 8, 1), (0, 12, 16, 2), (6, 16, 2))
 
 
 class BaseModel(ABC):
@@ -112,12 +119,15 @@ class BaseModel(ABC):
         BaseModel.set_solver(self)
         self.solver_params['lambda1'] = lambda1
         self.solver_params['lambda2'] = lambda2
+        custom = False
         for key, val in (('fista_iters', fista_iters),
                          ('cd_sweeps', cd_sweeps),
                          ('refine_rounds', refine_rounds),
                          ('cg_iters', cg_iters)):
             if val is not None:
                 self.solver_params[key] = int(val)
+                custom = True
+        self.solver_params['custom_iters'] = custom
         if backend is not None:
             self.solver_params['backend'] = str(backend)
 

@@ -63,10 +63,17 @@ class NODDI(BaseModel):
 
     def set_solver(self, lambda1=5e-1, lambda2=1e-3, fista_iters=None,
                    cd_sweeps=None, refine_rounds=None, cg_iters=None,
-                   backend=None):
-        """Defaults per reference models.pyx:721-724."""
+                   backend=None, stage_iters=None):
+        """Defaults per reference models.pyx:721-724.  ``stage_iters``
+        overrides the per-stage solver schedule
+        ((fista, rounds, cg, inner) x2, (rounds, cg, inner)); the default
+        (base.DEFAULT_NODDI_STAGE_ITERS) is a pure active-set schedule
+        validated against the exact oracle on the full dictionary."""
         self._set_solver_common(lambda1, lambda2, fista_iters, cd_sweeps,
                                 refine_rounds, cg_iters, backend)
+        if stage_iters is not None:
+            stage_iters = tuple(tuple(t) for t in stage_iters)
+        self.solver_params['stage_iters'] = stage_iters
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Coupled IC+EC atoms over the (IC_OD, IC_VF) grid + isotropic atom
@@ -142,6 +149,21 @@ class NODDI(BaseModel):
         backend = self._solver_backend()
         lam1 = float(self.solver_params['lambda1'])
         lam2 = float(self.solver_params['lambda2'])
+        # per-stage schedule: explicit stage_iters > legacy iteration knobs
+        # (users who set fista_iters etc. keep the old uniform behavior) >
+        # the validated active-set default
+        stage_iters = self.solver_params.get('stage_iters')
+        if stage_iters is None:
+            if self.solver_params.get('custom_iters'):
+                fi, rr = solver_kw['fista_iters'], solver_kw['refine_rounds']
+                cg, ip = solver_kw['cg_iters'], 2
+                stage_iters = ((fi, rr, cg, ip), (fi, rr, cg, ip),
+                               (rr, cg, ip))
+            else:
+                from .base import DEFAULT_NODDI_STAGE_ITERS
+                stage_iters = DEFAULT_NODDI_STAGE_ITERS
+        (s1f, s1r, s1cg, s1i), (s2f, s2r, s2cg, s2i), (s3r, s3cg, s3i) = \
+            stage_iters
 
         n_wm = kernels['wm'].shape[0]
         is_exvivo = bool(self.isExvivo)
@@ -203,7 +225,7 @@ class NODDI(BaseModel):
                                 (A_all, G1_all, L1_all, G2_all, L2_all,
                                  K_iso, norms, icvf, kappa, rows_dwi_j))
 
-        use_fused = (backend == 'pallas' and not is_exvivo)
+        use_fused = (backend == 'pallas')
         want_x = configs['compute_rmse'] or configs['compute_nrmse']
 
         def fit_chunk_fused(Y, dirs, valid, A_all, G1_all, L1_all, G2_all,
@@ -221,10 +243,8 @@ class NODDI(BaseModel):
             out = noddi_fused_tiles_pallas(
                 G1_all[dirs], G2_all[dirs], b1, Y_dwi, A2T,
                 K_iso[rows_dwi_j], icvf, kappa,
-                lam1=lam1, lam2=lam2,
-                fista_iters=solver_kw['fista_iters'],
-                refine_rounds=solver_kw['refine_rounds'],
-                cg_iters=solver_kw['cg_iters'], want_x=want_x,
+                lam1=lam1, lam2=lam2, stage_iters=stage_iters,
+                want_x=want_x, is_exvivo=is_exvivo,
                 interpret=jax.default_backend() != 'tpu')
             est3, x = out if want_x else (out, None)
             ndi, odi, fwf = est3[..., 0], est3[..., 1], est3[..., 2]
@@ -247,8 +267,10 @@ class NODDI(BaseModel):
             b1 = project(A_full, Y)
 
             # ---- stage 1: NNLS for the CSF fraction (models.pyx:911)
-            x1 = solve_tiles(G1, b1, L1, 0.0, 0.0, solver_kw=solver_kw,
-                             backend=backend)
+            x1 = solve_tiles(G1, b1, L1, 0.0, 0.0, backend=backend,
+                             solver_kw=dict(fista_iters=s1f, cd_sweeps=0,
+                                            refine_rounds=s1r, cg_iters=s1cg,
+                                            inner_passes=s1i))
             x_iso1 = x1[..., -1]
 
             # ---- stage 2: scaled DWI-only lasso (models.pyx:914-926)
@@ -259,7 +281,10 @@ class NODDI(BaseModel):
             A2 = A_full[:, rows_dwi_j, :n_wm] * norms[None, None, :]
             b2 = project(A2, Y2)
             x2 = solve_tiles(G2_all[dirs], b2, L2_all[dirs], lam1, lam2,
-                             solver_kw=solver_kw, backend=backend)
+                             backend=backend,
+                             solver_kw=dict(fista_iters=s2f, cd_sweeps=0,
+                                            refine_rounds=s2r, cg_iters=s2cg,
+                                            inner_passes=s2i))
 
             # ---- stage 3: debias on the positive support (models.pyx:928-942)
             mask_wm = (x2 > 0.0).astype(Y.dtype)
@@ -268,8 +293,10 @@ class NODDI(BaseModel):
             # warm start: seed the working set with the (small) allowed
             # support and start CG from the stage-1 solution on it
             x = solve_tiles(G1, b1, L1, 0.0, 0.0, mask=mask,
-                            solver_kw=solver_kw, backend=backend,
-                            m0=mask, x0=x1 * mask)
+                            backend=backend, m0=mask, x0=x1 * mask,
+                            solver_kw=dict(fista_iters=0, cd_sweeps=0,
+                                           refine_rounds=s3r, cg_iters=s3cg,
+                                           inner_passes=s3i))
 
             # ---- estimates (models.pyx:944-967)
             sum_atoms = jnp.sum(x, axis=-1) + 1e-16
@@ -302,8 +329,7 @@ class NODDI(BaseModel):
             shapes['nrmse'] = ()
         if configs['compute_modulated_maps']:
             shapes['estimates_mod'] = (2,)
-        cache_key = ('noddi', backend, use_fused,
-                     tuple(sorted(solver_kw.items())),
+        cache_key = ('noddi', backend, use_fused, stage_iters,
                      lam1, lam2, is_exvivo, single_b0, n_wm, nS,
                      tuple(sorted(configs.items())))
         return self._run_tiled_fit(

@@ -1,9 +1,16 @@
-"""ctypes bindings to the native exact solvers (libamico_native.so).
+"""Exact active-set solvers: ctypes bindings + pure-NumPy fallback.
 
 Native counterpart of the reference's SPAMS C++ dependency
-(/root/reference/amico/models.pyx:18; cyspams interfaces).  Built from
-``native/amico_native.cpp`` with ``make -C native``; auto-built on first use
-if the compiler is available.
+(/root/reference/amico/models.pyx:18; cyspams interfaces).  Resolution
+order for ``libamico_native.so``:
+
+1. prebuilt library shipped inside the package (``amico_tpu/_native/``,
+   placed there by the setup.py build step or a wheel);
+2. the source tree's ``native/`` directory, auto-built with ``make`` on
+   first use when a compiler is available;
+3. a pure-NumPy Lawson-Hanson implementation (exact, slower) -- so the
+   package works on toolchain-free machines.  Force it with
+   ``AMICO_TPU_NO_NATIVE=1`` (tested equivalent in tests/test_native.py).
 """
 from __future__ import annotations
 
@@ -13,6 +20,8 @@ import subprocess
 
 import numpy as np
 
+_PKG_LIB = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '_native', 'libamico_native.so')
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), 'native')
 _LIB_PATH = os.path.join(_NATIVE_DIR, 'libamico_native.so')
@@ -24,13 +33,21 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.isfile(_LIB_PATH):
+    if os.environ.get('AMICO_TPU_NO_NATIVE') == '1':
+        raise RuntimeError('native solvers disabled via AMICO_TPU_NO_NATIVE')
+    path = None
+    if os.path.isfile(_PKG_LIB):
+        path = _PKG_LIB
+    elif os.path.isfile(_LIB_PATH):
+        path = _LIB_PATH
+    else:
         try:
             subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
                            capture_output=True)
+            path = _LIB_PATH
         except Exception as e:  # pragma: no cover
             raise RuntimeError(f'cannot build libamico_native.so: {e}') from e
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(path)
     dptr = ctypes.POINTER(ctypes.c_double)
     lib.amico_qp_nonneg.argtypes = [dptr, dptr, ctypes.c_int, dptr]
     lib.amico_qp_nonneg.restype = ctypes.c_int
@@ -51,15 +68,64 @@ def available() -> bool:
         return False
 
 
+# ------------------------------------------------------------------------
+# pure-NumPy fallback: classic Lawson-Hanson on the normal equations --
+# the same algorithm amico_native.cpp implements (exact solves on the
+# working set, full anti-cycling removal loop)
+# ------------------------------------------------------------------------
+def _qp_nonneg_py(G: np.ndarray, b: np.ndarray,
+                  max_iter: int | None = None) -> np.ndarray:
+    n = b.shape[0]
+    max_iter = max_iter or 30 * n
+    x = np.zeros(n)
+    P = np.zeros(n, bool)              # working set
+    w = b.copy()                       # negative gradient at x=0
+    tol = 1e-11 * (np.abs(b).max() + 1.0)
+    for _ in range(max_iter):
+        w_free = np.where(~P, w, -np.inf)
+        j = int(np.argmax(w_free))
+        if w_free[j] <= tol:
+            break
+        P[j] = True
+        while True:
+            idx = np.where(P)[0]
+            z = np.linalg.solve(G[np.ix_(idx, idx)], b[idx])
+            if (z > 0).all():
+                x[:] = 0.0
+                x[idx] = z
+                break
+            # step back to the feasible boundary, drop offending atoms
+            neg = z <= 0
+            alpha = np.min(x[idx][neg] / (x[idx][neg] - z[neg] + 1e-300))
+            x[idx] = x[idx] + alpha * (z - x[idx])
+            P[idx[x[idx] <= tol]] = False
+            x[x <= tol] = 0.0
+        w = b - G @ x
+    return x
+
+
+def _nnls_py(A, y):
+    G = A.T @ A
+    x = _qp_nonneg_py(G, A.T @ y)
+    return x, float(np.linalg.norm(y - A @ x))
+
+
+def _lasso_py(A, y, lambda1, lambda2):
+    G = A.T @ A + lambda2 * np.eye(A.shape[1])
+    return _qp_nonneg_py(G, A.T @ y - lambda1)
+
+
 def _dp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
 def qp_nonneg(G: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Exact min 0.5 x'Gx - b'x, x>=0 (active set)."""
-    lib = _load()
     G = np.ascontiguousarray(G, np.float64)
     b = np.ascontiguousarray(b, np.float64)
+    if not available():
+        return _qp_nonneg_py(G, b)
+    lib = _load()
     n = b.shape[0]
     x = np.zeros(n)
     rc = lib.amico_qp_nonneg(_dp(G), _dp(b), n, _dp(x))
@@ -71,9 +137,11 @@ def qp_nonneg(G: np.ndarray, b: np.ndarray) -> np.ndarray:
 def nnls(A: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, float]:
     """Exact NNLS; returns (x, residual norm).  Mirrors the SPAMS nnls
     signature used at reference models.pyx:911."""
-    lib = _load()
     A = np.asfortranarray(A, np.float64)
     y = np.ascontiguousarray(y, np.float64)
+    if not available():
+        return _nnls_py(A, y)
+    lib = _load()
     m, n = A.shape
     x = np.zeros(n)
     r = ctypes.c_double(0.0)
@@ -86,9 +154,11 @@ def nnls(A: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, float]:
 def lasso(A: np.ndarray, y: np.ndarray, lambda1: float, lambda2: float) -> np.ndarray:
     """Exact non-negative elastic net, SPAMS mode=2/pos semantics
     (reference models.pyx:615,926,1238,1569)."""
-    lib = _load()
     A = np.asfortranarray(A, np.float64)
     y = np.ascontiguousarray(y, np.float64)
+    if not available():
+        return _lasso_py(A, y, lambda1, lambda2)
+    lib = _load()
     m, n = A.shape
     x = np.zeros(n)
     rc = lib.amico_lasso(_dp(A), _dp(y), m, n, _dp(x), lambda1, lambda2)

@@ -297,9 +297,23 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
 # ---------------------------------------------------------------------------
 def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                        lam1, lam2, fista_iters, refine_rounds, cg_iters,
-                       inner_passes, want_x):
-    as_solve = _build_as_solve(M, fista_iters, refine_rounds, cg_iters,
-                               inner_passes)
+                       inner_passes, want_x, stage_iters=None,
+                       is_exvivo=False):
+    """``stage_iters``: optional per-stage override
+    ((fista1, rounds1, cg1, inner1), (fista2, rounds2, cg2, inner2),
+    (rounds3, cg3, inner3)) -- stage 3 never runs FISTA (it is warm-started
+    from the stage-2 support).  ``fista=0`` makes a stage run pure
+    Lawson-Hanson from the empty working set, which is what reaches the
+    exact active-set vertex on the full 145-atom dictionary (see
+    tests/test_models_fullgrid.py)."""
+    if stage_iters is None:
+        stage_iters = ((fista_iters, refine_rounds, cg_iters, inner_passes),
+                       (fista_iters, refine_rounds, cg_iters, inner_passes),
+                       (refine_rounds, cg_iters, inner_passes))
+    (f1_it, r1_it, cg1, i1), (f2_it, r2_it, cg2, i2), (r3_it, cg3, i3) =         stage_iters
+    solve1 = _build_as_solve(M, f1_it, r1_it, cg1, i1)
+    solve2 = _build_as_solve(M, f2_it, r2_it, cg2, i2)
+    solve3 = _build_as_solve(M, 0, r3_it, cg3, i3)
 
     def kernel(G1_ref, G2_ref, B1_ref, Ydwi_ref, A2T_ref, isod_ref,
                icvf_ref, kappa_ref, *out_refs):
@@ -318,29 +332,34 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                 < n_wm).astype(jnp.float32)
 
         # stage 1: NNLS on the full dictionary (models.pyx:911)
-        x1 = as_solve(G1, b1 * pad1, 0.0, 0.0, pad1)
+        x1 = solve1(G1, b1 * pad1, 0.0, 0.0, pad1)
         x_iso = x1[n_atoms - 1:n_atoms, :]
 
-        # stage 2 prep (models.pyx:914-926)
-        Y2 = jnp.maximum(Y_dwi - iso_dwi * x_iso, 0.0)
+        # stage 2 prep (models.pyx:914-926); exvivo additionally subtracts
+        # the constant dot-compartment prediction (models.pyx:914-921)
+        Y2 = Y_dwi - iso_dwi * x_iso
+        if is_exvivo:
+            Y2 = Y2 - x1[n_atoms - 2:n_atoms - 1, :]
+        Y2 = jnp.maximum(Y2, 0.0)
         b2 = _dot_g(A2T, Y2)           # (n2pad, M)
-        x2 = as_solve(G2, b2 * pad2, lam1, lam2, pad2)
+        x2 = solve2(G2, b2 * pad2, lam1, lam2, pad2)
 
-        # stage 3: debias on positive support + forced iso (models.pyx:928-942)
+        # stage 3: debias on positive support + forced iso (and exvivo dot)
+        # atoms (models.pyx:928-942)
         sup2 = (x2 > 0.0).astype(jnp.float32) * pad2
         rows1 = jax.lax.broadcasted_iota(jnp.int32, (npad, M), 0)
-        iso_row = (rows1 == (n_atoms - 1)).astype(jnp.float32)
-        # stage-3 mask on the npad layout: wm rows from sup2, iso row forced
-        # to 1, padding rows 0
+        forced = ((rows1 >= n_wm) & (rows1 < n_atoms)).astype(jnp.float32)
+        # stage-3 mask on the npad layout: wm rows from sup2, trailing
+        # iso/dot rows forced to 1, padding rows 0
         wm_mask = jnp.where(rows1 < n_wm,
                             jnp.pad(sup2, ((0, npad - n2pad), (0, 0)))[:npad],
                             0.0)
-        mask3 = jnp.minimum(wm_mask + iso_row, 1.0) * pad1
+        mask3 = jnp.minimum(wm_mask + forced, 1.0) * pad1
         # warm start: the allowed support IS mask3 (small), so seed the
         # working set with it directly (skips FISTA) and start CG from the
         # stage-1 solution restricted to it
-        x = as_solve(G1, b1 * pad1, 0.0, 0.0, mask3, m0=mask3,
-                     x_init=x1 * mask3)
+        x = solve3(G1, b1 * pad1, 0.0, 0.0, mask3, m0=mask3,
+                   x_init=x1 * mask3)
 
         # estimates (models.pyx:944-967)
         sum_atoms = jnp.sum(x, axis=0, keepdims=True) + 1e-16
@@ -354,8 +373,11 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
         # atan2 is not lowerable in Mosaic: emit k1, the wrapper converts
         # to ODI = 2/pi atan2(1, k1) outside the kernel
         fwf = x[n_atoms - 1:n_atoms, :] / sum_atoms
+        rows = [ndi, k1, fwf]
+        if is_exvivo:
+            rows.append(x[n_atoms - 2:n_atoms - 1, :] / sum_atoms)
         est = jnp.concatenate(
-            [ndi, k1, fwf, jnp.zeros((5, M), jnp.float32)], axis=0)
+            rows + [jnp.zeros((8 - len(rows), M), jnp.float32)], axis=0)
         out_refs[0][0] = est
         if want_x:
             out_refs[1][0] = x
@@ -365,16 +387,21 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
 
 @functools.partial(jax.jit, static_argnames=(
     'lam1', 'lam2', 'fista_iters', 'refine_rounds', 'cg_iters',
-    'inner_passes', 'want_x', 'interpret'))
+    'inner_passes', 'want_x', 'interpret', 'stage_iters', 'is_exvivo'))
 def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
                              lam1=0.5, lam2=1e-3, fista_iters=40,
                              refine_rounds=12, cg_iters=12, inner_passes=2,
-                             want_x=False, interpret=False):
+                             want_x=False, interpret=False,
+                             stage_iters=None, is_exvivo=False):
     """Fused 3-stage NODDI solve per tile.
 
     G1 (C, na, na), G2 (C, n_wm, n_wm), b1 (C, M, na), Y_dwi (C, M, ndwi),
     A2T (C, n_wm, ndwi) (= scaled stage-2 dictionary transposed),
     iso_dwi (ndwi,), icvf/kappa (n_wm,).
+    ``stage_iters``: optional per-stage (hashable) override
+    ((fista1, rounds1), (fista2, rounds2), rounds3); defaults to
+    (fista_iters, refine_rounds) for stages 1-2 and refine_rounds for the
+    warm-started debias stage.
     Returns estimates (C, M, 3) [NDI, ODI, FWF] (+x (C, M, na) if want_x).
     """
     from jax.experimental import pallas as pl
@@ -401,7 +428,9 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
     kernel = _make_noddi_kernel(na, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                                 float(lam1), float(lam2), int(fista_iters),
                                 int(refine_rounds), int(cg_iters),
-                                int(inner_passes), bool(want_x))
+                                int(inner_passes), bool(want_x),
+                                stage_iters=stage_iters,
+                                is_exvivo=bool(is_exvivo))
 
     tile = lambda shp: pl.BlockSpec((1,) + shp, lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
@@ -425,10 +454,14 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
         interpret=interpret,
     )(G1p, G2p, b1T, YdT, A2Tp, isod, icvf_p, kappa_p)
 
+    n_maps = 4 if is_exvivo else 3
     def _finish(estT):
-        est = jnp.swapaxes(estT[:, :3, :], 1, 2)
+        est = jnp.swapaxes(estT[:, :n_maps, :], 1, 2)
         odi = 2.0 / jnp.pi * jnp.arctan2(1.0, est[..., 1])
-        return jnp.stack([est[..., 0], odi, est[..., 2]], axis=-1)
+        cols = [est[..., 0], odi, est[..., 2]]
+        if is_exvivo:
+            cols.append(est[..., 3])
+        return jnp.stack(cols, axis=-1)
 
     if want_x:
         estT, xT = outs

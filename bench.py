@@ -60,9 +60,11 @@ def main():
     class Ctx:
         def __init__(self, **cfg):
             self.y, self.DIRs, self.htable, self.KERNELS = y, DIRs, htable, kernels
+            tile = os.environ.get('BENCH_TILE', 'auto')
             self._cfg = {'doComputeRMSE': False, 'doComputeNRMSE': False,
                          'doSaveModulatedMaps': False,
-                         'tile_size': 'auto', 'voxels_per_chunk': 131072}
+                         'tile_size': tile if tile == 'auto' else int(tile),
+                         'voxels_per_chunk': 131072}
             self._cfg.update(cfg)
 
         def get_config(self, k):
@@ -82,6 +84,49 @@ def main():
         t_fit = min(t_fit, time.time() - t0)
     voxps = n_vox / t_fit
 
+    # device-solve-only throughput: time the fused kernel on pre-staged
+    # device arrays (no tiling/transfer overhead) -- the number to compare
+    # across rounds independent of tunnel variance
+    import jax.numpy as jnp
+    from amico_tpu.models.engine import build_tile_plan, tile_voxels
+    from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
+    from amico_tpu.ops.solvers import gram
+    from amico_tpu.models.base import DEFAULT_NODDI_STAGE_ITERS
+    M = 512
+    n_solver = min(n_vox, 65536)
+    plan = build_tile_plan(lut_idx[:n_solver], M)
+    Yt = tile_voxels(plan, y[:n_solver].astype(np.float32))
+    n_wm_b = kernels['wm'].shape[0]
+    dwi_b = scheme.dwi_idx
+    K = np.transpose(kernels['wm'], (1, 2, 0))
+    A = np.concatenate([K[plan.tile_dirs],
+                        np.broadcast_to(kernels['iso'][None, :, None],
+                                        (plan.n_tiles, Yt.shape[2], 1))],
+                       -1).astype(np.float32)
+    args = [jnp.asarray(v) for v in (
+        np.asarray(gram(jnp.asarray(A))),
+        np.asarray(gram(jnp.asarray(
+            A[:, dwi_b, :n_wm_b] * kernels['norms'][None, None, :],
+            jnp.float32))),
+        np.einsum('csa,cms->cma', A, Yt).astype(np.float32),
+        Yt[:, :, dwi_b],
+        np.swapaxes(A[:, dwi_b, :n_wm_b]
+                    * kernels['norms'][None, None, :], 1, 2).astype(np.float32),
+        kernels['iso'][dwi_b].astype(np.float32),
+        kernels['icvf'].astype(np.float32),
+        kernels['kappa'].astype(np.float32))]
+    interp = jax.default_backend() != 'tpu'
+    run = lambda: noddi_fused_tiles_pallas(
+        *args, lam1=0.5, lam2=1e-3,
+        stage_iters=DEFAULT_NODDI_STAGE_ITERS, interpret=interp)
+    run().block_until_ready()
+    t_sol = float('inf')
+    for _ in range(3):
+        t0 = time.time()
+        run().block_until_ready()
+        t_sol = min(t_sol, time.time() - t0)
+    solver_voxps = n_solver / t_sol
+
     # sanity on outputs
     est = res['estimates']
     assert np.isfinite(est).all()
@@ -90,7 +135,7 @@ def main():
     from amico_tpu.ops import native
     n_wm = kernels['wm'].shape[0]
     dwi = scheme.dwi_idx
-    sample = min(60 if small else 150, n_vox)
+    sample = min(100 if small else 1000, n_vox)
     t0 = time.time()
     for i in range(sample):
         A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
@@ -177,6 +222,8 @@ def main():
             'n_atoms': n_wm + 1,
             'nS': scheme.nS,
             'fit_seconds': round(t_fit, 2),
+            'solver_only_voxps': round(solver_voxps, 1),
+            'solver_only_ms': round(t_sol * 1000, 1),
             'compile_seconds': round(t_compile, 1),
             'kernel_gen_seconds': round(t_kernels, 1),
             'cpu_baseline_voxps_per_core': round(cpu_voxps_1t, 1),

@@ -1,0 +1,36 @@
+"""Build hooks: compile the native exact-solver library into the package.
+
+The reference links two Cython extensions against OpenBLAS
+(/root/reference/amico/setup.py:40-61); here the only native piece is the
+small exact active-set oracle (native/amico_native.cpp).  The build is
+best-effort: without a C++ toolchain the wheel still builds and the package
+falls back to the pure-NumPy solvers (amico_tpu/ops/native.py).
+"""
+import os
+import shutil
+import subprocess
+
+from setuptools import setup
+from setuptools.command.build_py import build_py
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+class BuildWithNative(build_py):
+    def run(self):
+        super().run()
+        native_dir = os.path.join(HERE, 'native')
+        lib = os.path.join(native_dir, 'libamico_native.so')
+        try:
+            subprocess.run(['make', '-C', native_dir], check=True,
+                           capture_output=True)
+        except Exception as exc:  # toolchain-free build: keep going
+            print(f'warning: native solver build skipped ({exc}); '
+                  'the pure-NumPy fallback will be used at runtime')
+        if os.path.isfile(lib):
+            dest = os.path.join(self.build_lib, 'amico_tpu', '_native')
+            os.makedirs(dest, exist_ok=True)
+            shutil.copy2(lib, dest)
+
+
+setup(cmdclass={'build_py': BuildWithNative})

@@ -1,0 +1,101 @@
+"""NODDI oracle parity at PRODUCTION dictionary scale (145 atoms).
+
+Round-1 oracle tests used a reduced atom grid; the full 12x12 coupled grid
+is far more collinear and exposed a solver gap: the FISTA-seeded schedule
+landed on wrong stage-2 supports (median map error ~7e-2 vs the exact
+C++ active-set oracle).  The default per-stage pure-Lawson-Hanson schedule
+(base.DEFAULT_NODDI_STAGE_ITERS) must reproduce the oracle's maps on the
+full dictionary -- this test pins that at float32.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from amico_tpu import lut as _lut
+from amico_tpu.io.scheme import Scheme
+from amico_tpu.models import NODDI
+from amico_tpu.ops import native
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+
+
+@pytest.fixture(scope='module')
+def full_problem(tmp_path_factory):
+    d = tmp_path_factory.mktemp('fullgrid')
+    os.environ['AMICO_TPU_HOME'] = str(d / 'home')
+    rows = [np.zeros((9, 4)),
+            np.c_[fibonacci_hemisphere(30), np.full(30, 700.0)],
+            np.c_[fibonacci_hemisphere(60), np.full(60, 2000.0)]]
+    scheme = Scheme(np.vstack(rows))
+    model = NODDI()          # full default grid: 144 + 1 atoms
+    model.set_solver()
+    model.scheme = scheme
+    out = d / 'k'
+    out.mkdir()
+    aux = _lut.load_precomputed_rotation_matrices(12, 500)
+    idx_in, idx_out = _lut.aux_structures_generate(scheme, 12)
+    model.generate(str(out), aux, idx_in, idx_out, 500)
+    ridx, Ylm = _lut.aux_structures_resample(scheme, 12)
+    kernels = model.resample(str(out), ridx, Ylm, False, 500)
+    htable = _lut.load_precomputed_hash_table(500)
+    return scheme, model, kernels, htable
+
+
+def test_noddi_fullgrid_oracle_parity(full_problem):
+    scheme, model, kernels, htable = full_problem
+    n_wm = kernels['wm'].shape[0]
+    assert n_wm == 144
+    dwi = np.asarray(scheme.dwi_idx)
+    iso = kernels['iso'].astype(np.float64)
+
+    n = 96
+    rng = np.random.RandomState(5)
+    DIRs = rng.randn(n, 3)
+    DIRs /= np.linalg.norm(DIRs, axis=1, keepdims=True)
+    lut_idx = _lut.dir_to_lut_idx(DIRs, htable)
+    K = np.transpose(kernels['wm'], (1, 2, 0)).astype(np.float64)
+    W = rng.rand(n, n_wm + 1) * (rng.rand(n, n_wm + 1) < 0.1)
+    W[np.arange(n), rng.randint(n_wm + 1, size=n)] += 0.5
+    W /= W.sum(1, keepdims=True)
+    A_of = lambda d: np.column_stack([K[d], iso])
+    y = np.stack([A_of(lut_idx[i]) @ W[i] for i in range(n)])
+    y = np.clip(y + 0.002 * rng.randn(*y.shape), 0, None)
+
+    class Ctx:
+        def __init__(s):
+            s.y, s.DIRs, s.htable, s.KERNELS = y, DIRs, htable, kernels
+
+        def get_config(s, k):
+            return {'tile_size': 32, 'voxels_per_chunk': 4096}.get(k)
+
+    est = model.fit(Ctx())['estimates']
+
+    # exact per-voxel oracle (reference 3-stage solve, models.pyx:900-981)
+    est_o = np.zeros((n, 3))
+    for i in range(n):
+        A = A_of(lut_idx[i])
+        yv = y[i]
+        x1, _ = native.nnls(A, yv)
+        y2 = np.clip(yv[dwi] - x1[-1] * iso[dwi], 0, None)
+        A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
+        x2 = native.lasso(A2, y2, 0.5, 1e-3)
+        x = np.zeros(n_wm + 1)
+        x[:n_wm] = x2
+        x[-1] = 1.0
+        sup = np.where(x > 0)[0]
+        x3, _ = native.nnls(A[:, sup], yv)
+        x[:] = 0
+        x[sup] = x3
+        sa = x.sum() + 1e-16
+        xn = x[:n_wm] / sa
+        sw = xn.sum() + 1e-16
+        f1 = np.sum(kernels['icvf'] * xn) / sw
+        f2 = np.sum((1 - kernels['icvf']) * xn) / sw
+        k1 = np.sum(kernels['kappa'] * xn) / sw
+        est_o[i] = [f1 / (f1 + f2 + 1e-16),
+                    2 / np.pi * np.arctan2(1.0, k1), x[-1] / sa]
+
+    err = np.abs(est - est_o)
+    assert np.median(err) < 1e-4, np.median(err)
+    assert np.percentile(err, 95) < 1e-2, np.percentile(err, 95)
+    assert err.max() < 5e-2, err.max()

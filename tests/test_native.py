@@ -1,0 +1,71 @@
+"""Native exact-solver bindings and the toolchain-free fallback.
+
+The pure-NumPy Lawson-Hanson fallback must be numerically interchangeable
+with the C++ library (both are exact active-set methods), so every solver
+test remains valid on machines without a compiler
+(reference packaging analog: setup.py:40-61).
+"""
+import numpy as np
+import pytest
+
+from amico_tpu.ops import native
+
+
+def _rand_problem(rng, m=40, n=25):
+    A = rng.randn(m, n)
+    x_true = np.abs(rng.randn(n)) * (rng.rand(n) < 0.3)
+    y = A @ x_true + 0.01 * rng.randn(m)
+    return A, y
+
+
+@pytest.mark.skipif(not native.available(), reason='no native lib')
+def test_fallback_matches_native_nnls():
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        A, y = _rand_problem(rng)
+        x_c, r_c = native.nnls(A, y)
+        x_p, r_p = native._nnls_py(A, y)
+        np.testing.assert_allclose(x_p, x_c, atol=1e-8)
+        assert abs(r_p - r_c) < 1e-8
+
+
+@pytest.mark.skipif(not native.available(), reason='no native lib')
+def test_fallback_matches_native_lasso():
+    rng = np.random.RandomState(1)
+    for lam1, lam2 in [(0.0, 1e-3), (0.5, 1e-3), (0.0, 4.0)]:
+        for _ in range(10):
+            A, y = _rand_problem(rng)
+            x_c = native.lasso(A, y, lam1, lam2)
+            x_p = native._lasso_py(A, y, lam1, lam2)
+            np.testing.assert_allclose(x_p, x_c, atol=1e-8)
+
+
+def test_fallback_vs_scipy_nnls():
+    from scipy.optimize import nnls as scipy_nnls
+    rng = np.random.RandomState(2)
+    for _ in range(20):
+        A, y = _rand_problem(rng)
+        x_p, r_p = native._nnls_py(A, y)
+        x_s, r_s = scipy_nnls(A, y)
+        np.testing.assert_allclose(x_p, x_s, atol=1e-7)
+        assert abs(r_p - r_s) < 1e-7
+
+
+def test_entry_points_work_with_native_disabled(monkeypatch):
+    """AMICO_TPU_NO_NATIVE=1 must route every public entry point through
+    the fallback (simulates a toolchain-free install)."""
+    monkeypatch.setenv('AMICO_TPU_NO_NATIVE', '1')
+    monkeypatch.setattr(native, '_lib', None)
+    assert not native.available()
+    rng = np.random.RandomState(3)
+    A, y = _rand_problem(rng)
+    x, r = native.nnls(A, y)
+    assert (x >= 0).all() and np.isfinite(r)
+    # optimality: KKT residual of the NNLS solution
+    w = A.T @ (y - A @ x)
+    assert w.max() < 1e-6 * np.abs(A.T @ y).max() + 1e-9
+    x2 = native.lasso(A, y, 0.3, 1e-3)
+    assert (x2 >= 0).all()
+    G = A.T @ A
+    x3 = native.qp_nonneg(G, A.T @ y)
+    np.testing.assert_allclose(x3, x, atol=1e-8)
