@@ -42,15 +42,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _dot_g(Gm, X):
+def _dot_g(Gm, X, prec=_HI):
     return jax.lax.dot_general(Gm, X, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_HI)
+                               precision=prec)
 
 
 def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                     cg_iters: int, inner_passes: int,
-                    early_exit: bool = False):
+                    early_exit: bool = False,
+                    cg_schedule: tuple | None = None,
+                    precision=_HI):
     """Build the shared in-kernel solver: FISTA (in-kernel power-iteration
     Lipschitz estimate, adaptive restart) followed by Lawson-Hanson-style
     active-set rounds with masked-CG subproblem solves.
@@ -65,6 +67,12 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
     converge in a fraction of the cap; the serial Pallas grid makes this a
     direct wall-clock win).  All constants are Python floats (jnp constants
     defined outside the kernel body would become captured tracers).
+
+    ``cg_schedule`` (len == refine_rounds) unrolls the active-set rounds
+    with a per-round CG iteration count: round r's working set holds at
+    most r+|seed| atoms, so the exact subproblem needs only that many CG
+    steps -- a fixed cap wastes most of its matvecs in the early rounds.
+    ``precision`` sets the MXU precision of every in-kernel matvec.
     """
     tol = 3e-6
     ftol = 1e-4
@@ -80,7 +88,7 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
 
         def fista_body(s):
             x, z, t, i, _ = s
-            grad = _dot_g(G, z) - bm + l2 * z
+            grad = _dot_g(G, z, precision) - bm + l2 * z
             x_new = prox(z - step * (grad + l1))
             restart = jnp.sum((z - x_new) * (x_new - x), axis=0,
                               keepdims=True) > 0.0
@@ -92,12 +100,12 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
 
         if m0 is None and fista_iters > 0:
             def powb(_, v):
-                w = _dot_g(G, v)
+                w = _dot_g(G, v, precision)
                 return w / (jnp.sqrt(jnp.sum(w * w)) + 1e-30)
 
             v = jax.lax.fori_loop(0, 10, powb,
                                   jnp.ones((npad_l, 1), jnp.float32))
-            L = jnp.sum(v * _dot_g(G, v)) * 1.01 + 1e-30
+            L = jnp.sum(v * _dot_g(G, v, precision)) * 1.01 + 1e-30
             step = 1.0 / (L + l2 + 1e-30)
             bscale = jnp.max(jnp.abs(bm)) + 1e-30
             x0 = jnp.zeros((npad_l, M), jnp.float32)
@@ -120,9 +128,9 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
         b_eff = (bm - l1) * cmask
         scale = jnp.max(jnp.abs(b_eff), axis=0, keepdims=True) + 1e-30
 
-        def cg(m, z0):
+        def cg(m, z0, iters):
             def Aop(p):
-                return (_dot_g(G, p * m) + l2 * p) * m
+                return (_dot_g(G, p * m, precision) + l2 * p) * m
 
             z = z0 * m
             r = (b_eff * m) - Aop(z)
@@ -143,11 +151,11 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                 p = r + beta * p
                 return z, r, p, rs_new
 
-            z, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, (z, r, p, rs))
+            z, _, _, _ = jax.lax.fori_loop(0, iters, cg_body, (z, r, p, rs))
             return jnp.where(jnp.isfinite(z), z, 0.0)
 
-        def inner_solve(x, m):
-            z = cg(m, x)
+        def inner_solve(x, m, iters=cg_iters):
+            z = cg(m, x, iters)
             neg = (z <= 0.0) & (m > 0.0)
             ratio = jnp.where(neg, x / (x - z + 1e-30), big)
             alpha = jnp.clip(jnp.min(ratio, axis=0, keepdims=True), 0.0, 1.0)
@@ -155,12 +163,12 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             m = m * (x > tol * scale).astype(jnp.float32)
             return x * m, m
 
-        def as_round(carry):
+        def as_round(carry, iters=cg_iters):
             x, m, i, _ = carry
             m_before = m
             for _r in range(inner_passes):
-                x, m = inner_solve(x, m)
-            w = b_eff - _dot_g(G, x) - l2 * x
+                x, m = inner_solve(x, m, iters)
+            w = b_eff - _dot_g(G, x, precision) - l2 * x
             allowed = (1.0 - m) * cmask
             w_cand = jnp.where(allowed > 0.0, w, -big)
             wmax = jnp.max(w_cand, axis=0, keepdims=True)
@@ -177,7 +185,14 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
 
         m_init = (x > 0.0).astype(jnp.float32) * cmask if m0 is None \
             else m0 * cmask
-        if early_exit:
+        if cg_schedule is not None:
+            # unrolled rounds, per-round CG budget (working set grows by at
+            # most one atom per round, so early rounds need few CG steps)
+            carry = (x, m_init, 0, False)
+            for it in cg_schedule[:refine_rounds]:
+                carry = as_round(carry, int(it))
+            x, m = carry[0], carry[1]
+        elif early_exit:
             x, m, _, _ = jax.lax.while_loop(
                 lambda c: jnp.logical_and(c[2] < refine_rounds,
                                           jnp.logical_not(c[3])),
@@ -194,10 +209,12 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
 
 def _make_kernel(n: int, npad: int, M: int, lam1: float, lam2: float,
                  fista_iters: int, cd_sweeps: int, refine_rounds: int,
-                 cg_iters: int, has_mask: bool, inner_passes: int = 2,
+                 cg_iters, has_mask: bool, inner_passes: int = 2,
                  has_warm: bool = False, early_exit: bool = False):
-    as_solve = _build_as_solve(M, fista_iters, refine_rounds, cg_iters,
-                               inner_passes, early_exit)
+    sched = tuple(cg_iters) if isinstance(cg_iters, tuple) else None
+    cg_cap = max(sched) if sched else cg_iters
+    as_solve = _build_as_solve(M, fista_iters, refine_rounds, cg_cap,
+                               inner_passes, early_exit, cg_schedule=sched)
 
     def kernel(*refs):
         refs = list(refs)
@@ -273,7 +290,7 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
 
     kernel = _make_kernel(n, npad, M, float(lam1), float(lam2),
                           int(fista_iters), int(cd_sweeps),
-                          int(refine_rounds), int(cg_iters), has_mask,
+                          int(refine_rounds), cg_iters, has_mask,
                           int(inner_passes), has_warm)
 
     xT = pl.pallas_call(
@@ -298,22 +315,31 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
 def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                        lam1, lam2, fista_iters, refine_rounds, cg_iters,
                        inner_passes, want_x, stage_iters=None,
-                       is_exvivo=False):
+                       is_exvivo=False, early_exit=False, precision=_HI):
     """``stage_iters``: optional per-stage override
     ((fista1, rounds1, cg1, inner1), (fista2, rounds2, cg2, inner2),
     (rounds3, cg3, inner3)) -- stage 3 never runs FISTA (it is warm-started
     from the stage-2 support).  ``fista=0`` makes a stage run pure
     Lawson-Hanson from the empty working set, which is what reaches the
     exact active-set vertex on the full 145-atom dictionary (see
-    tests/test_models_fullgrid.py)."""
+    tests/test_models_fullgrid.py).  A stage's ``cg`` entry may be a tuple:
+    the per-round CG budget (rounds are then unrolled, ``rounds`` must
+    equal its length)."""
     if stage_iters is None:
         stage_iters = ((fista_iters, refine_rounds, cg_iters, inner_passes),
                        (fista_iters, refine_rounds, cg_iters, inner_passes),
                        (refine_rounds, cg_iters, inner_passes))
     (f1_it, r1_it, cg1, i1), (f2_it, r2_it, cg2, i2), (r3_it, cg3, i3) =         stage_iters
-    solve1 = _build_as_solve(M, f1_it, r1_it, cg1, i1)
-    solve2 = _build_as_solve(M, f2_it, r2_it, cg2, i2)
-    solve3 = _build_as_solve(M, 0, r3_it, cg3, i3)
+
+    def mk(fista, rounds, cg, inner):
+        sched = tuple(cg) if isinstance(cg, tuple) else None
+        cg_cap = max(sched) if sched else cg
+        return _build_as_solve(M, fista, rounds, cg_cap, inner, early_exit,
+                               cg_schedule=sched, precision=precision)
+
+    solve1 = mk(f1_it, r1_it, cg1, i1)
+    solve2 = mk(f2_it, r2_it, cg2, i2)
+    solve3 = mk(0, r3_it, cg3, i3)
 
     def kernel(G1_ref, G2_ref, B1_ref, Ydwi_ref, A2T_ref, isod_ref,
                icvf_ref, kappa_ref, *out_refs):
@@ -341,7 +367,7 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
         if is_exvivo:
             Y2 = Y2 - x1[n_atoms - 2:n_atoms - 1, :]
         Y2 = jnp.maximum(Y2, 0.0)
-        b2 = _dot_g(A2T, Y2)           # (n2pad, M)
+        b2 = _dot_g(A2T, Y2, precision)  # (n2pad, M)
         x2 = solve2(G2, b2 * pad2, lam1, lam2, pad2)
 
         # stage 3: debias on positive support + forced iso (and exvivo dot)
@@ -387,12 +413,14 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
 
 @functools.partial(jax.jit, static_argnames=(
     'lam1', 'lam2', 'fista_iters', 'refine_rounds', 'cg_iters',
-    'inner_passes', 'want_x', 'interpret', 'stage_iters', 'is_exvivo'))
+    'inner_passes', 'want_x', 'interpret', 'stage_iters', 'is_exvivo',
+    'early_exit', 'precision'))
 def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
                              lam1=0.5, lam2=1e-3, fista_iters=40,
                              refine_rounds=12, cg_iters=12, inner_passes=2,
                              want_x=False, interpret=False,
-                             stage_iters=None, is_exvivo=False):
+                             stage_iters=None, is_exvivo=False,
+                             early_exit=False, precision='highest'):
     """Fused 3-stage NODDI solve per tile.
 
     G1 (C, na, na), G2 (C, n_wm, n_wm), b1 (C, M, na), Y_dwi (C, M, ndwi),
@@ -427,10 +455,15 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
 
     kernel = _make_noddi_kernel(na, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                                 float(lam1), float(lam2), int(fista_iters),
-                                int(refine_rounds), int(cg_iters),
+                                int(refine_rounds), cg_iters,
                                 int(inner_passes), bool(want_x),
                                 stage_iters=stage_iters,
-                                is_exvivo=bool(is_exvivo))
+                                is_exvivo=bool(is_exvivo),
+                                early_exit=bool(early_exit),
+                                precision={'highest': _HI,
+                                           'high': jax.lax.Precision.HIGH,
+                                           'default': jax.lax.Precision.DEFAULT,
+                                           }[str(precision)])
 
     tile = lambda shp: pl.BlockSpec((1,) + shp, lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)

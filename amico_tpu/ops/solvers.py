@@ -120,6 +120,9 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
         combine with fista_iters=0, cd_sweeps=0 and an x0 to warm-start)
     early_exit : stop the FISTA/active-set loops once the whole batch is
         converged (while_loop instead of fixed trip count)
+    cg_iters : int (flat budget) or tuple (per-round budgets; rounds are
+        then unrolled -- round r's working set holds at most r atoms, so
+        early rounds need only a few CG steps)
     """
     b = jnp.asarray(b)
     G = jnp.asarray(G, b.dtype)
@@ -217,14 +220,16 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
     # rounds close that gap: exact CG solve on the working set, step-back
     # removal of negative coordinates, single best-gradient atom additions.
     if refine_rounds > 0:
+        cg_schedule = tuple(cg_iters) if isinstance(cg_iters, tuple) else None
+        cg_cap = max(cg_schedule) if cg_schedule else cg_iters
         b_eff = b - lam1
         scale = jnp.max(jnp.abs(b_eff), axis=-1, keepdims=True) + 1e-30
         tol = 3e-6 if b.dtype == jnp.float32 else 1e-10
         big = jnp.asarray(jnp.finfo(b.dtype).max, b.dtype)
 
-        def inner_solve(carry):
+        def inner_solve(carry, iters=cg_cap):
             x, m = carry
-            z = _cg_masked(G, b_eff, m, x, lam2, cg_iters)
+            z = _cg_masked(G, b_eff, m, x, lam2, iters)
             neg = (z <= 0.0) & (m > 0.0)
             ratio = jnp.where(neg, x / (x - z + 1e-30), big)
             alpha = jnp.clip(jnp.min(ratio, axis=-1, keepdims=True), 0.0, 1.0)
@@ -232,11 +237,11 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
             m = m * (x > tol * scale).astype(b.dtype)
             return x * m, m
 
-        def as_round(carry):
+        def as_round(carry, iters=cg_cap):
             x, m, i, _ = carry
             m_before = m
             for _r in range(inner_passes):   # solve (+ optional removal pass)
-                x, m = inner_solve((x, m))
+                x, m = inner_solve((x, m), iters)
             # addition step: best violated atom outside the working set
             w = b_eff - _mv(G, x) - lam2 * x
             allowed = (1.0 - m) * (mask if mask is not None else 1.0)
@@ -259,7 +264,12 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
             m_init = (x > 0.0).astype(b.dtype)
             if mask is not None:
                 m_init = m_init * mask
-        if early_exit:
+        if cg_schedule is not None:
+            carry = (x, m_init, 0, False)
+            for it in cg_schedule[:refine_rounds]:
+                carry = as_round(carry, int(it))
+            x, m = carry[0], carry[1]
+        elif early_exit:
             x, m, _, _ = jax.lax.while_loop(
                 lambda c: jnp.logical_and(c[2] < refine_rounds,
                                           jnp.logical_not(c[3])),
