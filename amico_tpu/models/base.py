@@ -40,6 +40,16 @@ DEFAULT_CG_ITERS = 12
 DEFAULT_NODDI_STAGE_ITERS = ((0, 8, (3, 4, 5, 6, 7, 8, 8, 8), 1),
                              (0, 10, (3, 4, 5, 6, 7, 8, 9, 10, 11, 12), 2),
                              (6, (16, 14, 12, 10, 10, 10), 2))
+# single-solve models (FreeWater / CylinderZeppelinBall / SANDI): same
+# pure-Lawson-Hanson-from-empty recipe -- their dictionaries are small
+# (11-26 atoms) and supports sparse, so 12 progressive rounds reach the
+# oracle vertex with a fraction of the FISTA-warm-start default's matvecs
+DEFAULT_AS_SOLVER_KW = {
+    'fista_iters': 0,
+    'cd_sweeps': 0,
+    'refine_rounds': 12,
+    'cg_iters': (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 12, 12),
+}
 
 
 class BaseModel(ABC):
@@ -139,6 +149,10 @@ class BaseModel(ABC):
 
     def _solver_kwargs(self) -> dict:
         sp = getattr(self, 'solver_params', {})
+        if not sp.get('custom_iters'):
+            # validated pure-active-set default (progressive CG budgets);
+            # users who set any iteration knob get the uniform behavior
+            return dict(DEFAULT_AS_SOLVER_KW)
         return {
             'fista_iters': int(sp.get('fista_iters', DEFAULT_FISTA_ITERS)),
             'cd_sweeps': int(sp.get('cd_sweeps', DEFAULT_CD_SWEEPS)),

@@ -57,6 +57,22 @@ class SANDI(BaseModel):
         self._set_solver_common(lambda1, lambda2, fista_iters, cd_sweeps,
                                 refine_rounds, cg_iters, backend)
 
+    def _solver_kwargs(self) -> dict:
+        """SANDI's directional-average system is rank-(nshells+1) with only
+        a small ridge, so masked-CG convergence is set by conditioning, not
+        working-set size -- the progressive active-set default of the other
+        models under-converges here.  Keep the FISTA+CD warm start with the
+        flat CG budget (cheap anyway: one shared 15-atom dictionary)."""
+        sp = getattr(self, 'solver_params', {})
+        from .base import (DEFAULT_CD_SWEEPS, DEFAULT_CG_ITERS,
+                           DEFAULT_FISTA_ITERS, DEFAULT_REFINE_ROUNDS)
+        return {
+            'fista_iters': int(sp.get('fista_iters', DEFAULT_FISTA_ITERS)),
+            'cd_sweeps': int(sp.get('cd_sweeps', DEFAULT_CD_SWEEPS)),
+            'refine_rounds': int(sp.get('refine_rounds', DEFAULT_REFINE_ROUNDS)),
+            'cg_iters': int(sp.get('cg_iters', DEFAULT_CG_ITERS)),
+        }
+
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Reference models.pyx:1411-1443; all atoms treated isotropic."""
         if self.scheme.version != 1:
