@@ -263,9 +263,12 @@ class BaseModel(ABC):
         # device-side staging cache: re-fits on the same loaded volume
         # (multi-model runs, warm re-fits, parameter sweeps) skip the
         # host->device upload of the tiled signal entirely.  Keyed by array
-        # identity -- `is` comparison, same rationale as the kernel prep
-        # cache above.  Only the (small) per-chunk outputs cross back.
-        stage_key = (evaluation.y, tile_size, plan.n_tiles, chunk_tiles,
+        # identity (`is` comparison, same rationale as the kernel prep
+        # cache) plus a strided content fingerprint so an in-place
+        # mutation of evaluation.y invalidates the staged copies.
+        stride = max(1, y.size // 65536)
+        y_fp = (y.shape, float(np.sum(y.ravel()[::stride], dtype=np.float64)))
+        stage_key = (evaluation.y, y_fp, tile_size, plan.n_tiles, chunk_tiles,
                      None if sharding is None else str(sharding))
         staged = getattr(self, '_stage_cache', None)
         if staged is not None and staged[0][0] is stage_key[0] \

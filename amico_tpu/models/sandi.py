@@ -138,17 +138,26 @@ class SANDI(BaseModel):
         n_rs = len(self.Rs)
         n_in = len(self.d_in)
 
-        A = jnp.asarray(kernels['signal'], jnp.float32)        # (nS, na)
-        norms = jnp.asarray(kernels['norms'], jnp.float32)
+        from ..ops.solvers import gram, nneg_qp_batch, power_iteration_L
+
+        # kernel tensors as jit *arguments* (not closure constants) and the
+        # prep computed once per KERNELS -- mirrors the tiled driver; a
+        # fresh jit per fit() call would retrace and recompile every time
+        prep_key = (kernels['signal'],)
+        cached = getattr(self, '_prep_cache', None)
+        if cached is not None and cached[0][0] is prep_key[0]:
+            A, G, Lc, norms = cached[1]
+        else:
+            A = jnp.asarray(kernels['signal'], jnp.float32)    # (nS, na)
+            norms = jnp.asarray(kernels['norms'], jnp.float32)
+            G = gram(A)
+            Lc = power_iteration_L(G)
+            self._prep_cache = (prep_key, (A, G, Lc, norms))
         Rs = jnp.asarray(self.Rs, jnp.float32)
         d_in = jnp.asarray(self.d_in, jnp.float32)
         d_isos = jnp.asarray(self.d_isos, jnp.float32)
 
-        from ..ops.solvers import gram, nneg_qp_batch, power_iteration_L
-        G = gram(A)
-        Lc = power_iteration_L(G)
-
-        def fit_chunk(Y):
+        def fit_chunk(Y, A, G, Lc, norms, Rs, d_in, d_isos):
             prec = jax.lax.Precision.HIGHEST
             b = jnp.einsum('sa,ms->ma', A, Y, precision=prec)
             x = nneg_qp_batch(G, b, lam1, lam2, L=Lc,
@@ -181,19 +190,31 @@ class SANDI(BaseModel):
                                              jnp.sqrt(sq / jnp.maximum(den, 1e-16)), 0.0)
             return out
 
-        # chunked direction-free driver (no tiling needed)
+        # chunked direction-free driver (no tiling needed); jit memoized
+        # across fit() calls, chunks all dispatched before any result pull
+        cache_key = ('sandi', lam1, lam2,
+                     tuple(sorted(solver_kw.items())),
+                     tuple(sorted(configs.items())))
+        cache = getattr(self, '_fit_fn_cache', None)
+        if cache is None:
+            cache = self._fit_fn_cache = {}
+        fit_jit = cache.get(cache_key)
+        if fit_jit is None:
+            fit_jit = cache[cache_key] = jax.jit(fit_chunk)
+
         y = np.asarray(evaluation.y, np.float32)
         N = y.shape[0]
         chunk = int(evaluation.get_config('voxels_per_chunk') or 65536)
-        fit_jit = jax.jit(fit_chunk)
-        outs: dict[str, list] = {}
+        pending = []
         for start in range(0, N, chunk):
             Yc = y[start:start + chunk]
             pad = chunk - Yc.shape[0] if Yc.shape[0] < chunk and N > chunk else 0
             if pad:
                 Yc = np.concatenate([Yc, np.zeros((pad, y.shape[1]), y.dtype)])
-            res = fit_jit(jnp.asarray(Yc))
-            take = min(chunk, N - start)
+            res = fit_jit(jnp.asarray(Yc), A, G, Lc, norms, Rs, d_in, d_isos)
+            pending.append((min(chunk, N - start), res))
+        outs: dict[str, list] = {}
+        for take, res in pending:
             for k, v in res.items():
                 outs.setdefault(k, []).append(np.asarray(v, np.float32)[:take])
         return {k: np.concatenate(v) for k, v in outs.items()}
