@@ -37,9 +37,12 @@ DEFAULT_CG_ITERS = 12
 # r atoms, so early rounds need only a few CG steps -- vs the flat
 # 16-iteration budget this cuts the matvec count ~45% at unchanged oracle
 # error (med 2e-5, p95 5e-3 in f32 on the full dictionary)
-DEFAULT_NODDI_STAGE_ITERS = ((0, 8, (3, 4, 5, 6, 7, 8, 8, 8), 1),
-                             (0, 10, (3, 4, 5, 6, 7, 8, 9, 10, 11, 12), 2),
-                             (6, (16, 14, 12, 10, 10, 10), 2))
+# budgets use few distinct levels on purpose: equal-budget runs stay
+# rolled in fori_loops (ops/pallas_qp.py), keeping the Mosaic kernel and
+# its compile time small
+DEFAULT_NODDI_STAGE_ITERS = ((0, 8, (6, 6, 6, 6, 8, 8, 8, 8), 1),
+                             (0, 10, (6, 6, 6, 6, 10, 10, 10, 12, 12, 12), 2),
+                             (6, (16, 12, 12, 10, 10, 10), 2))
 # single-solve models (FreeWater / CylinderZeppelinBall / SANDI): same
 # pure-Lawson-Hanson-from-empty recipe -- their dictionaries are small
 # (11-26 atoms) and supports sparse, so 12 progressive rounds reach the
@@ -48,7 +51,7 @@ DEFAULT_AS_SOLVER_KW = {
     'fista_iters': 0,
     'cd_sweeps': 0,
     'refine_rounds': 12,
-    'cg_iters': (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 12, 12),
+    'cg_iters': (6, 6, 6, 10, 10, 10, 12, 12, 12, 12, 12, 12),
 }
 
 

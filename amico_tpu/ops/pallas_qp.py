@@ -186,11 +186,25 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
         m_init = (x > 0.0).astype(jnp.float32) * cmask if m0 is None \
             else m0 * cmask
         if cg_schedule is not None:
-            # unrolled rounds, per-round CG budget (working set grows by at
-            # most one atom per round, so early rounds need few CG steps)
+            # per-round CG budgets (working set grows by at most one atom
+            # per round, so early rounds need few CG steps); equal-budget
+            # runs stay rolled in fori_loops -- full unrolling balloons the
+            # Mosaic kernel and its compile time
             carry = (x, m_init, 0, False)
-            for it in cg_schedule[:refine_rounds]:
-                carry = as_round(carry, int(it))
+            sched = [int(it) for it in cg_schedule[:refine_rounds]]
+            runs = []
+            for it in sched:
+                if runs and runs[-1][1] == it:
+                    runs[-1][0] += 1
+                else:
+                    runs.append([1, it])
+            for count, it in runs:
+                if count == 1:
+                    carry = as_round(carry, it)
+                else:
+                    carry = jax.lax.fori_loop(
+                        0, count, lambda _, c, _it=it: as_round(c, _it),
+                        carry)
             x, m = carry[0], carry[1]
         elif early_exit:
             x, m, _, _ = jax.lax.while_loop(

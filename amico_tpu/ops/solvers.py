@@ -265,9 +265,22 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
             if mask is not None:
                 m_init = m_init * mask
         if cg_schedule is not None:
+            # equal-budget runs stay rolled in fori_loops (see pallas_qp)
             carry = (x, m_init, 0, False)
-            for it in cg_schedule[:refine_rounds]:
-                carry = as_round(carry, int(it))
+            sched = [int(it) for it in cg_schedule[:refine_rounds]]
+            runs: list[list[int]] = []
+            for it in sched:
+                if runs and runs[-1][1] == it:
+                    runs[-1][0] += 1
+                else:
+                    runs.append([1, it])
+            for count, it in runs:
+                if count == 1:
+                    carry = as_round(carry, it)
+                else:
+                    carry = jax.lax.fori_loop(
+                        0, count, lambda _, c, _it=it: as_round(c, _it),
+                        carry)
             x, m = carry[0], carry[1]
         elif early_exit:
             x, m, _, _ = jax.lax.while_loop(
