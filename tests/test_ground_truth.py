@@ -1,0 +1,80 @@
+"""Scientific ground-truth recovery: signals synthesized from the NODDI
+forward model at KNOWN (NDI, ODI, FWF) -- not from dictionary atoms -- must
+be recovered by the full inverse chain (atom synthesis -> SH rotation ->
+resample -> 3-stage solve -> maps).
+
+This is a different guarantee than the oracle-parity tests: those pin our
+solver to the reference algorithm on the same dictionary; this one bounds
+the end-to-end modeling error (grid discretization + solver) against the
+continuous forward model, the way a scientist would validate the tool.
+Reference forward model: synthesis.py:495-845; estimates models.pyx:944-967.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from amico_tpu import lut as _lut
+from amico_tpu.models import NODDI
+from amico_tpu.synthesis import (NODDIExtraCellular, NODDIIntraCellular,
+                                 NODDIIsotropic)
+from tests.test_models import EvalStub, _prepare, _scheme_v0
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('kernels_gt')
+    os.environ['AMICO_TPU_HOME'] = str(d / 'home')
+    return d
+
+
+def test_noddi_ground_truth_recovery(workdir):
+    scheme = _scheme_v0()
+    model = NODDI()
+    model.set()            # full 12x12 grid -- the production dictionary
+    model.set_solver()
+    kernels, htable = _prepare(model, scheme, workdir)
+
+    # ground-truth parameters: mixture of on-grid and off-grid values
+    rng = np.random.RandomState(9)
+    n = 160
+    ndi_true = np.concatenate([
+        rng.choice(model.IC_VFs, n // 2),                  # on-grid
+        rng.uniform(0.2, 0.95, n - n // 2)])               # off-grid
+    odi_true = np.concatenate([
+        rng.choice(model.IC_ODs[1:], n // 2),
+        rng.uniform(0.06, 0.9, n - n // 2)])
+    fwf_true = rng.uniform(0.0, 0.4, n)
+
+    # forward model on the SUBJECT scheme, fiber along +z
+    # (synthesis.py:495-845): S = (1-fwf)(ndi*Sic + (1-ndi)*Sec) + fwf*Siso
+    ic = NODDIIntraCellular(scheme)
+    ec = NODDIExtraCellular(scheme)
+    iso = NODDIIsotropic(scheme)
+    S_iso = iso.get_signal(model.dIso)
+    y = np.zeros((n, scheme.nS))
+    for i in range(n):
+        kappa = 1.0 / np.tan(odi_true[i] * np.pi / 2.0)
+        S_ic = ic.get_signal(model.dPar, kappa)
+        S_ec = ec.get_signal(model.dPar, kappa, ndi_true[i])
+        S_wm = ndi_true[i] * S_ic + (1.0 - ndi_true[i]) * S_ec
+        y[i] = (1.0 - fwf_true[i]) * S_wm + fwf_true[i] * S_iso
+    # measurement noise at ~SNR 50 relative to the mean signal
+    y = np.clip(y + (np.abs(y).mean() / 50.0) * rng.randn(*y.shape), 0, None)
+
+    DIRs = np.tile([0.0, 0.0, 1.0], (n, 1))
+    ev = EvalStub(y, DIRs, htable, kernels)
+    est = model.fit(ev)['estimates']
+
+    err_ndi = np.abs(est[:, 0] - ndi_true)
+    err_odi = np.abs(est[:, 1] - odi_true)
+    err_fwf = np.abs(est[:, 2] - fwf_true)
+
+    # tolerances are set by the dictionary grid spacing (IC_VFs step ~0.08,
+    # IC_ODs step ~0.1) plus noise -- same resolution the reference achieves
+    assert np.median(err_ndi) < 0.05, np.median(err_ndi)
+    assert np.median(err_odi) < 0.05, np.median(err_odi)
+    assert np.median(err_fwf) < 0.05, np.median(err_fwf)
+    assert np.percentile(err_ndi, 90) < 0.12, np.percentile(err_ndi, 90)
+    assert np.percentile(err_odi, 90) < 0.12, np.percentile(err_odi, 90)
+    assert np.percentile(err_fwf, 90) < 0.12, np.percentile(err_fwf, 90)
