@@ -1,0 +1,6 @@
+"""``python -m amico_tpu`` entry point (see amico_tpu.cli)."""
+import sys
+
+from .cli import main
+
+sys.exit(main())

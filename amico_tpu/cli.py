@@ -1,0 +1,154 @@
+"""Command-line interface.
+
+The reference has no CLI (its API is the ``Evaluation`` class driven from a
+script, /root/reference/amico/__init__.py:1-9); this is an addition so the
+standard single-subject workflow and the scheme converters are reachable
+without writing Python:
+
+    python -m amico_tpu setup [--lmax 12]
+    python -m amico_tpu fit STUDY SUBJECT --model NODDI \
+        [--dwi DWI.nii] [--scheme DWI.scheme] [--mask mask.nii] \
+        [--b0-thr 0] [--ndirs 500] [--lmax 12] [--regenerate] \
+        [--config key=value ...] [--solver key=value ...] \
+        [--param key=value ...] [--output-path DIR]
+    python -m amico_tpu fsl2scheme BVALS BVECS [-o OUT] [--b-step 1.0]
+    python -m amico_tpu sandi2scheme BVALS BVECS DELTA SMALLDEL [-o OUT]
+
+``key=value`` options are parsed as Python literals when possible (so
+``--solver lambda1=0.5`` and ``--config doComputeRMSE=True`` work), and are
+passed through the same signature-filtered dispatch as the Python API
+(reference core.py:301-325 semantics).
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+import sys
+
+
+def _kv(pairs):
+    out = {}
+    for p in pairs or []:
+        if '=' not in p:
+            raise SystemExit(f"expected key=value, got '{p}'")
+        k, v = p.split('=', 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def _cmd_setup(args):
+    from . import setup
+    setup(lmax=args.lmax)
+    return 0
+
+
+def _cmd_fit(args):
+    # validate key=value options before touching any data
+    config = _kv(args.config)
+    solver = _kv(args.solver)
+    params = _kv(args.param)
+
+    from . import Evaluation, set_verbose
+    set_verbose(args.verbose)
+    ev = Evaluation(args.study, args.subject, output_path=args.output_path)
+    for k, v in config.items():
+        ev.set_config(k, v)
+    ev.load_data(dwi_filename=args.dwi, scheme_filename=args.scheme,
+                 mask_filename=args.mask, b0_thr=args.b0_thr)
+    ev.set_model(args.model)
+    if params:
+        ev.model.set(**params)
+    ev.set_solver(**solver)
+    ev.generate_kernels(regenerate=args.regenerate, lmax=args.lmax,
+                        ndirs=args.ndirs)
+    ev.load_kernels()
+    ev.fit()
+    ev.save_results(path_suffix=args.suffix)
+    return 0
+
+
+def _cmd_fsl2scheme(args):
+    from .io.scheme import fsl2scheme
+    out = fsl2scheme(args.bvals, args.bvecs, schemeFilename=args.output,
+                     bStep=args.b_step,
+                     flipAxes=(args.flip_x, args.flip_y, args.flip_z))
+    print(out)
+    return 0
+
+
+def _cmd_sandi2scheme(args):
+    from .io.scheme import sandi2scheme
+    out = sandi2scheme(args.bvals, args.bvecs, args.Delta, args.smalldel,
+                       TE_data=args.TE, schemeFilename=args.output,
+                       bStep=args.b_step)
+    print(out)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog='amico_tpu',
+        description='TPU-native AMICO: linearized microstructure fitting.')
+    sub = p.add_subparsers(dest='command', required=True)
+
+    ps = sub.add_parser('setup', help='precompute SH rotation matrices')
+    ps.add_argument('--lmax', type=int, default=12)
+    ps.set_defaults(func=_cmd_setup)
+
+    pf = sub.add_parser('fit', help='run the full single-subject pipeline')
+    pf.add_argument('study', help='study directory')
+    pf.add_argument('subject', help='subject subdirectory')
+    pf.add_argument('--model', required=True,
+                    help='NODDI | FreeWater | CylinderZeppelinBall | SANDI | ...')
+    pf.add_argument('--dwi', default='DWI.nii')
+    pf.add_argument('--scheme', default='DWI.scheme')
+    pf.add_argument('--mask', default=None)
+    pf.add_argument('--b0-thr', type=float, default=0.0)
+    pf.add_argument('--ndirs', type=int, default=500)
+    pf.add_argument('--lmax', type=int, default=12)
+    pf.add_argument('--regenerate', action='store_true')
+    pf.add_argument('--output-path', default=None)
+    pf.add_argument('--suffix', default=None)
+    pf.add_argument('--verbose', type=int, default=2)
+    pf.add_argument('--config', action='append', metavar='KEY=VALUE',
+                    help='pipeline config (repeatable)')
+    pf.add_argument('--solver', action='append', metavar='KEY=VALUE',
+                    help='solver params (repeatable)')
+    pf.add_argument('--param', action='append', metavar='KEY=VALUE',
+                    help='model params for model.set() (repeatable)')
+    pf.set_defaults(func=_cmd_fit)
+
+    p1 = sub.add_parser('fsl2scheme', help='FSL bvals/bvecs -> scheme file')
+    p1.add_argument('bvals')
+    p1.add_argument('bvecs')
+    p1.add_argument('-o', '--output', default=None)
+    p1.add_argument('--b-step', type=float, default=1.0)
+    p1.add_argument('--flip-x', action='store_true')
+    p1.add_argument('--flip-y', action='store_true')
+    p1.add_argument('--flip-z', action='store_true')
+    p1.set_defaults(func=_cmd_fsl2scheme)
+
+    p2 = sub.add_parser('sandi2scheme',
+                        help='FSL bvals/bvecs + timings -> STEJSKALTANNER scheme')
+    p2.add_argument('bvals')
+    p2.add_argument('bvecs')
+    p2.add_argument('Delta', type=float, help='gradient separation [s]')
+    p2.add_argument('smalldel', type=float, help='gradient duration [s]')
+    p2.add_argument('--TE', type=float, default=None)
+    p2.add_argument('-o', '--output', default=None)
+    p2.add_argument('--b-step', type=float, default=1.0)
+    p2.set_defaults(func=_cmd_sandi2scheme)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""CLI coverage: the full fit pipeline and the scheme converters through
+``amico_tpu.cli.main`` (the reference has no CLI; this is an addition)."""
+import os
+
+import numpy as np
+import pytest
+
+from amico_tpu.cli import main
+from amico_tpu.io import nifti
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+
+
+@pytest.fixture()
+def study(tmp_path):
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    sub = tmp_path / 'study' / 's1'
+    sub.mkdir(parents=True)
+    rows = [np.zeros((3, 4)),
+            np.c_[fibonacci_hemisphere(15), np.full(15, 1000.0)],
+            np.c_[fibonacci_hemisphere(20), np.full(20, 2500.0)]]
+    np.savetxt(sub / 'DWI.scheme', np.vstack(rows),
+               header='VERSION: BVECTOR', comments='')
+    rng = np.random.RandomState(0)
+    vol = np.abs(rng.rand(4, 3, 2, 38)).astype(np.float32)
+    vol[..., :3] += 3.0
+    nifti.save(nifti.Nifti1Image(vol, np.eye(4)), str(sub / 'DWI.nii'))
+    return tmp_path / 'study'
+
+
+def test_cli_fit_freewater(study):
+    rc = main(['fit', str(study), 's1', '--model', 'FreeWater',
+               '--b0-thr', '50', '--lmax', '6', '--regenerate',
+               '--verbose', '0',
+               '--config', 'doComputeNRMSE=True',
+               '--solver', 'lambda2=1e-3'])
+    assert rc == 0
+    out = study / 's1' / 'AMICO' / 'FreeWater'
+    fw = nifti.load(str(out / 'fit_FW.nii.gz')).get_fdata()
+    assert np.isfinite(fw).all()
+    assert (out / 'fit_NRMSE.nii.gz').is_file()
+
+
+def test_cli_fsl2scheme(tmp_path, capsys):
+    np.savetxt(tmp_path / 'bvals', np.array([[0, 1000, 1000, 2000]]))
+    bvecs = np.array([[0, 1, 0, 0.7071],
+                      [0, 0, 1, 0.7071],
+                      [0, 0, 0, 0.0]])
+    np.savetxt(tmp_path / 'bvecs', bvecs)
+    out = tmp_path / 'o.scheme'
+    rc = main(['fsl2scheme', str(tmp_path / 'bvals'), str(tmp_path / 'bvecs'),
+               '-o', str(out)])
+    assert rc == 0
+    table = np.loadtxt(out, skiprows=1)
+    assert table.shape == (4, 4)
+    assert table[1, 3] == pytest.approx(1000.0)
+
+
+def test_cli_kv_parsing_error():
+    with pytest.raises(SystemExit):
+        main(['fit', '.', '.', '--model', 'NODDI', '--solver', 'oops'])
