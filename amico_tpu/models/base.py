@@ -43,6 +43,12 @@ DEFAULT_CG_ITERS = 12
 DEFAULT_NODDI_STAGE_ITERS = ((0, 8, (6, 6, 6, 6, 8, 8, 8, 8), 1),
                              (0, 10, (6, 6, 6, 6, 10, 10, 10, 12, 12, 12), 2),
                              (6, (16, 12, 12, 10, 10, 10), 2))
+# per-stage MXU precision for the fused NODDI kernel: stages 1-2 only pick
+# supports and tolerate bf16x3 (~21 mantissa bits, 3 one-pass dots instead
+# of HIGHEST's ~6 passes); the debias stage determines the maps and stays
+# exact f32.  Validated vs the exact oracle (med 2e-5 unchanged), +19%
+# throughput on v5e (tests/test_models_fullgrid.py)
+DEFAULT_NODDI_PRECISION = ('split3', 'split3', 'highest')
 # single-solve models (FreeWater / CylinderZeppelinBall / SANDI): same
 # pure-Lawson-Hanson-from-empty recipe -- their dictionaries are small
 # (11-26 atoms) and supports sparse, so 12 progressive rounds reach the

@@ -63,17 +63,23 @@ class NODDI(BaseModel):
 
     def set_solver(self, lambda1=5e-1, lambda2=1e-3, fista_iters=None,
                    cd_sweeps=None, refine_rounds=None, cg_iters=None,
-                   backend=None, stage_iters=None):
+                   backend=None, stage_iters=None, precision=None):
         """Defaults per reference models.pyx:721-724.  ``stage_iters``
         overrides the per-stage solver schedule
         ((fista, rounds, cg, inner) x2, (rounds, cg, inner)); the default
         (base.DEFAULT_NODDI_STAGE_ITERS) is a pure active-set schedule
-        validated against the exact oracle on the full dictionary."""
+        validated against the exact oracle on the full dictionary.
+        ``precision`` overrides the per-stage MXU precision of the fused
+        kernel ('highest' | 'split3', or a 3-tuple; default
+        base.DEFAULT_NODDI_PRECISION)."""
         self._set_solver_common(lambda1, lambda2, fista_iters, cd_sweeps,
                                 refine_rounds, cg_iters, backend)
         if stage_iters is not None:
             stage_iters = tuple(tuple(t) for t in stage_iters)
         self.solver_params['stage_iters'] = stage_iters
+        if precision is not None and not isinstance(precision, str):
+            precision = tuple(precision)
+        self.solver_params['precision'] = precision
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Coupled IC+EC atoms over the (IC_OD, IC_VF) grid + isotropic atom
@@ -164,6 +170,10 @@ class NODDI(BaseModel):
                 stage_iters = DEFAULT_NODDI_STAGE_ITERS
         (s1f, s1r, s1cg, s1i), (s2f, s2r, s2cg, s2i), (s3r, s3cg, s3i) = \
             stage_iters
+        precision = self.solver_params.get('precision')
+        if precision is None:
+            from .base import DEFAULT_NODDI_PRECISION
+            precision = DEFAULT_NODDI_PRECISION
 
         n_wm = kernels['wm'].shape[0]
         is_exvivo = bool(self.isExvivo)
@@ -244,7 +254,7 @@ class NODDI(BaseModel):
                 G1_all[dirs], G2_all[dirs], b1, Y_dwi, A2T,
                 K_iso[rows_dwi_j], icvf, kappa,
                 lam1=lam1, lam2=lam2, stage_iters=stage_iters,
-                want_x=want_x, is_exvivo=is_exvivo,
+                want_x=want_x, is_exvivo=is_exvivo, precision=precision,
                 interpret=jax.default_backend() != 'tpu')
             est3, x = out if want_x else (out, None)
             ndi, odi, fwf = est3[..., 0], est3[..., 1], est3[..., 2]
@@ -329,7 +339,7 @@ class NODDI(BaseModel):
             shapes['nrmse'] = ()
         if configs['compute_modulated_maps']:
             shapes['estimates_mod'] = (2,)
-        cache_key = ('noddi', backend, use_fused, stage_iters,
+        cache_key = ('noddi', backend, use_fused, stage_iters, precision,
                      lam1, lam2, is_exvivo, single_b0, n_wm, nS,
                      tuple(sorted(configs.items())))
         return self._run_tiled_fit(

@@ -48,6 +48,28 @@ def _dot_g(Gm, X, prec=_HI):
                                precision=prec)
 
 
+def _split_bf16(A):
+    """f32 -> (hi, lo) bf16 pair with A ~= hi + lo (~16 mantissa bits)."""
+    hi = A.astype(jnp.bfloat16)
+    lo = (A - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_g_split3(G_hi, G_lo, X):
+    """bf16x3 matvec: G@X via three 1-pass bf16 MXU dots with f32
+    accumulation (~21 mantissa bits; Mosaic exposes no HIGH precision, and
+    HIGHEST costs ~6 passes).  The lo@lo term is below f32 rounding."""
+    X_hi, X_lo = _split_bf16(X)
+    dims = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(G_hi, X_hi, dims,
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(G_hi, X_lo, dims,
+                               preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(G_lo, X_hi, dims,
+                               preferred_element_type=jnp.float32)
+    return acc
+
+
 def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                     cg_iters: int, inner_passes: int,
                     early_exit: bool = False,
@@ -81,6 +103,15 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
     def as_solve(G, b, l1, l2, cmask, m0=None, x_init=None):
         npad_l = G.shape[0]
 
+        if precision == 'split3':
+            G_hi, G_lo = _split_bf16(G)
+
+            def mv(X):
+                return _dot_g_split3(G_hi, G_lo, X)
+        else:
+            def mv(X):
+                return _dot_g(G, X, precision)
+
         bm = b * cmask
 
         def prox(z):
@@ -88,7 +119,7 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
 
         def fista_body(s):
             x, z, t, i, _ = s
-            grad = _dot_g(G, z, precision) - bm + l2 * z
+            grad = mv(z) - bm + l2 * z
             x_new = prox(z - step * (grad + l1))
             restart = jnp.sum((z - x_new) * (x_new - x), axis=0,
                               keepdims=True) > 0.0
@@ -100,12 +131,12 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
 
         if m0 is None and fista_iters > 0:
             def powb(_, v):
-                w = _dot_g(G, v, precision)
+                w = mv(v)
                 return w / (jnp.sqrt(jnp.sum(w * w)) + 1e-30)
 
             v = jax.lax.fori_loop(0, 10, powb,
                                   jnp.ones((npad_l, 1), jnp.float32))
-            L = jnp.sum(v * _dot_g(G, v, precision)) * 1.01 + 1e-30
+            L = jnp.sum(v * mv(v)) * 1.01 + 1e-30
             step = 1.0 / (L + l2 + 1e-30)
             bscale = jnp.max(jnp.abs(bm)) + 1e-30
             x0 = jnp.zeros((npad_l, M), jnp.float32)
@@ -130,7 +161,7 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
 
         def cg(m, z0, iters):
             def Aop(p):
-                return (_dot_g(G, p * m, precision) + l2 * p) * m
+                return (mv(p * m) + l2 * p) * m
 
             z = z0 * m
             r = (b_eff * m) - Aop(z)
@@ -168,7 +199,7 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             m_before = m
             for _r in range(inner_passes):
                 x, m = inner_solve(x, m, iters)
-            w = b_eff - _dot_g(G, x, precision) - l2 * x
+            w = b_eff - mv(x) - l2 * x
             allowed = (1.0 - m) * cmask
             w_cand = jnp.where(allowed > 0.0, w, -big)
             wmax = jnp.max(w_cand, axis=0, keepdims=True)
@@ -326,6 +357,14 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
 # NDI/ODI/FWF maps directly (models.pyx:944-967) so the coefficient tensor
 # never touches HBM unless error maps are requested.
 # ---------------------------------------------------------------------------
+def _resolve_precision(precision):
+    table = {'highest': _HI, 'high': jax.lax.Precision.HIGH,
+             'default': jax.lax.Precision.DEFAULT, 'split3': 'split3'}
+    if isinstance(precision, tuple):
+        return tuple(table[str(p)] for p in precision)
+    return table[str(precision)]
+
+
 def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                        lam1, lam2, fista_iters, refine_rounds, cg_iters,
                        inner_passes, want_x, stage_iters=None,
@@ -345,15 +384,19 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                        (refine_rounds, cg_iters, inner_passes))
     (f1_it, r1_it, cg1, i1), (f2_it, r2_it, cg2, i2), (r3_it, cg3, i3) =         stage_iters
 
-    def mk(fista, rounds, cg, inner):
+    # per-stage precision: a 3-tuple applies one entry per stage (the
+    # final debias decides the maps and is the precision-critical solve)
+    precs = precision if isinstance(precision, tuple) else (precision,) * 3
+
+    def mk(fista, rounds, cg, inner, prec):
         sched = tuple(cg) if isinstance(cg, tuple) else None
         cg_cap = max(sched) if sched else cg
         return _build_as_solve(M, fista, rounds, cg_cap, inner, early_exit,
-                               cg_schedule=sched, precision=precision)
+                               cg_schedule=sched, precision=prec)
 
-    solve1 = mk(f1_it, r1_it, cg1, i1)
-    solve2 = mk(f2_it, r2_it, cg2, i2)
-    solve3 = mk(0, r3_it, cg3, i3)
+    solve1 = mk(f1_it, r1_it, cg1, i1, precs[0])
+    solve2 = mk(f2_it, r2_it, cg2, i2, precs[1])
+    solve3 = mk(0, r3_it, cg3, i3, precs[2])
 
     def kernel(G1_ref, G2_ref, B1_ref, Ydwi_ref, A2T_ref, isod_ref,
                icvf_ref, kappa_ref, *out_refs):
@@ -381,7 +424,10 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
         if is_exvivo:
             Y2 = Y2 - x1[n_atoms - 2:n_atoms - 1, :]
         Y2 = jnp.maximum(Y2, 0.0)
-        b2 = _dot_g(A2T, Y2, precision)  # (n2pad, M)
+        if precs[1] == 'split3':
+            b2 = _dot_g_split3(*_split_bf16(A2T), Y2)   # (n2pad, M)
+        else:
+            b2 = _dot_g(A2T, Y2, precs[1])              # (n2pad, M)
         x2 = solve2(G2, b2 * pad2, lam1, lam2, pad2)
 
         # stage 3: debias on positive support + forced iso (and exvivo dot)
@@ -474,10 +520,7 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
                                 stage_iters=stage_iters,
                                 is_exvivo=bool(is_exvivo),
                                 early_exit=bool(early_exit),
-                                precision={'highest': _HI,
-                                           'high': jax.lax.Precision.HIGH,
-                                           'default': jax.lax.Precision.DEFAULT,
-                                           }[str(precision)])
+                                precision=_resolve_precision(precision))
 
     tile = lambda shp: pl.BlockSpec((1,) + shp, lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)

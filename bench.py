@@ -121,7 +121,8 @@ def main():
     from amico_tpu.models.engine import build_tile_plan, tile_voxels
     from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
     from amico_tpu.ops.solvers import gram
-    from amico_tpu.models.base import DEFAULT_NODDI_STAGE_ITERS
+    from amico_tpu.models.base import (DEFAULT_NODDI_PRECISION,
+                                       DEFAULT_NODDI_STAGE_ITERS)
     # lane width via the production auto-tile cost model (padding waste vs
     # per-grid-step overhead)
     _, _counts = np.unique(lut_idx, return_counts=True)
@@ -155,8 +156,8 @@ def main():
         kernels['kappa'].astype(np.float32))]
     interp = jax.default_backend() != 'tpu'
     run = lambda: noddi_fused_tiles_pallas(
-        *args, lam1=0.5, lam2=1e-3,
-        stage_iters=DEFAULT_NODDI_STAGE_ITERS, interpret=interp)
+        *args, lam1=0.5, lam2=1e-3, stage_iters=DEFAULT_NODDI_STAGE_ITERS,
+        precision=DEFAULT_NODDI_PRECISION, interpret=interp)
     run().block_until_ready()
     t_sol = float('inf')
     for _ in range(3):
