@@ -45,10 +45,14 @@ DEFAULT_NODDI_STAGE_ITERS = ((0, 8, (6, 6, 6, 6, 8, 8, 8, 8), 1),
                              (6, (16, 12, 12, 10, 10, 10), 2))
 # per-stage MXU precision for the fused NODDI kernel: stages 1-2 only pick
 # supports and tolerate bf16x3 (~21 mantissa bits, 3 one-pass dots instead
-# of HIGHEST's ~6 passes); the debias stage determines the maps and stays
-# exact f32.  Validated vs the exact oracle (med 2e-5 unchanged), +19%
-# throughput on v5e (tests/test_models_fullgrid.py)
-DEFAULT_NODDI_PRECISION = ('split3', 'split3', 'highest')
+# of HIGHEST's ~6 passes).  The debias stage determines the maps, but its
+# early rounds also only grow the working set -- they run bf16x3 too; the
+# last 2 rounds (which settle the support) and the final masked-CG polish
+# (which sets the returned values) stay exact f32.  Validated vs the exact
+# oracle (med 1.3e-5, p95 3.7e-3 -- indistinguishable from all-HIGHEST
+# debias), +6.5% over the all-HIGHEST-stage-3 schedule on v5e
+# (tests/test_models_fullgrid.py)
+DEFAULT_NODDI_PRECISION = ('split3', 'split3', ('split3', 'highest', 2))
 # single-solve models (FreeWater / CylinderZeppelinBall / SANDI): same
 # pure-Lawson-Hanson-from-empty recipe -- their dictionaries are small
 # (11-26 atoms) and supports sparse, so 12 progressive rounds reach the

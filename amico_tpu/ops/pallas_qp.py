@@ -95,22 +95,42 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
     most r+|seed| atoms, so the exact subproblem needs only that many CG
     steps -- a fixed cap wastes most of its matvecs in the early rounds.
     ``precision`` sets the MXU precision of every in-kernel matvec.
+    Mixed forms trade MXU passes for exactness only where it matters:
+
+    * ``(iter_prec, polish_prec)`` -- support-finding rounds at
+      ``iter_prec``; the final masked-CG polish (which sets the returned
+      coefficient values on the already-fixed support) at ``polish_prec``;
+    * ``(iter_prec, late_prec, n_late)`` -- all but the last ``n_late``
+      active-set rounds at ``iter_prec``; the last ``n_late`` rounds (the
+      ones that settle the support) and the polish at ``late_prec``.
     """
     tol = 3e-6
     ftol = 1e-4
     big = 3.0e38
+    n_late = 0
+    if isinstance(precision, tuple) and len(precision) == 3:
+        prec_iter, prec_polish, n_late = precision
+    elif isinstance(precision, tuple) and len(precision) == 2:
+        prec_iter, prec_polish = precision
+    else:
+        prec_iter = prec_polish = precision
 
     def as_solve(G, b, l1, l2, cmask, m0=None, x_init=None):
         npad_l = G.shape[0]
 
-        if precision == 'split3':
-            G_hi, G_lo = _split_bf16(G)
+        _mvs = {}
 
-            def mv(X):
-                return _dot_g_split3(G_hi, G_lo, X)
-        else:
-            def mv(X):
-                return _dot_g(G, X, precision)
+        def _mk_mv(prec):
+            if prec not in _mvs:
+                if prec == 'split3':
+                    G_hi, G_lo = _split_bf16(G)
+                    _mvs[prec] = lambda X: _dot_g_split3(G_hi, G_lo, X)
+                else:
+                    _mvs[prec] = lambda X, _p=prec: _dot_g(G, X, _p)
+            return _mvs[prec]
+
+        mv = _mk_mv(prec_iter)
+        mv_polish = _mk_mv(prec_polish)
 
         bm = b * cmask
 
@@ -159,9 +179,9 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
         b_eff = (bm - l1) * cmask
         scale = jnp.max(jnp.abs(b_eff), axis=0, keepdims=True) + 1e-30
 
-        def cg(m, z0, iters):
+        def cg(m, z0, iters, mvf=mv):
             def Aop(p):
-                return (mv(p * m) + l2 * p) * m
+                return (mvf(p * m) + l2 * p) * m
 
             z = z0 * m
             r = (b_eff * m) - Aop(z)
@@ -185,8 +205,8 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             z, _, _, _ = jax.lax.fori_loop(0, iters, cg_body, (z, r, p, rs))
             return jnp.where(jnp.isfinite(z), z, 0.0)
 
-        def inner_solve(x, m, iters=cg_iters):
-            z = cg(m, x, iters)
+        def inner_solve(x, m, iters=cg_iters, mvf=mv):
+            z = cg(m, x, iters, mvf)
             neg = (z <= 0.0) & (m > 0.0)
             ratio = jnp.where(neg, x / (x - z + 1e-30), big)
             alpha = jnp.clip(jnp.min(ratio, axis=0, keepdims=True), 0.0, 1.0)
@@ -194,12 +214,12 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             m = m * (x > tol * scale).astype(jnp.float32)
             return x * m, m
 
-        def as_round(carry, iters=cg_iters):
+        def as_round(carry, iters=cg_iters, mvf=mv):
             x, m, i, _ = carry
             m_before = m
             for _r in range(inner_passes):
-                x, m = inner_solve(x, m, iters)
-            w = b_eff - mv(x) - l2 * x
+                x, m = inner_solve(x, m, iters, mvf)
+            w = b_eff - mvf(x) - l2 * x
             allowed = (1.0 - m) * cmask
             w_cand = jnp.where(allowed > 0.0, w, -big)
             wmax = jnp.max(w_cand, axis=0, keepdims=True)
@@ -220,21 +240,38 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             # per-round CG budgets (working set grows by at most one atom
             # per round, so early rounds need few CG steps); equal-budget
             # runs stay rolled in fori_loops -- full unrolling balloons the
-            # Mosaic kernel and its compile time
+            # Mosaic kernel and its compile time.  The last ``n_late``
+            # rounds run at the polish precision (their support decisions
+            # stick).
             carry = (x, m_init, 0, False)
             sched = [int(it) for it in cg_schedule[:refine_rounds]]
+            n_r = len(sched)
+            precs_r = [prec_iter if r < n_r - n_late else prec_polish
+                       for r in range(n_r)]
             runs = []
-            for it in sched:
-                if runs and runs[-1][1] == it:
+            for it, pr in zip(sched, precs_r):
+                if runs and runs[-1][1] == (it, pr):
                     runs[-1][0] += 1
                 else:
-                    runs.append([1, it])
-            for count, it in runs:
+                    runs.append([1, (it, pr)])
+            for count, (it, pr) in runs:
+                mvf = _mk_mv(pr)
                 if count == 1:
-                    carry = as_round(carry, it)
+                    carry = as_round(carry, it, mvf)
+                elif early_exit:
+                    # stop a budget segment once the whole tile's working
+                    # sets are stable; the flag resets per segment so a
+                    # larger-budget segment still gets at least one round
+                    # to refine x on the settled support
+                    carry = jax.lax.while_loop(
+                        lambda c: jnp.logical_and(
+                            c[2] < count, jnp.logical_not(c[3])),
+                        lambda c, _it=it, _mv=mvf: as_round(c, _it, _mv),
+                        (carry[0], carry[1], 0, False))
                 else:
                     carry = jax.lax.fori_loop(
-                        0, count, lambda _, c, _it=it: as_round(c, _it),
+                        0, count,
+                        lambda _, c, _it=it, _mv=mvf: as_round(c, _it, _mv),
                         carry)
             x, m = carry[0], carry[1]
         elif early_exit:
@@ -243,10 +280,18 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                                           jnp.logical_not(c[3])),
                 as_round, (x, m_init, 0, False))
         else:
-            x, m, _, _ = jax.lax.fori_loop(
-                0, refine_rounds, lambda _, c: as_round(c),
-                (x, m_init, 0, False))
-        x, m = inner_solve(x, m)
+            n_lo = max(refine_rounds - n_late, 0)
+            carry = (x, m_init, 0, False)
+            if n_lo:
+                carry = jax.lax.fori_loop(
+                    0, n_lo, lambda _, c: as_round(c), carry)
+            if refine_rounds > n_lo:
+                mvf = _mk_mv(prec_polish)
+                carry = jax.lax.fori_loop(
+                    0, refine_rounds - n_lo,
+                    lambda _, c: as_round(c, cg_iters, mvf), carry)
+            x, m = carry[0], carry[1]
+        x, m = inner_solve(x, m, cg_iters, mv_polish)
         return jnp.maximum(x, 0.0)
 
     return as_solve
@@ -358,10 +403,14 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
 # never touches HBM unless error maps are requested.
 # ---------------------------------------------------------------------------
 def _resolve_precision(precision):
+    """Map precision names to lax values; tuples recurse (a 3-tuple is
+    per-stage, and a stage entry may itself be an (iter, polish) pair)."""
     table = {'highest': _HI, 'high': jax.lax.Precision.HIGH,
              'default': jax.lax.Precision.DEFAULT, 'split3': 'split3'}
     if isinstance(precision, tuple):
-        return tuple(table[str(p)] for p in precision)
+        return tuple(_resolve_precision(p) for p in precision)
+    if isinstance(precision, int) and not isinstance(precision, bool):
+        return precision          # round count in an (iter, late, n) form
     return table[str(precision)]
 
 
@@ -424,10 +473,11 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
         if is_exvivo:
             Y2 = Y2 - x1[n_atoms - 2:n_atoms - 1, :]
         Y2 = jnp.maximum(Y2, 0.0)
-        if precs[1] == 'split3':
+        p2 = precs[1][0] if isinstance(precs[1], tuple) else precs[1]
+        if p2 == 'split3':
             b2 = _dot_g_split3(*_split_bf16(A2T), Y2)   # (n2pad, M)
         else:
-            b2 = _dot_g(A2T, Y2, precs[1])              # (n2pad, M)
+            b2 = _dot_g(A2T, Y2, p2)                    # (n2pad, M)
         x2 = solve2(G2, b2 * pad2, lam1, lam2, pad2)
 
         # stage 3: debias on positive support + forced iso (and exvivo dot)

@@ -90,9 +90,21 @@ def main():
         _jax.device_put(Y_probe).block_until_ready()
         t_upload = min(t_upload, time.time() - t0)
 
+    # first fit: separate true XLA/Mosaic compile time (monitoring events;
+    # near-zero on a warm persistent cache) from the cold-start wall clock,
+    # which on this tunneled environment is dominated by host->device
+    # staging of the kernel tensors + first data chunks
+    compile_secs = [0.0]
+
+    def _on_event(event, dur, **kw):
+        if event == '/jax/core/compile/backend_compile_duration':
+            compile_secs[0] += dur
+    from jax._src import monitoring as _mon
+    _mon.register_event_duration_secs_listener(_on_event)
     t0 = time.time()
     model.fit(ctx)
-    t_compile = time.time() - t0
+    t_cold = time.time() - t0
+    t_compile = compile_secs[0]
     # steady-state fit on already-loaded data: host tiling + device solve +
     # map download each rep; the device staging cache skips the re-upload
     # (the multi-model / warm re-fit path)
@@ -268,6 +280,7 @@ def main():
             'solver_only_voxps': round(solver_voxps, 1),
             'solver_only_ms': round(t_sol * 1000, 1),
             'compile_seconds': round(t_compile, 1),
+            'cold_start_seconds': round(t_cold, 1),
             'kernel_gen_seconds': round(t_kernels, 1),
             'cpu_baseline_voxps_per_core': round(cpu_voxps_1t, 1),
             'cpu_baseline_voxps_allcores': round(cpu_voxps, 1),

@@ -157,3 +157,44 @@ def test_fused_exvivo_matches_stagewise_model_path(noddi_problem, tmp_path):
         d = np.abs(np.asarray(res_p[key]) - np.asarray(res_x[key]))
         assert np.median(d) < 1e-4, (key, np.median(d))
         assert np.percentile(d, 95) < 2e-2, (key, np.percentile(d, 95))
+
+
+def test_fused_mixed_precision_forms(noddi_problem):
+    """The mixed stage-3 precision forms -- (iter, polish) and
+    (iter, late, n_late) -- must reproduce the all-f32 estimates: the late
+    rounds / final polish run exact, so only support decisions made under
+    bf16x3 can differ, and those are bounded by the oracle-parity margins
+    (see DEFAULT_NODDI_PRECISION in models/base.py)."""
+    scheme, kernels = noddi_problem
+    n_wm = kernels['wm'].shape[0]
+    dwi = np.asarray(scheme.dwi_idx)
+    rng = np.random.RandomState(7)
+    C, M = 2, 128
+    ds = rng.randint(0, 500, C)
+    A = np.stack([np.column_stack([kernels['wm'][:, d, :].T, kernels['iso']])
+                  for d in ds])
+    W = rng.rand(C, M, n_wm + 1) * (rng.rand(C, M, n_wm + 1) < 0.3) + 0.05
+    Y = np.einsum('csa,cma->cms', A,
+                  W / np.maximum(W.sum(-1, keepdims=True), 1e-9))
+    Y = np.clip(Y + 0.002 * rng.randn(*Y.shape), 0, None).astype(np.float32)
+
+    G1 = np.asarray(gram(jnp.asarray(A, jnp.float32)))
+    b1 = np.einsum('csa,cms->cma', A, Y).astype(np.float32)
+    A2 = A[:, dwi, :n_wm] * kernels['norms'][None, None, :]
+    G2 = np.asarray(gram(jnp.asarray(A2, jnp.float32)))
+    A2T = np.swapaxes(A2, 1, 2).astype(np.float32)
+
+    args = (jnp.asarray(G1), jnp.asarray(G2), jnp.asarray(b1),
+            jnp.asarray(Y[:, :, dwi]), jnp.asarray(A2T),
+            jnp.asarray(kernels['iso'][dwi].astype(np.float32)),
+            jnp.asarray(kernels['icvf']), jnp.asarray(kernels['kappa']))
+    kw = dict(lam1=0.5, lam2=1e-3, fista_iters=0, refine_rounds=10,
+              cg_iters=12, inner_passes=2, interpret=True)
+
+    ref = np.asarray(noddi_fused_tiles_pallas(*args, precision='highest', **kw))
+    for prec in (('highest', 'highest', ('split3', 'highest')),
+                 ('highest', 'highest', ('split3', 'highest', 2))):
+        est = np.asarray(noddi_fused_tiles_pallas(*args, precision=prec, **kw))
+        err = np.abs(est - ref)
+        assert np.median(err) < 1e-4, (prec, np.median(err))
+        assert np.percentile(err, 95) < 1e-2, (prec, np.percentile(err, 95))
