@@ -349,6 +349,10 @@ class Evaluation:
                 ERROR(f'Cached kernels were built with ndirs={meta.get("ndirs")}'
                       f' but this session uses ndirs={self.get_config("ndirs")};'
                       ' call generate_kernels(regenerate=True)')
+            if meta.get('lmax') != self.get_config('lmax'):
+                ERROR(f'Cached kernels were built with lmax={meta.get("lmax")}'
+                      f' but this session uses lmax={self.get_config("lmax")};'
+                      ' call generate_kernels(regenerate=True)')
         self.htable = _lut.load_precomputed_hash_table(
             self.get_config('ndirs'), source)
         with self.timers.stage('load_kernels'), self._blas_limit():
@@ -375,7 +379,10 @@ class Evaluation:
         self.BLAS_nthreads = self._resolve_threads('BLAS_nthreads')
         self.set_config('fit_time', None)
         mask = self.niiMASK_img
-        n_vox = np.count_nonzero(mask)
+        # count mask == 1 exactly: masked_voxels()/scatter() select on == 1
+        # (reference core.py:451), so a 0/255 or labeled mask must use the
+        # same criterion or slab/scatter shapes diverge from self.y
+        n_vox = int(np.sum(mask == 1))
 
         t = time.time()
         self.y = _pl.masked_voxels(self.niiDWI_img, mask)
@@ -446,7 +453,7 @@ class Evaluation:
         out = {'MAPs': _pl.scatter(np.asarray(results['estimates'],
                                               np.float32), mask, dim)}
         dirs = (np.asarray(self.DIRs, np.float32) if self.DIRs is not None
-                else np.zeros((np.count_nonzero(mask), 3), np.float32))
+                else np.zeros((int(np.sum(mask == 1)), 3), np.float32))
         out['DIRs'] = _pl.scatter(dirs, mask, dim)
         if self.get_config('doComputeRMSE'):
             out['RMSE'] = _pl.scatter(results['rmse'], mask, dim)

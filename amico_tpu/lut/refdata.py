@@ -46,26 +46,29 @@ def _search_dir(path: str | None) -> str | None:
 
 def has_reference_directions(ndirs: int, path: str | None = None) -> bool:
     """True when the upstream direction set for ``ndirs`` is obtainable --
-    vendored (500) or present in a configured AMICO directions folder."""
-    if ndirs == 500:
-        return True
+    present in a configured AMICO directions folder, or vendored (500)."""
     d = _search_dir(path)
-    return d is not None and os.path.isfile(
-        os.path.join(d, f'ndirs={ndirs}.bin'))
+    if d is not None and os.path.isfile(
+            os.path.join(d, f'ndirs={ndirs}.bin')):
+        return True
+    return ndirs == 500
 
 
 def load_reference_directions(ndirs: int,
                               path: str | None = None) -> np.ndarray:
     """(ndirs, 3) float64 hemisphere direction set in the upstream binary
     layout (raw little-endian float64, C order; lut.pyx:65-66)."""
-    if ndirs == 500 and _search_dir(path) is None:
-        return np.load(os.path.join(_DATA_DIR, 'ref_dirs500.npy'))
     d = _search_dir(path)
-    if d is None:
+    fname = None if d is None else os.path.join(d, f'ndirs={ndirs}.bin')
+    if fname is None or not os.path.isfile(fname):
+        # vendored fallback: the configured folder (if any) may hold only a
+        # subset of the upstream sets
+        if ndirs == 500:
+            return np.load(os.path.join(_DATA_DIR, 'ref_dirs500.npy'))
         raise FileNotFoundError(
             f'No reference direction data for ndirs={ndirs}: set '
             'AMICO_TPU_REFERENCE_DIRECTIONS to an AMICO "directions" folder')
-    arr = np.fromfile(os.path.join(d, f'ndirs={ndirs}.bin'), dtype=np.float64)
+    arr = np.fromfile(fname, dtype=np.float64)
     if arr.size != ndirs * 3:
         raise ValueError(f'ndirs={ndirs}.bin holds {arr.size} float64 values, '
                          f'expected {ndirs * 3}')
@@ -76,15 +79,15 @@ def load_reference_hash_table(ndirs: int,
                               path: str | None = None) -> np.ndarray:
     """(32761,) int16 quantizer table in the upstream binary layout
     (raw little-endian int16; lut.pyx:89)."""
-    if ndirs == 500 and _search_dir(path) is None:
-        return np.load(os.path.join(_DATA_DIR, 'ref_htable500.npy'))
     d = _search_dir(path)
-    if d is None:
+    fname = None if d is None else os.path.join(d, f'htable_ndirs={ndirs}.bin')
+    if fname is None or not os.path.isfile(fname):
+        if ndirs == 500:
+            return np.load(os.path.join(_DATA_DIR, 'ref_htable500.npy'))
         raise FileNotFoundError(
             f'No reference hash table for ndirs={ndirs}: set '
             'AMICO_TPU_REFERENCE_DIRECTIONS to an AMICO "directions" folder')
-    ht = np.fromfile(os.path.join(d, f'htable_ndirs={ndirs}.bin'),
-                     dtype=np.int16)
+    ht = np.fromfile(fname, dtype=np.int16)
     if ht.size != N_GRID:
         raise ValueError(f'htable_ndirs={ndirs}.bin holds {ht.size} int16 '
                          f'values, expected {N_GRID}')

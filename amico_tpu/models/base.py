@@ -277,19 +277,37 @@ class BaseModel(ABC):
         # (multi-model runs, warm re-fits, parameter sweeps) skip the
         # host->device upload of the tiled signal entirely.  Keyed by array
         # identity (`is` comparison, same rationale as the kernel prep
-        # cache) plus a strided content fingerprint so an in-place
-        # mutation of evaluation.y invalidates the staged copies.
+        # cache) plus strided content fingerprints of the signal AND the
+        # tile plan: an in-place mutation of evaluation.y, or new DIRs that
+        # re-bucket the same voxels (possibly into the same tile count),
+        # must invalidate the staged copies
         stride = max(1, y.size // 65536)
         y_fp = (y.shape, float(np.sum(y.ravel()[::stride], dtype=np.float64)))
-        stage_key = (evaluation.y, y_fp, tile_size, plan.n_tiles, chunk_tiles,
+        pstride = max(1, plan.perm.size // 65536)
+        plan_fp = (plan.n_tiles,
+                   int(np.sum(plan.perm[::pstride], dtype=np.int64)),
+                   int(np.sum(plan.tile_dirs, dtype=np.int64)))
+        stage_key = (evaluation.y, y_fp, tile_size, plan_fp, chunk_tiles,
                      None if sharding is None else str(sharding))
+        # device-residency budget: staging the whole tiled volume (and
+        # holding every dispatched chunk in flight) is the fast path on
+        # remote/tunneled backends, but it is only safe while the tiled
+        # signal fits comfortably in HBM -- beyond the budget, fall back to
+        # streaming (no input cache, bounded in-flight window)
+        budget = int(evaluation.get_config('max_device_bytes') or (4 << 30))
+        chunk_bytes = chunk_tiles * tile_size * y.shape[1] * 4
+        cache_inputs = Y.nbytes <= budget
+        max_inflight = max(2, budget // max(chunk_bytes, 1))
         staged = getattr(self, '_stage_cache', None)
         if staged is not None and staged[0][0] is stage_key[0] \
                 and staged[0][1:] == stage_key[1:]:
             chunks_dev = staged[1]
-        else:
+        elif cache_inputs:
             chunks_dev = {}
             self._stage_cache = (stage_key, chunks_dev)
+        else:
+            chunks_dev = None
+            self._stage_cache = None
 
         # dispatch ALL chunks before pulling any result: uploads and solves
         # pipeline (dispatch is async), and no device->host transfer is
@@ -301,7 +319,7 @@ class BaseModel(ABC):
         for start, stop, pad in iter_tile_chunks(plan.n_tiles, chunk_tiles):
             if stop <= done_until:
                 continue
-            args = chunks_dev.get(start)
+            args = None if chunks_dev is None else chunks_dev.get(start)
             if args is None:
                 Yc = Y[start:stop]
                 dc = dirs_t[start:stop]
@@ -313,9 +331,15 @@ class BaseModel(ABC):
                 args = (jnp.asarray(Yc), jnp.asarray(dc), jnp.asarray(vc))
                 if sharding is not None:
                     args = tuple(jax.device_put(a, sharding) for a in args)
-                chunks_dev[start] = args
+                if chunks_dev is not None:
+                    chunks_dev[start] = args
             res = fit_jit(*args, *consts)
+            del args          # streaming mode: free the inputs once consumed
             pending.append((start, stop, res))
+            if len(pending) >= max_inflight:
+                s0, s1, r0 = pending.pop(0)
+                for k, arr in r0.items():
+                    out_tiles[k][s0:s1] = np.asarray(arr, np.float32)[:s1 - s0]
             if ckpt_path and len(pending) % ckpt_every == 0:
                 # checkpointing needs host copies mid-run: pull what is in
                 # flight and persist (full-rewrite npz, so throttled)

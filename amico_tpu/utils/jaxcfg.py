@@ -26,11 +26,15 @@ def _machine_fingerprint() -> str:
     except Exception:
         pass
     try:
+        wanted = {'model name', 'flags'}
         with open('/proc/cpuinfo') as fid:
             for line in fid:
-                if line.startswith(('model name', 'flags')):
+                key = line.split(':', 1)[0].strip()
+                if key in wanted:
                     parts.append(line.strip())
-                    break
+                    wanted.discard(key)
+                    if not wanted:
+                        break
     except OSError:
         pass
     return hashlib.sha1('|'.join(parts).encode()).hexdigest()[:12]

@@ -14,7 +14,8 @@ SPAMS) is timed on a voxel sample single-threaded and scaled by the host
 core count (the reference fit uses one solver thread per core,
 models.pyx:529-541, BLAS_nthreads=1 core.py:96).
 
-Env knobs: BENCH_VOXELS (default 100000), BENCH_SMALL=1 for a quick run,
+Env knobs: BENCH_VOXELS (default 409600 -- a full-brain masked voxel count,
+SURVEY.md section 5.7), BENCH_SMALL=1 for a quick run,
 BENCH_ALL=1 to also measure FreeWater / CylinderZeppelinBall / SANDI
 throughputs (BASELINE.md configs 2-4) into the detail dict.
 """
@@ -32,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     small = os.environ.get('BENCH_SMALL') == '1'
-    n_vox = int(os.environ.get('BENCH_VOXELS', 8000 if small else 100000))
+    n_vox = int(os.environ.get('BENCH_VOXELS', 8000 if small else 409600))
 
     os.environ.setdefault('AMICO_TPU_HOME',
                           os.path.join(os.path.expanduser('~'), '.amico_tpu'))
@@ -136,36 +137,42 @@ def main():
     from amico_tpu.models.base import (DEFAULT_NODDI_PRECISION,
                                        DEFAULT_NODDI_STAGE_ITERS)
     # lane width via the production auto-tile cost model (padding waste vs
-    # per-grid-step overhead)
-    _, _counts = np.unique(lut_idx, return_counts=True)
+    # per-grid-step overhead); ALL voxels (the serial-grid kernel has no
+    # per-dispatch size limit), heavy prep (dictionary gather, Grams, b1)
+    # on device
+    n_solver = n_vox
+    _, _counts = np.unique(lut_idx[:n_solver], return_counts=True)
     M, _best = 128, float('inf')
     for _m in (128, 256, 512, 1024):
         _slots = int(np.sum(-(-_counts // _m) * _m))
         _cost = _slots * (1.0 + 64.0 / _m)
         if _cost < _best:
             M, _best = _m, _cost
-    n_solver = min(n_vox, 65536)
     plan = build_tile_plan(lut_idx[:n_solver], M)
-    Yt = tile_voxels(plan, y[:n_solver].astype(np.float32))
+    Yt_d = jnp.asarray(tile_voxels(plan, y[:n_solver].astype(np.float32)))
     n_wm_b = kernels['wm'].shape[0]
-    dwi_b = scheme.dwi_idx
-    K = np.transpose(kernels['wm'], (1, 2, 0))
-    A = np.concatenate([K[plan.tile_dirs],
-                        np.broadcast_to(kernels['iso'][None, :, None],
-                                        (plan.n_tiles, Yt.shape[2], 1))],
-                       -1).astype(np.float32)
-    args = [jnp.asarray(v) for v in (
-        np.asarray(gram(jnp.asarray(A))),
-        np.asarray(gram(jnp.asarray(
-            A[:, dwi_b, :n_wm_b] * kernels['norms'][None, None, :],
-            jnp.float32))),
-        np.einsum('csa,cms->cma', A, Yt).astype(np.float32),
-        Yt[:, :, dwi_b],
-        np.swapaxes(A[:, dwi_b, :n_wm_b]
-                    * kernels['norms'][None, None, :], 1, 2).astype(np.float32),
-        kernels['iso'][dwi_b].astype(np.float32),
-        kernels['icvf'].astype(np.float32),
-        kernels['kappa'].astype(np.float32))]
+    dwi_b = jnp.asarray(scheme.dwi_idx)
+    K_d = jnp.asarray(np.transpose(kernels['wm'], (1, 2, 0)), jnp.float32)
+    norms_d = jnp.asarray(kernels['norms'], jnp.float32)
+
+    @jax.jit
+    def _solver_prep(K_d, Yt_d, iso_d, norms_d, dirs_d):
+        A = jnp.concatenate(
+            [K_d[dirs_d],
+             jnp.broadcast_to(iso_d[None, :, None],
+                              (dirs_d.shape[0], Yt_d.shape[2], 1))], -1)
+        A2 = A[:, dwi_b, :n_wm_b] * norms_d[None, None, :]
+        return (gram(A), gram(A2),
+                jnp.einsum('csa,cms->cma', A, Yt_d,
+                           precision=jax.lax.Precision.HIGHEST),
+                Yt_d[:, :, dwi_b], jnp.swapaxes(A2, 1, 2))
+
+    iso_d = jnp.asarray(kernels['iso'], jnp.float32)
+    args = list(_solver_prep(K_d, Yt_d, iso_d, norms_d,
+                             jnp.asarray(plan.tile_dirs))) + [
+        iso_d[dwi_b],
+        jnp.asarray(kernels['icvf'], jnp.float32),
+        jnp.asarray(kernels['kappa'], jnp.float32)]
     interp = jax.default_backend() != 'tpu'
     run = lambda: noddi_fused_tiles_pallas(
         *args, lam1=0.5, lam2=1e-3, stage_iters=DEFAULT_NODDI_STAGE_ITERS,

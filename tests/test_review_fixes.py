@@ -1,0 +1,136 @@
+"""Regression tests for the round-2 self-review findings.
+
+Each test pins one fixed defect: labeled/0-255 masks, stale staged device
+chunks after a DIRs swap, partial reference-directions folders, the lmax
+cache-staleness guard, and the ``python -m`` entry-point import guard.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import amico_tpu
+from amico_tpu.io import nifti
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+
+
+def _write_subject(subj, mask_values):
+    g = fibonacci_hemisphere(24)
+    tab = np.vstack([np.zeros((2, 4)), np.c_[g, np.full(24, 1000.0)],
+                     np.c_[g, np.full(24, 2500.0)]])
+    np.savetxt(subj / 'DWI.scheme', tab, fmt='%.6f',
+               header='VERSION: BVECTOR', comments='')
+    rng = np.random.RandomState(0)
+    vol = np.abs(300 * (0.3 + 0.5 * rng.rand(4, 4, 2, 50))).astype(np.float32)
+    vol[..., :2] = 300.0
+    nifti.save(nifti.Nifti1Image(vol), str(subj / 'DWI.nii.gz'))
+    nifti.save(nifti.Nifti1Image(mask_values.astype(np.uint8)),
+               str(subj / 'mask.nii.gz'))
+
+
+def test_labeled_mask_only_fits_ones(tmp_path):
+    """Masks are selected on ``mask == 1`` exactly (reference core.py:451):
+    a labeled volume (values 0/1/2) must fit only the 1-voxels and scatter
+    zeros elsewhere -- the voxel-count bookkeeping used count_nonzero and
+    crashed or misaligned on such masks."""
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    mask = np.zeros((4, 4, 2), np.uint8)
+    mask[:2] = 1
+    mask[2] = 2          # labeled region that must NOT be fit
+    _write_subject(subj, mask)
+    ev = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme', mask_filename='mask.nii.gz')
+    ev.set_model('FreeWater')
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+    maps = ev.RESULTS['MAPs']
+    assert maps.shape[:3] == mask.shape
+    assert np.isfinite(maps).all()
+    assert (maps[mask != 1] == 0).all()
+    assert np.abs(maps[mask == 1]).sum() > 0
+
+
+def test_stage_cache_invalidated_by_new_dirs(tmp_path):
+    """Re-fitting the same y with different DIRs must re-tile: the staged
+    device chunks were keyed only on y and the tile count, so a DIRs swap
+    with a coincidentally equal tile count reused stale buckets."""
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    from amico_tpu.testing import demo_noddi, demo_voxels
+    model, kernels, htable = demo_noddi(kernels_dir=str(tmp_path / 'k'))
+    y, DIRs_a, _ = demo_voxels(64, kernels, htable, seed=0)
+    rng = np.random.RandomState(99)
+    DIRs_b = rng.randn(64, 3)
+    DIRs_b /= np.linalg.norm(DIRs_b, axis=1, keepdims=True)
+
+    class Ctx:
+        def __init__(s, dirs):
+            s.y, s.DIRs, s.htable, s.KERNELS = y, dirs, htable, kernels
+
+        def get_config(s, k):
+            return {'tile_size': 32, 'voxels_per_chunk': 4096}.get(k)
+
+    est_a = model.fit(Ctx(DIRs_a))['estimates']
+    est_b_warm = model.fit(Ctx(DIRs_b))['estimates']     # same y object
+    fresh = type(model)()
+    fresh.set(IC_VFs=model.IC_VFs, IC_ODs=model.IC_ODs)
+    fresh.set_solver()
+    fresh.scheme = model.scheme
+    est_b_fresh = fresh.fit(Ctx(DIRs_b))['estimates']
+    assert not np.allclose(est_a, est_b_warm)            # DIRs changed maps
+    np.testing.assert_allclose(est_b_warm, est_b_fresh, atol=1e-6)
+
+
+def test_refdata_partial_folder_falls_back_to_vendored(tmp_path, monkeypatch):
+    """A configured AMICO directions folder holding only some ndirs files
+    must not shadow the vendored 500-dir set."""
+    from amico_tpu.lut import refdata
+    monkeypatch.setenv('AMICO_TPU_REFERENCE_DIRECTIONS', str(tmp_path))
+    assert refdata.has_reference_directions(500)
+    dirs = refdata.load_reference_directions(500)
+    assert dirs.shape == (500, 3)
+    ht = refdata.load_reference_hash_table(500)
+    assert ht.shape == (refdata.N_GRID,)
+    assert not refdata.has_reference_directions(1000)
+    with pytest.raises(FileNotFoundError):
+        refdata.load_reference_directions(1000)
+
+
+def test_lmax_mismatch_detected(tmp_path):
+    """Cached kernels generated at one lmax must refuse to load at another
+    (same failure class as the existing ndirs staleness guard)."""
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    mask = np.ones((4, 4, 2), np.uint8)
+    _write_subject(subj, mask)
+    ev = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev.load_data('DWI.nii.gz', 'DWI.scheme', mask_filename='mask.nii.gz')
+    ev.set_model('FreeWater')
+    ev.generate_kernels(regenerate=True, lmax=12)
+    ev2 = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev2.load_data('DWI.nii.gz', 'DWI.scheme', mask_filename='mask.nii.gz')
+    ev2.set_model('FreeWater')
+    ev2.generate_kernels(lmax=8)          # cached -> early return
+    from amico_tpu.utils.logging import AmicoError
+    with pytest.raises(AmicoError, match='lmax'):
+        ev2.load_kernels()
+
+
+def test_main_module_import_does_not_exit():
+    """Importing amico_tpu.__main__ (pydoc, coverage, multiprocessing spawn)
+    must not run the CLI or exit the process."""
+    code = ('import importlib; m = importlib.import_module("amico_tpu.__main__"); '
+            'print("imported", hasattr(m, "main"))')
+    out = subprocess.run([sys.executable, '-c', code],
+                         capture_output=True, text=True,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0, out.stderr
+    assert 'imported True' in out.stdout
