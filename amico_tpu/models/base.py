@@ -237,9 +237,17 @@ class BaseModel(ABC):
             sharding = tile_sharding(mesh)
 
         plan = build_tile_plan(lut_idx, tile_size)
-        Y = tile_voxels(plan, y)
         dirs_t = plan.tile_dirs
         valid_t = plan.valid
+        # tiling strategy: on a single device the (n_tiles, M, nS) tiled
+        # signal is never materialized on the host -- the flat (N+1, nS)
+        # signal is staged once and each chunk's rows are gathered on
+        # device (the permutation is a cheap int32 take).  The mesh path
+        # keeps host tiling so shard boundaries stay explicit; signals
+        # beyond the device budget stream host-tiled chunks instead.
+        budget = int(evaluation.get_config('max_device_bytes') or (4 << 30))
+        device_gather = sharding is None and y.nbytes <= budget
+        Y = None if device_gather else tile_voxels(plan, y)
 
         # memoize the jitted fit across fit() calls: a fresh closure per call
         # would miss jax's compile cache (compiles dominate on remote TPUs)
@@ -275,28 +283,28 @@ class BaseModel(ABC):
 
         # device-side staging cache: re-fits on the same loaded volume
         # (multi-model runs, warm re-fits, parameter sweeps) skip the
-        # host->device upload of the tiled signal entirely.  Keyed by array
+        # host->device upload of the signal entirely.  Keyed by array
         # identity (`is` comparison, same rationale as the kernel prep
         # cache) plus strided content fingerprints of the signal AND the
         # tile plan: an in-place mutation of evaluation.y, or new DIRs that
         # re-bucket the same voxels (possibly into the same tile count),
-        # must invalidate the staged copies
+        # must invalidate the staged copies.  (The device-gather path
+        # stages the flat plan-independent signal, so only the y
+        # fingerprint applies there.)
         stride = max(1, y.size // 65536)
         y_fp = (y.shape, float(np.sum(y.ravel()[::stride], dtype=np.float64)))
         pstride = max(1, plan.perm.size // 65536)
-        plan_fp = (plan.n_tiles,
-                   int(np.sum(plan.perm[::pstride], dtype=np.int64)),
-                   int(np.sum(plan.tile_dirs, dtype=np.int64)))
+        plan_fp = ('flat' if device_gather else
+                   (plan.n_tiles,
+                    int(np.sum(plan.perm[::pstride], dtype=np.int64)),
+                    int(np.sum(plan.tile_dirs, dtype=np.int64))))
         stage_key = (evaluation.y, y_fp, tile_size, plan_fp, chunk_tiles,
                      None if sharding is None else str(sharding))
-        # device-residency budget: staging the whole tiled volume (and
-        # holding every dispatched chunk in flight) is the fast path on
-        # remote/tunneled backends, but it is only safe while the tiled
-        # signal fits comfortably in HBM -- beyond the budget, fall back to
-        # streaming (no input cache, bounded in-flight window)
-        budget = int(evaluation.get_config('max_device_bytes') or (4 << 30))
+        # device-residency budget (see tiling strategy above): beyond it,
+        # no input caching and a bounded in-flight window
         chunk_bytes = chunk_tiles * tile_size * y.shape[1] * 4
-        cache_inputs = Y.nbytes <= budget
+        staged_bytes = y.nbytes if device_gather else Y.nbytes
+        cache_inputs = staged_bytes <= budget
         max_inflight = max(2, budget // max(chunk_bytes, 1))
         staged = getattr(self, '_stage_cache', None)
         if staged is not None and staged[0][0] is stage_key[0] \
@@ -309,6 +317,33 @@ class BaseModel(ABC):
             chunks_dev = None
             self._stage_cache = None
 
+        y_ext_dev = None
+        if device_gather:
+            # flat signal + zero pad row, staged once; per-chunk tiles are
+            # an int32 gather on device
+            key = '__y_ext__'
+            if chunks_dev is not None and key in chunks_dev:
+                y_ext_dev = chunks_dev[key]
+            else:
+                y_ext = np.concatenate(
+                    [y.astype(np.float32, copy=False),
+                     np.zeros((1, y.shape[1]), np.float32)], axis=0)
+                y_ext_dev = jnp.asarray(y_ext)
+                if chunks_dev is not None:
+                    chunks_dev[key] = y_ext_dev
+            gather_key = (chunk_tiles, tile_size, y.shape[1])
+            gcache = getattr(self, '_gather_fn_cache', None)
+            if gcache is None:
+                gcache = self._gather_fn_cache = {}
+            gather_jit = gcache.get(gather_key)
+            if gather_jit is None:
+                C_, M_, F_ = gather_key
+
+                def _gather(y_ext, idx):
+                    return jnp.take(y_ext, idx, axis=0).reshape(C_, M_, F_)
+
+                gather_jit = gcache[gather_key] = jax.jit(_gather)
+
         # dispatch ALL chunks before pulling any result: uploads and solves
         # pipeline (dispatch is async), and no device->host transfer is
         # interleaved between uploads -- downloads only start once every
@@ -319,20 +354,35 @@ class BaseModel(ABC):
         for start, stop, pad in iter_tile_chunks(plan.n_tiles, chunk_tiles):
             if stop <= done_until:
                 continue
-            args = None if chunks_dev is None else chunks_dev.get(start)
-            if args is None:
-                Yc = Y[start:stop]
+            if device_gather:
+                # cheap on-device build: int32 row gather from the staged
+                # flat signal (plan.perm pads with n_voxels = the zero row)
+                M = tile_size
+                idx = plan.perm[start * M:stop * M]
                 dc = dirs_t[start:stop]
                 vc = valid_t[start:stop]
                 if pad:
-                    Yc = np.concatenate([Yc, np.zeros((pad,) + Yc.shape[1:], Yc.dtype)])
+                    idx = np.concatenate(
+                        [idx, np.full(pad * M, plan.n_voxels, idx.dtype)])
                     dc = np.concatenate([dc, np.zeros(pad, dc.dtype)])
                     vc = np.concatenate([vc, np.zeros((pad,) + vc.shape[1:], bool)])
-                args = (jnp.asarray(Yc), jnp.asarray(dc), jnp.asarray(vc))
-                if sharding is not None:
-                    args = tuple(jax.device_put(a, sharding) for a in args)
-                if chunks_dev is not None:
-                    chunks_dev[start] = args
+                args = (gather_jit(y_ext_dev, jnp.asarray(idx)),
+                        jnp.asarray(dc), jnp.asarray(vc))
+            else:
+                args = None if chunks_dev is None else chunks_dev.get(start)
+                if args is None:
+                    Yc = Y[start:stop]
+                    dc = dirs_t[start:stop]
+                    vc = valid_t[start:stop]
+                    if pad:
+                        Yc = np.concatenate([Yc, np.zeros((pad,) + Yc.shape[1:], Yc.dtype)])
+                        dc = np.concatenate([dc, np.zeros(pad, dc.dtype)])
+                        vc = np.concatenate([vc, np.zeros((pad,) + vc.shape[1:], bool)])
+                    args = (jnp.asarray(Yc), jnp.asarray(dc), jnp.asarray(vc))
+                    if sharding is not None:
+                        args = tuple(jax.device_put(a, sharding) for a in args)
+                    if chunks_dev is not None:
+                        chunks_dev[start] = args
             res = fit_jit(*args, *consts)
             del args          # streaming mode: free the inputs once consumed
             pending.append((start, stop, res))
