@@ -85,7 +85,7 @@ def _default_config(study_path, subject, output_path) -> dict:
         BLAS_nthreads=1,
         # TPU-build extras
         tile_size='auto',
-        voxels_per_chunk=65536,
+        voxels_per_chunk='auto',
         # 'auto' | 'reference' | 'generated': where direction sets and the
         # high-res gradient table come from (amico_tpu.ops.sphere.resolve_source)
         direction_source='auto',

@@ -202,8 +202,21 @@ class BaseModel(ABC):
         import jax.numpy as jnp
 
         y = np.asarray(evaluation.y, np.float32)
-        lut_idx = _lut.dir_to_lut_idx(np.asarray(evaluation.DIRs, np.float64),
-                                      evaluation.htable)
+        # direction quantization + tile plan are DIRs-only derived: cache
+        # them across warm re-fits (identity + strided content fingerprint,
+        # same invalidation rationale as the staging cache below)
+        DIRs = np.asarray(evaluation.DIRs, np.float64)
+        dstride = max(1, DIRs.size // 65536)
+        dirs_fp = (DIRs.shape,
+                   float(np.sum(DIRs.ravel()[::dstride], dtype=np.float64)))
+        pkey = (evaluation.DIRs, dirs_fp, evaluation.htable)
+        pc = getattr(self, '_plan_cache', None)
+        if pc is not None and pc[0][0] is pkey[0] \
+                and pc[0][1] == pkey[1] and pc[0][2] is pkey[2]:
+            lut_idx = pc[1]
+        else:
+            lut_idx = _lut.dir_to_lut_idx(DIRs, evaluation.htable)
+            pc = self._plan_cache = (pkey, lut_idx, {})
         cfg_tile = evaluation.get_config('tile_size')
         if tile_size is None and cfg_tile not in (None, 'auto'):
             tile_size = int(cfg_tile)
@@ -222,9 +235,8 @@ class BaseModel(ABC):
                         tile_size, best = m, cost
             else:
                 tile_size = 128
-        vpc = voxels_per_chunk or int(evaluation.get_config('voxels_per_chunk')
-                                      or 65536)
-        chunk_tiles = max(1, vpc // tile_size)
+        vpc = voxels_per_chunk or evaluation.get_config('voxels_per_chunk') \
+            or 'auto'
 
         # optional device mesh: shard the tile axis (voxel data parallelism,
         # SURVEY.md section 2.4); chunk size padded to a device multiple
@@ -232,11 +244,27 @@ class BaseModel(ABC):
         sharding = None
         if mesh is not None:
             from ..parallel.mesh import tile_sharding
-            ndev = mesh.devices.size
-            chunk_tiles = max(1, -(-chunk_tiles // ndev) * ndev)
             sharding = tile_sharding(mesh)
 
-        plan = build_tile_plan(lut_idx, tile_size)
+        plan = pc[2].get(tile_size)
+        if plan is None:
+            plan = pc[2][tile_size] = build_tile_plan(lut_idx, tile_size)
+        if vpc == 'auto':
+            # equal-split chunking: enough chunks that result downloads
+            # overlap later solves, few enough that per-dispatch latency
+            # stays negligible (~51k voxels/chunk measured optimal on a
+            # v5e, and splitting evenly avoids padding a 25%-oversized
+            # final chunk).  chunk_tiles is quantized to 4 so nearby
+            # volume sizes share a compiled chunk shape.
+            target = max(1, 51200 // tile_size)
+            nchunks = max(1, min(8, -(-plan.n_tiles // target)))
+            per_chunk = -(-plan.n_tiles // nchunks)
+            chunk_tiles = -(-per_chunk // 4) * 4
+        else:
+            chunk_tiles = max(1, int(vpc) // tile_size)
+        if mesh is not None:
+            ndev = mesh.devices.size
+            chunk_tiles = max(1, -(-chunk_tiles // ndev) * ndev)
         dirs_t = plan.tile_dirs
         valid_t = plan.valid
         # tiling strategy: on a single device the (n_tiles, M, nS) tiled
@@ -288,16 +316,14 @@ class BaseModel(ABC):
         # cache) plus strided content fingerprints of the signal AND the
         # tile plan: an in-place mutation of evaluation.y, or new DIRs that
         # re-bucket the same voxels (possibly into the same tile count),
-        # must invalidate the staged copies.  (The device-gather path
-        # stages the flat plan-independent signal, so only the y
-        # fingerprint applies there.)
+        # must invalidate the staged copies -- in gather mode the cache
+        # holds per-chunk permutation indices, which are plan-dependent.
         stride = max(1, y.size // 65536)
         y_fp = (y.shape, float(np.sum(y.ravel()[::stride], dtype=np.float64)))
         pstride = max(1, plan.perm.size // 65536)
-        plan_fp = ('flat' if device_gather else
-                   (plan.n_tiles,
-                    int(np.sum(plan.perm[::pstride], dtype=np.int64)),
-                    int(np.sum(plan.tile_dirs, dtype=np.int64))))
+        plan_fp = (plan.n_tiles,
+                   int(np.sum(plan.perm[::pstride], dtype=np.int64)),
+                   int(np.sum(plan.tile_dirs, dtype=np.int64)))
         stage_key = (evaluation.y, y_fp, tile_size, plan_fp, chunk_tiles,
                      None if sharding is None else str(sharding))
         # device-residency budget (see tiling strategy above): beyond it,
@@ -320,7 +346,8 @@ class BaseModel(ABC):
         y_ext_dev = None
         if device_gather:
             # flat signal + zero pad row, staged once; per-chunk tiles are
-            # an int32 gather on device
+            # built by an int32 gather fused INTO the fit dispatch (one
+            # launch per chunk, no host-tiled copies, no intermediate)
             key = '__y_ext__'
             if chunks_dev is not None and key in chunks_dev:
                 y_ext_dev = chunks_dev[key]
@@ -331,18 +358,21 @@ class BaseModel(ABC):
                 y_ext_dev = jnp.asarray(y_ext)
                 if chunks_dev is not None:
                     chunks_dev[key] = y_ext_dev
-            gather_key = (chunk_tiles, tile_size, y.shape[1])
-            gcache = getattr(self, '_gather_fn_cache', None)
-            if gcache is None:
-                gcache = self._gather_fn_cache = {}
-            gather_jit = gcache.get(gather_key)
-            if gather_jit is None:
-                C_, M_, F_ = gather_key
+            C_, M_, F_ = chunk_tiles, tile_size, y.shape[1]
 
-                def _gather(y_ext, idx):
-                    return jnp.take(y_ext, idx, axis=0).reshape(C_, M_, F_)
+            def fit_gather(y_ext, idx, dc, vc, *cs):
+                Yc = jnp.take(y_ext, idx, axis=0).reshape(C_, M_, F_)
+                return fit_chunk_fn(Yc, dc, vc, *cs)
 
-                gather_jit = gcache[gather_key] = jax.jit(_gather)
+            if cache_key is not None:
+                gkey = (cache_key, 'gather', chunk_tiles, tile_size,
+                        y.shape[1])
+                cache = self._fit_fn_cache
+                fit_gather_jit = cache.get(gkey)
+                if fit_gather_jit is None:
+                    fit_gather_jit = cache[gkey] = jax.jit(fit_gather)
+            else:
+                fit_gather_jit = jax.jit(fit_gather)
 
         # dispatch ALL chunks before pulling any result: uploads and solves
         # pipeline (dispatch is async), and no device->host transfer is
@@ -355,19 +385,27 @@ class BaseModel(ABC):
             if stop <= done_until:
                 continue
             if device_gather:
-                # cheap on-device build: int32 row gather from the staged
-                # flat signal (plan.perm pads with n_voxels = the zero row)
-                M = tile_size
-                idx = plan.perm[start * M:stop * M]
-                dc = dirs_t[start:stop]
-                vc = valid_t[start:stop]
-                if pad:
-                    idx = np.concatenate(
-                        [idx, np.full(pad * M, plan.n_voxels, idx.dtype)])
-                    dc = np.concatenate([dc, np.zeros(pad, dc.dtype)])
-                    vc = np.concatenate([vc, np.zeros((pad,) + vc.shape[1:], bool)])
-                args = (gather_jit(y_ext_dev, jnp.asarray(idx)),
-                        jnp.asarray(dc), jnp.asarray(vc))
+                # per-chunk device inputs (gather indices into the staged
+                # flat signal -- plan.perm pads with n_voxels = the zero
+                # row -- plus tile dirs/valid) are tiny and y-independent:
+                # cached across warm re-fits so those upload nothing
+                args = None if chunks_dev is None else chunks_dev.get(start)
+                if args is None:
+                    M = tile_size
+                    idx = plan.perm[start * M:stop * M]
+                    dc = dirs_t[start:stop]
+                    vc = valid_t[start:stop]
+                    if pad:
+                        idx = np.concatenate(
+                            [idx, np.full(pad * M, plan.n_voxels, idx.dtype)])
+                        dc = np.concatenate([dc, np.zeros(pad, dc.dtype)])
+                        vc = np.concatenate(
+                            [vc, np.zeros((pad,) + vc.shape[1:], bool)])
+                    args = (jnp.asarray(idx), jnp.asarray(dc),
+                            jnp.asarray(vc))
+                    if chunks_dev is not None:
+                        chunks_dev[start] = args
+                res = fit_gather_jit(y_ext_dev, *args, *consts)
             else:
                 args = None if chunks_dev is None else chunks_dev.get(start)
                 if args is None:
@@ -383,7 +421,7 @@ class BaseModel(ABC):
                         args = tuple(jax.device_put(a, sharding) for a in args)
                     if chunks_dev is not None:
                         chunks_dev[start] = args
-            res = fit_jit(*args, *consts)
+                res = fit_jit(*args, *consts)
             del args          # streaming mode: free the inputs once consumed
             pending.append((start, stop, res))
             if len(pending) >= max_inflight:

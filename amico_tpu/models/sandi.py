@@ -204,7 +204,16 @@ class SANDI(BaseModel):
 
         y = np.asarray(evaluation.y, np.float32)
         N = y.shape[0]
-        chunk = int(evaluation.get_config('voxels_per_chunk') or 65536)
+        vpc = evaluation.get_config('voxels_per_chunk') or 'auto'
+        if vpc == 'auto':
+            # direction-free fit: equal-split into <=8 chunks around the
+            # measured per-dispatch sweet spot, quantized so nearby volume
+            # sizes share one compiled chunk shape (see base.py)
+            nchunks = max(1, min(8, -(-N // 51200)))
+            per_chunk = -(-N // nchunks)
+            chunk = -(-per_chunk // 4096) * 4096
+        else:
+            chunk = int(vpc)
         pending = []
         for start in range(0, N, chunk):
             Yc = y[start:start + chunk]

@@ -65,7 +65,7 @@ def main():
             self._cfg = {'doComputeRMSE': False, 'doComputeNRMSE': False,
                          'doSaveModulatedMaps': False,
                          'tile_size': tile if tile == 'auto' else int(tile),
-                         'voxels_per_chunk': 131072}
+                         'voxels_per_chunk': 'auto'}
             self._cfg.update(cfg)
 
         def get_config(self, k):
@@ -237,7 +237,7 @@ def main():
 
                 def get_config(self, k):
                     return {'tile_size': 'auto',
-                            'voxels_per_chunk': 131072}.get(k)
+                            'voxels_per_chunk': 'auto'}.get(k)
             c2 = C2()
             c2.htable = htable
             model.fit(c2)
