@@ -1,7 +1,7 @@
 """Golden regression: NODDI maps on a frozen synthetic subject must stay
 within solver-gap tolerance of the recorded fixture (guards refactors;
-regenerate with the script in the fixture's git history if semantics
-intentionally change)."""
+regenerate with ``tests/data/regen_golden.py`` if semantics intentionally
+change)."""
 import os
 
 import numpy as np

@@ -231,7 +231,6 @@ def test_sandi_fit_parity(workdir):
     n = 150
     W = rng.rand(n, A.shape[1]) * (rng.rand(n, A.shape[1]) < 0.3)
     W[np.arange(n), rng.randint(A.shape[1], size=n)] += 0.5
-    y = (A / kernels['norms'][None, :]) @ W.T * 0  # placeholder
     y = ((A / kernels['norms'][None, :]) @ (W / np.maximum(W.sum(1, keepdims=True), 1e-9)).T).T
     y = np.clip(y + 0.002 * rng.randn(*y.shape), 0, None)
 
