@@ -226,7 +226,10 @@ class BaseModel(ABC):
                 # padded slots scale the work, and the per-slot rate rises
                 # with M as M/(M+c) (per-grid-step overhead, measured c~64
                 # on v5e) -- wide tiles only pay off when buckets fill them
-                _, counts = np.unique(lut_idx, return_counts=True)
+                counts = pc[2].get('_counts')
+                if counts is None:
+                    _, counts = np.unique(lut_idx, return_counts=True)
+                    pc[2]['_counts'] = counts
                 tile_size, best = 128, float('inf')
                 for m in (128, 256, 512, 1024):
                     slots = int(np.sum(-(-counts // m) * m)) if counts.size else m
@@ -325,6 +328,7 @@ class BaseModel(ABC):
                    int(np.sum(plan.perm[::pstride], dtype=np.int64)),
                    int(np.sum(plan.tile_dirs, dtype=np.int64)))
         stage_key = (evaluation.y, y_fp, tile_size, plan_fp, chunk_tiles,
+                     device_gather,
                      None if sharding is None else str(sharding))
         # device-residency budget (see tiling strategy above): beyond it,
         # no input caching and a bounded in-flight window
@@ -358,15 +362,16 @@ class BaseModel(ABC):
                 y_ext_dev = jnp.asarray(y_ext)
                 if chunks_dev is not None:
                     chunks_dev[key] = y_ext_dev
-            C_, M_, F_ = chunk_tiles, tile_size, y.shape[1]
-
             def fit_gather(y_ext, idx, dc, vc, *cs):
-                Yc = jnp.take(y_ext, idx, axis=0).reshape(C_, M_, F_)
+                # shape-polymorphic (jit specializes per input shape): the
+                # chunk/tile/sample extents come from the traced args, so
+                # one cached closure serves every chunk shape
+                Yc = jnp.take(y_ext, idx, axis=0).reshape(
+                    dc.shape[0], vc.shape[1], y_ext.shape[1])
                 return fit_chunk_fn(Yc, dc, vc, *cs)
 
             if cache_key is not None:
-                gkey = (cache_key, 'gather', chunk_tiles, tile_size,
-                        y.shape[1])
+                gkey = (cache_key, 'gather')
                 cache = self._fit_fn_cache
                 fit_gather_jit = cache.get(gkey)
                 if fit_gather_jit is None:

@@ -217,7 +217,11 @@ class SANDI(BaseModel):
         pending = []
         for start in range(0, N, chunk):
             Yc = y[start:start + chunk]
-            pad = chunk - Yc.shape[0] if Yc.shape[0] < chunk and N > chunk else 0
+            # auto mode pads even a lone chunk to the quantized size so
+            # nearby volume sizes share one compiled shape; explicit
+            # chunk sizes keep the historical no-pad single-chunk shape
+            pad = chunk - Yc.shape[0] \
+                if Yc.shape[0] < chunk and (vpc == 'auto' or N > chunk) else 0
             if pad:
                 Yc = np.concatenate([Yc, np.zeros((pad, y.shape[1]), y.dtype)])
             res = fit_jit(jnp.asarray(Yc), A, G, Lc, norms, Rs, d_in, d_isos)

@@ -44,6 +44,22 @@ def test_gather_stream_and_cached_paths_agree(tmp_path):
     assert np.abs(est_gather).sum() > 0
 
 
+def test_budget_flip_between_fits_invalidates_mode_cache(tmp_path):
+    """Lowering max_device_bytes between fits on one model instance flips
+    the staging mode (gather -> host-tiled streaming); the chunk cache is
+    mode-specific and must not hand gather-format indices to the
+    host-tiled dispatch."""
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    model, kernels, htable = demo_noddi(kernels_dir=str(tmp_path / 'k'))
+    y, DIRs, _ = demo_voxels(200, kernels, htable, seed=5)
+
+    ctx = _Ctx(y, DIRs, htable, kernels)
+    est_gather = model.fit(ctx)['estimates']
+    ctx._cfg['max_device_bytes'] = 1            # same y object, new mode
+    est_stream = model.fit(ctx)['estimates']
+    np.testing.assert_array_equal(est_gather, est_stream)
+
+
 def test_gather_warm_refit_reuses_staged_signal(tmp_path):
     """Second fit on the same y object must hit the staged flat signal
     (the ``__y_ext__`` cache entry) and return identical maps."""
