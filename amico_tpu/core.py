@@ -27,7 +27,7 @@ from __future__ import annotations
 import glob
 import pickle
 import time
-from os import cpu_count, makedirs, remove
+from os import cpu_count, makedirs, remove, replace
 from os.path import exists, isfile, join as pjoin
 
 import numpy as np
@@ -508,8 +508,21 @@ class Evaluation:
                 remove(f)
 
         PRINT('\t- configuration', end=' ')
-        with open(pjoin(out_dir, 'config.pickle'), 'wb+') as fid:
-            pickle.dump(self.CONFIG, fid, protocol=2)
+        # runtime-only config values (e.g. the device mesh holds live
+        # Device handles) are recorded by repr instead of failing the
+        # dump; the write is atomic so a crash never leaves a partial
+        # config.pickle to satisfy resume-by-existence
+        cfg = {}
+        for k, v in self.CONFIG.items():
+            try:
+                pickle.dumps(v, protocol=2)
+                cfg[k] = v
+            except Exception:
+                cfg[k] = repr(v)
+        tmp_cfg = pjoin(out_dir, 'config.pickle.tmp')
+        with open(tmp_cfg, 'wb') as fid:
+            pickle.dump(cfg, fid, protocol=2)
+        replace(tmp_cfg, pjoin(out_dir, 'config.pickle'))
         PRINT(' [OK]')
 
         tag = f' (AMICO-TPU v{self.get_config("version")})'

@@ -428,6 +428,16 @@ class BaseModel(ABC):
                         chunks_dev[start] = args
                 res = fit_jit(*args, *consts)
             del args          # streaming mode: free the inputs once consumed
+            if device_gather:
+                # start D2H for this chunk as soon as its solve finishes,
+                # overlapping the remaining chunks' compute (gather mode
+                # uploads nothing on warm fits, so the transfer direction
+                # never contends)
+                for arr in res.values():
+                    try:
+                        arr.copy_to_host_async()
+                    except AttributeError:  # non-jax leaf (never on TPU)
+                        pass
             pending.append((start, stop, res))
             if len(pending) >= max_inflight:
                 s0, s1, r0 = pending.pop(0)

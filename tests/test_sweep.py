@@ -131,3 +131,19 @@ def test_keep_b0_intact(study):
     expected_b0 = ev.y[:, ev.scheme.b0_idx] * ev.mean_b0s[mask][:, None]
     np.testing.assert_allclose(corr[mask][:, ev.scheme.b0_idx],
                                expected_b0, rtol=1e-5)
+
+
+def test_sweep_with_mesh_config_pickles(study):
+    """A live device mesh in CONFIG must not break config.pickle: the dump
+    records it by repr (Device handles are unpicklable) and the sweep
+    completes (regression: the sweep used to write every map, fail on the
+    pickle, and report the subject FAILED)."""
+    from amico_tpu.parallel.mesh import make_mesh
+    sweep = SubjectSweep(str(study), ['s2'], 'FreeWater',
+                         mesh=make_mesh(), config={'tile_size': 32})
+    results = sweep.run(resume=False)
+    out = study / 's2' / 'AMICO' / 'FreeWater'
+    assert results['s2'] == str(out)
+    with open(out / 'config.pickle', 'rb') as fid:
+        cfg = pickle.load(fid)
+    assert isinstance(cfg['mesh'], str) and 'Mesh' in cfg['mesh']
