@@ -92,6 +92,9 @@ def _default_config(study_path, subject, output_path) -> dict:
         # multi-host: fit only this host's voxel slab, all-gather the maps
         # (amico_tpu.parallel.dist; call dist.initialize() first)
         distributed=False,
+        # directory for a full jax.profiler capture of the fit
+        # (TensorBoard/Perfetto trace); None disables
+        profile_dir=None,
     )
     cfg['DWI-SNR'] = None
     return cfg
@@ -419,7 +422,17 @@ class Evaluation:
 
         t = time.time()
         LOG(f"\n-> Fitting '{self.model.name}' model to {n_vox} voxels:")
-        with self.timers.stage('fit', profile=True):
+        # optional full profiler capture (TensorBoard/Perfetto trace of the
+        # whole fit -- XLA ops, Pallas kernels, transfers); the reference
+        # has no profiler hooks at all (SURVEY.md section 5.1)
+        import contextlib
+        prof_dir = self.get_config('profile_dir')
+        if prof_dir:
+            import jax
+            prof_ctx = jax.profiler.trace(prof_dir)
+        else:
+            prof_ctx = contextlib.nullcontext()
+        with prof_ctx, self.timers.stage('fit', profile=True):
             results = self.model.fit(self)
         self.set_config('fit_time', time.time() - t)
         LOG('   [ %s ]' % time.strftime(

@@ -93,3 +93,31 @@ def test_b0_thr_and_min_signal(root):
     # dead-b0 voxel zeroed by b0_min_signal
     assert ev.niiDWI_img[0, 0, 0].max() == 0.0
     assert ev.niiDWI_img[1, 1, 1, 0] == pytest.approx(1.0, rel=1e-5)
+
+
+def test_profile_dir_captures_trace(root):
+    """profile_dir wraps the fit in a jax.profiler capture (SURVEY section
+    5.1: the reference has no profiler hooks) -- the trace directory must
+    contain a TensorBoard-style profile dump after fit()."""
+    rng = np.random.RandomState(7)
+    tab = _tab()
+    vol = np.abs(300 * (0.3 + 0.5 * rng.rand(3, 3, 2, tab.shape[0])))
+    vol[..., :2] = 300.0
+    subj = _subject(root, 'prof', vol, tab)
+    prof_dir = str(subj / 'trace')
+
+    ev = amico_tpu.Evaluation(str(root), 'prof')
+    ev.set_config('tile_size', 32)
+    ev.set_config('profile_dir', prof_dir)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    ev.set_model('FreeWater')
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+
+    dumped = []
+    for base, _, files in os.walk(prof_dir):
+        dumped += [os.path.join(base, f) for f in files]
+    assert dumped, 'profiler capture produced no files'
+    assert any(f.endswith(('.xplane.pb', '.trace.json.gz', '.trace.json'))
+               for f in dumped), dumped
