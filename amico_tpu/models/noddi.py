@@ -170,6 +170,11 @@ class NODDI(BaseModel):
                 stage_iters = DEFAULT_NODDI_STAGE_ITERS
         (s1f, s1r, s1cg, s1i), (s2f, s2r, s2cg, s2i), (s3r, s3cg, s3i) = \
             stage_iters
+        # per-round inner-pass tuples are a fused-kernel refinement; the
+        # stagewise XLA path takes their cap (ops/solvers has one inner
+        # count per solve)
+        s1i, s2i, s3i = (max(v) if isinstance(v, tuple) else v
+                         for v in (s1i, s2i, s3i))
         precision = self.solver_params.get('precision')
         if precision is None:
             from .base import DEFAULT_NODDI_PRECISION

@@ -74,7 +74,8 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                     cg_iters: int, inner_passes: int,
                     early_exit: bool = False,
                     cg_schedule: tuple | None = None,
-                    precision=_HI):
+                    precision=_HI,
+                    inner_schedule: tuple | None = None):
     """Build the shared in-kernel solver: FISTA (in-kernel power-iteration
     Lipschitz estimate, adaptive restart) followed by Lawson-Hanson-style
     active-set rounds with masked-CG subproblem solves.
@@ -94,6 +95,10 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
     with a per-round CG iteration count: round r's working set holds at
     most r+|seed| atoms, so the exact subproblem needs only that many CG
     steps -- a fixed cap wastes most of its matvecs in the early rounds.
+    ``inner_schedule`` (same length, requires ``cg_schedule``) sets the
+    per-round inner-pass count: early rounds with 1-2-atom working sets
+    settle in one solve+prune pass, so a second pass there is pure waste,
+    while late rounds (large sets, support decisions stick) keep 2.
     ``precision`` sets the MXU precision of every in-kernel matvec.
     Mixed forms trade MXU passes for exactness only where it matters:
 
@@ -214,10 +219,10 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             m = m * (x > tol * scale).astype(jnp.float32)
             return x * m, m
 
-        def as_round(carry, iters=cg_iters, mvf=mv):
+        def as_round(carry, iters=cg_iters, mvf=mv, inner=inner_passes):
             x, m, i, _ = carry
             m_before = m
-            for _r in range(inner_passes):
+            for _r in range(inner):
                 x, m = inner_solve(x, m, iters, mvf)
             w = b_eff - mvf(x) - l2 * x
             allowed = (1.0 - m) * cmask
@@ -248,16 +253,19 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             n_r = len(sched)
             precs_r = [prec_iter if r < n_r - n_late else prec_polish
                        for r in range(n_r)]
+            inners_r = ([int(p) for p in inner_schedule[:n_r]]
+                        if inner_schedule is not None
+                        else [inner_passes] * n_r)
             runs = []
-            for it, pr in zip(sched, precs_r):
-                if runs and runs[-1][1] == (it, pr):
+            for it, pr, inn in zip(sched, precs_r, inners_r):
+                if runs and runs[-1][1] == (it, pr, inn):
                     runs[-1][0] += 1
                 else:
-                    runs.append([1, (it, pr)])
-            for count, (it, pr) in runs:
+                    runs.append([1, (it, pr, inn)])
+            for count, (it, pr, inn) in runs:
                 mvf = _mk_mv(pr)
                 if count == 1:
-                    carry = as_round(carry, it, mvf)
+                    carry = as_round(carry, it, mvf, inn)
                 elif early_exit:
                     # stop a budget segment once the whole tile's working
                     # sets are stable; the flag resets per segment so a
@@ -266,12 +274,14 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                     carry = jax.lax.while_loop(
                         lambda c: jnp.logical_and(
                             c[2] < count, jnp.logical_not(c[3])),
-                        lambda c, _it=it, _mv=mvf: as_round(c, _it, _mv),
+                        lambda c, _it=it, _mv=mvf, _in=inn:
+                            as_round(c, _it, _mv, _in),
                         (carry[0], carry[1], 0, False))
                 else:
                     carry = jax.lax.fori_loop(
                         0, count,
-                        lambda _, c, _it=it, _mv=mvf: as_round(c, _it, _mv),
+                        lambda _, c, _it=it, _mv=mvf, _in=inn:
+                            as_round(c, _it, _mv, _in),
                         carry)
             x, m = carry[0], carry[1]
         elif early_exit:
@@ -439,9 +449,14 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
 
     def mk(fista, rounds, cg, inner, prec):
         sched = tuple(cg) if isinstance(cg, tuple) else None
-        cg_cap = max(sched) if sched else cg
-        return _build_as_solve(M, fista, rounds, cg_cap, inner, early_exit,
-                               cg_schedule=sched, precision=prec)
+        inns = tuple(inner) if isinstance(inner, tuple) else None
+        if inns is not None and sched is None:
+            sched = (cg,) * rounds       # inner schedules ride the
+        cg_cap = max(sched) if sched else cg  # unrolled-schedule path
+        ip = max(inns) if inns else inner
+        return _build_as_solve(M, fista, rounds, cg_cap, ip, early_exit,
+                               cg_schedule=sched, precision=prec,
+                               inner_schedule=inns)
 
     solve1 = mk(f1_it, r1_it, cg1, i1, precs[0])
     solve2 = mk(f2_it, r2_it, cg2, i2, precs[1])

@@ -189,11 +189,16 @@ def main():
     est = res['estimates']
     assert np.isfinite(est).all()
 
-    # ---- CPU reference baseline: exact per-voxel active-set solves
+    # ---- CPU reference baseline: exact per-voxel active-set solves.
+    # The same pass doubles as the accuracy audit: the oracle's maps on
+    # this sample bound the TPU fit's solver error per run (the reference
+    # solver path IS the oracle, so this is map-level parity vs AMICO's
+    # own algorithm, reported as oracle_map_err_* in the detail dict).
     from amico_tpu.ops import native
     n_wm = kernels['wm'].shape[0]
     dwi = scheme.dwi_idx
     sample = min(100 if small else 1000, n_vox)
+    est_oracle = np.zeros((sample, 3))
     t0 = time.time()
     for i in range(sample):
         A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
@@ -205,9 +210,20 @@ def main():
         x[:n_wm] = x2
         x[-1] = 1.0
         sup = np.where(x > 0)[0]
-        native.nnls(A[:, sup], y[i])
+        x3, _ = native.nnls(A[:, sup], y[i])
+        x[:] = 0.0
+        x[sup] = x3
+        sa = x.sum() + 1e-16
+        xn = x[:n_wm] / sa
+        sw = xn.sum() + 1e-16
+        f1 = np.sum(kernels['icvf'] * xn) / sw
+        f2 = np.sum((1 - kernels['icvf']) * xn) / sw
+        k1 = np.sum(kernels['kappa'] * xn) / sw
+        est_oracle[i] = [f1 / (f1 + f2 + 1e-16),
+                         2 / np.pi * np.arctan2(1.0, k1), x[-1] / sa]
     cpu_voxps_1t = sample / (time.time() - t0)
     cpu_voxps = cpu_voxps_1t * (os.cpu_count() or 1)
+    map_err = np.abs(np.asarray(est[:sample, :3], np.float64) - est_oracle)
 
     extra = {}
     if os.environ.get('BENCH_ALL') == '1':
@@ -292,6 +308,10 @@ def main():
             'cpu_baseline_voxps_per_core': round(cpu_voxps_1t, 1),
             'cpu_baseline_voxps_allcores': round(cpu_voxps, 1),
             'cpu_cores': os.cpu_count(),
+            'oracle_map_err_med': float(np.median(map_err)),
+            'oracle_map_err_p95': float(np.percentile(map_err, 95)),
+            'oracle_map_err_max': float(map_err.max()),
+            'oracle_sample_voxels': sample,
             'device': str(jax.devices()[0]),
             **extra,
         },

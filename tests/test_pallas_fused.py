@@ -198,3 +198,46 @@ def test_fused_mixed_precision_forms(noddi_problem):
         err = np.abs(est - ref)
         assert np.median(err) < 1e-4, (prec, np.median(err))
         assert np.percentile(err, 95) < 1e-2, (prec, np.percentile(err, 95))
+
+
+def test_inner_schedule_matches_uniform(noddi_problem):
+    """Per-round inner-pass schedules (tuple ``inner`` entries in
+    stage_iters) must stay map-equivalent to the uniform inner count on a
+    well-conditioned problem -- late rounds keep 2 passes, so support
+    decisions settle identically; only early-round polish work differs."""
+    scheme, kernels = noddi_problem
+    n_wm = kernels['wm'].shape[0]
+    dwi = np.asarray(scheme.dwi_idx)
+    rng = np.random.RandomState(3)
+    C, M = 2, 64
+    ds = rng.randint(0, 500, C)
+    A = np.stack([np.column_stack([kernels['wm'][:, d, :].T, kernels['iso']])
+                  for d in ds])
+    W = rng.rand(C, M, n_wm + 1) * (rng.rand(C, M, n_wm + 1) < 0.3) + 0.05
+    Y = np.einsum('csa,cma->cms', A,
+                  W / np.maximum(W.sum(-1, keepdims=True), 1e-9))
+    Y = np.clip(Y + 0.002 * rng.randn(*Y.shape), 0, None).astype(np.float32)
+    G1 = np.asarray(gram(jnp.asarray(A, jnp.float32)))
+    b1 = np.einsum('csa,cms->cma', A, Y).astype(np.float32)
+    A2 = A[:, dwi, :n_wm] * kernels['norms'][None, None, :]
+    G2 = np.asarray(gram(jnp.asarray(A2, jnp.float32)))
+    args = (jnp.asarray(G1), jnp.asarray(G2), jnp.asarray(b1),
+            jnp.asarray(Y[:, :, dwi]),
+            jnp.asarray(np.swapaxes(A2, 1, 2), jnp.float32),
+            jnp.asarray(kernels['iso'][dwi], jnp.float32),
+            jnp.asarray(kernels['icvf']), jnp.asarray(kernels['kappa']))
+
+    cg2 = (3, 3, 4, 4, 6, 8, 10, 10, 12, 12)
+    uniform = ((0, 8, (4, 4, 6, 6, 8, 8, 8, 8), 1),
+               (0, 10, cg2, 2),
+               (6, (16, 10, 8, 8, 8, 8), 2))
+    tupled = ((0, 8, (4, 4, 6, 6, 8, 8, 8, 8), 1),
+              (0, 10, cg2, (1, 1, 1, 1, 1, 1, 2, 2, 2, 2)),
+              (6, (16, 10, 8, 8, 8, 8), 2))
+    est_u = np.asarray(noddi_fused_tiles_pallas(
+        *args, lam1=0.5, lam2=1e-3, stage_iters=uniform, interpret=True))
+    est_t = np.asarray(noddi_fused_tiles_pallas(
+        *args, lam1=0.5, lam2=1e-3, stage_iters=tupled, interpret=True))
+    err = np.abs(est_u - est_t)
+    assert np.median(err) < 1e-4, np.median(err)
+    assert np.percentile(err, 95) < 1e-2, np.percentile(err, 95)
