@@ -232,7 +232,8 @@ def main():
         from amico_tpu.models import CylinderZeppelinBall, FreeWater, SANDI
         from amico_tpu.io.scheme import GAMMA
 
-        def bench_model(name, model, scheme_m, n=50000, direction_free=False):
+        def bench_model(name, model, scheme_m, n=None, direction_free=False):
+            n = n or int(os.environ.get('BENCH_ALL_VOXELS', 50000))
             kd = os.path.join(os.environ['AMICO_TPU_HOME'], f'bench_{name}')
             os.makedirs(kd, exist_ok=True)
             model.scheme = scheme_m
