@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 from os.path import join as pjoin
 
+import numpy as np
+
 from .core import Evaluation
 from .utils.logging import LOG, WARNING
 
@@ -38,9 +40,24 @@ class SubjectSweep:
         self.model_params = model_params or {}
         self.solver_params = solver_params or {}
         self.results: dict[str, str] = {}
+        # cross-subject warm state: (signature, (model, KERNELS, htable))
+        self._warm = None
 
     def _result_dir(self, subject: str) -> str:
         return pjoin(self.study_path, subject, 'AMICO', self.model_name)
+
+    def _warm_signature(self, ev) -> tuple:
+        """Everything the resampled kernels and the jitted fit depend on:
+        reuse across subjects is only valid when all of it matches."""
+        import hashlib
+        scheme_h = hashlib.sha1(
+            np.ascontiguousarray(ev.scheme.raw).tobytes()).hexdigest()
+        return (self.model_name, scheme_h,
+                repr(sorted(self.model_params.items())),
+                repr(sorted(self.solver_params.items())),
+                ev.get_config('ndirs'), ev.get_config('lmax'),
+                bool(ev.get_config('doMergeB0')),
+                ev.get_config('direction_source'), self.b0_thr)
 
     def _is_done(self, subject: str) -> bool:
         d = self._result_dir(subject)
@@ -72,7 +89,22 @@ class SubjectSweep:
                 if self.solver_params:
                     ev.set_solver(**self.solver_params)
                 ev.generate_kernels(lmax=self.lmax, ndirs=self.ndirs)
-                ev.load_kernels()
+                # cross-subject warm state: subjects sharing a scheme and
+                # model/solver params reuse one model instance (its jitted
+                # fit, kernel-prep and tile-plan caches survive) and the
+                # resampled KERNELS/htable -- per-subject retracing and
+                # LUT resampling are the dominant sweep overheads once the
+                # fit itself is sub-second
+                sig = self._warm_signature(ev)
+                if self._warm is not None and self._warm[0] == sig:
+                    model, kernels, htable = self._warm[1]
+                    model.scheme = ev.scheme
+                    ev.model = model
+                    ev.KERNELS = kernels
+                    ev.htable = htable
+                else:
+                    ev.load_kernels()
+                    self._warm = (sig, (ev.model, ev.KERNELS, ev.htable))
                 ev.fit()
                 ev.save_results()
                 self.results[subject] = self._result_dir(subject)

@@ -147,3 +147,22 @@ def test_sweep_with_mesh_config_pickles(study):
     with open(out / 'config.pickle', 'rb') as fid:
         cfg = pickle.load(fid)
     assert isinstance(cfg['mesh'], str) and 'Mesh' in cfg['mesh']
+
+
+def test_sweep_warm_state_reuses_model_and_matches_fresh(study):
+    """Subjects sharing scheme+params reuse one model/KERNELS (jit and prep
+    caches survive across subjects); maps must equal a fresh per-subject
+    run bit-for-bit."""
+    out2 = study / 's2' / 'AMICO' / 'FreeWater'
+
+    warm = SubjectSweep(str(study), ['s1', 's2'], 'FreeWater',
+                        config={'tile_size': 32})
+    warm.run(resume=False)
+    assert warm._warm is not None
+    fw_warm = nifti.load(str(out2 / 'fit_FW.nii.gz')).get_fdata().copy()
+
+    fresh = SubjectSweep(str(study), ['s2'], 'FreeWater',
+                         config={'tile_size': 32})
+    fresh.run(resume=False)
+    fw_fresh = nifti.load(str(out2 / 'fit_FW.nii.gz')).get_fdata()
+    np.testing.assert_array_equal(fw_warm, fw_fresh)
