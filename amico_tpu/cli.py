@@ -70,6 +70,28 @@ def _cmd_fit(args):
     return 0
 
 
+def _cmd_sweep(args):
+    config = _kv(args.config)
+    solver = _kv(args.solver)
+    params = _kv(args.param)
+
+    from . import set_verbose
+    from .sweep import SubjectSweep
+    set_verbose(args.verbose)
+    sweep = SubjectSweep(args.study, args.subjects, args.model,
+                         dwi_filename=args.dwi, scheme_filename=args.scheme,
+                         mask_filename=args.mask, b0_thr=args.b0_thr,
+                         ndirs=args.ndirs, lmax=args.lmax,
+                         config=config, model_params=params,
+                         solver_params=solver)
+    results = sweep.run(resume=not args.no_resume,
+                        checkpoint=not args.no_checkpoint)
+    failed = [s for s, r in results.items() if str(r).startswith('FAILED')]
+    for s, r in results.items():
+        print(f'{s}: {r}')
+    return 1 if failed else 0
+
+
 def _cmd_fsl2scheme(args):
     from .io.scheme import fsl2scheme
     out = fsl2scheme(args.bvals, args.bvecs, schemeFilename=args.output,
@@ -120,6 +142,32 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument('--param', action='append', metavar='KEY=VALUE',
                     help='model params for model.set() (repeatable)')
     pf.set_defaults(func=_cmd_fit)
+
+    pw = sub.add_parser('sweep', help='fit one model over many subjects '
+                        '(resume + warm cross-subject caches)')
+    pw.add_argument('study', help='study directory')
+    pw.add_argument('--subjects', nargs='+', required=True,
+                    help='subject subdirectories')
+    pw.add_argument('--model', required=True,
+                    help='model name (e.g. NODDI, FreeWater, SANDI)')
+    pw.add_argument('--dwi', default='DWI.nii')
+    pw.add_argument('--scheme', default='DWI.scheme')
+    pw.add_argument('--mask', default=None)
+    pw.add_argument('--b0-thr', type=float, default=0.0)
+    pw.add_argument('--ndirs', type=int, default=500)
+    pw.add_argument('--lmax', type=int, default=12)
+    pw.add_argument('--no-resume', action='store_true',
+                    help='re-fit subjects whose results already exist')
+    pw.add_argument('--no-checkpoint', action='store_true',
+                    help='disable chunk-level mid-fit checkpoints')
+    pw.add_argument('--verbose', type=int, default=2)
+    pw.add_argument('--config', action='append', metavar='KEY=VALUE',
+                    help='Evaluation config override (repeatable)')
+    pw.add_argument('--solver', action='append', metavar='KEY=VALUE',
+                    help='solver parameter (repeatable)')
+    pw.add_argument('--param', action='append', metavar='KEY=VALUE',
+                    help='model parameter (repeatable)')
+    pw.set_defaults(func=_cmd_sweep)
 
     p1 = sub.add_parser('fsl2scheme', help='FSL bvals/bvecs -> scheme file')
     p1.add_argument('bvals')

@@ -58,3 +58,23 @@ def test_cli_fsl2scheme(tmp_path, capsys):
 def test_cli_kv_parsing_error():
     with pytest.raises(SystemExit):
         main(['fit', '.', '.', '--model', 'NODDI', '--solver', 'oops'])
+
+
+def test_cli_sweep_two_subjects(study, capsys):
+    """`amico_tpu sweep` fits many subjects with resume + warm caches."""
+    import shutil
+    shutil.copytree(study / 's1', study / 's2')
+    rc = main(['sweep', str(study), '--subjects', 's1', 's2',
+               '--model', 'FreeWater', '--b0-thr', '50', '--lmax', '6',
+               '--verbose', '0', '--config', 'tile_size=32'])
+    assert rc == 0
+    for s in ('s1', 's2'):
+        assert (study / s / 'AMICO' / 'FreeWater' / 'fit_FW.nii.gz').exists()
+    out = capsys.readouterr().out
+    assert 's1:' in out and 's2:' in out
+
+    # unknown subject -> nonzero exit, good subjects still processed
+    rc = main(['sweep', str(study), '--subjects', 'nope', 's1',
+               '--model', 'FreeWater', '--b0-thr', '50', '--lmax', '6',
+               '--verbose', '0', '--no-resume', '--config', 'tile_size=32'])
+    assert rc == 1
