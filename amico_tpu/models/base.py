@@ -17,7 +17,7 @@ import numpy as np
 
 from .. import lut as _lut
 from ..utils.logging import ERROR
-from .engine import TilePlan, build_tile_plan, iter_tile_chunks, tile_voxels, untile_voxels
+from .engine import build_tile_plan, iter_tile_chunks, tile_voxels, untile_voxels
 
 # default solver iteration counts (validated against the exact native oracle
 # in tests/test_solvers.py and tests/test_models.py): FISTA + CD warm start
@@ -161,7 +161,11 @@ class BaseModel(ABC):
                          ('refine_rounds', refine_rounds),
                          ('cg_iters', cg_iters)):
             if val is not None:
-                self.solver_params[key] = int(val)
+                # cg_iters accepts a per-round tuple (the progressive
+                # CG-budget feature of the batched solvers)
+                self.solver_params[key] = (
+                    tuple(int(x) for x in val)
+                    if isinstance(val, (tuple, list)) else int(val))
                 custom = True
         self.solver_params['custom_iters'] = custom
         if backend is not None:
@@ -177,7 +181,7 @@ class BaseModel(ABC):
             'fista_iters': int(sp.get('fista_iters', DEFAULT_FISTA_ITERS)),
             'cd_sweeps': int(sp.get('cd_sweeps', DEFAULT_CD_SWEEPS)),
             'refine_rounds': int(sp.get('refine_rounds', DEFAULT_REFINE_ROUNDS)),
-            'cg_iters': int(sp.get('cg_iters', DEFAULT_CG_ITERS)),
+            'cg_iters': sp.get('cg_iters', DEFAULT_CG_ITERS),
         }
 
     def _solver_backend(self) -> str:
@@ -307,17 +311,26 @@ class BaseModel(ABC):
                      for k, shape in n_outputs_like.items()}
 
         # mid-fit checkpoint/resume (SURVEY.md section 5.4: the reference has
-        # none; long sweeps here can resume at chunk granularity)
+        # none; long sweeps here can resume at chunk granularity).  The
+        # checkpoint must match this exact fit -- a same-shaped checkpoint
+        # from another subject, or one missing a requested output (e.g.
+        # RMSE toggled on since the crash), is ignored rather than merged:
+        # the plan fingerprint pins the voxel bucketing and every output
+        # key must be present
         ckpt_path = evaluation.get_config('fit_checkpoint')
+        pstride = max(1, plan.perm.size // 65536)
+        ck_plan_fp = np.array([plan.n_tiles, tile_size,
+                               int(np.sum(plan.perm[::pstride],
+                                          dtype=np.int64))], np.int64)
         done_until = 0
         if ckpt_path and os.path.isfile(ckpt_path):
             with np.load(ckpt_path) as ck:
-                if int(ck['n_tiles']) == plan.n_tiles and \
-                        int(ck['tile_size']) == tile_size:
+                if 'plan_fp' in ck \
+                        and np.array_equal(ck['plan_fp'], ck_plan_fp) \
+                        and all(k in ck for k in out_tiles):
                     done_until = int(ck['done_until'])
                     for k in out_tiles:
-                        if k in ck:
-                            out_tiles[k][:done_until] = ck[k][:done_until]
+                        out_tiles[k][:done_until] = ck[k][:done_until]
 
         # device-side staging cache: re-fits on the same loaded volume
         # (multi-model runs, warm re-fits, parameter sweeps) skip the
@@ -392,6 +405,7 @@ class BaseModel(ABC):
         # chunk is in flight.  Outputs are a few MB total, so holding them
         # on device until the end costs nothing.
         pending = []
+        n_dispatched = 0
         ckpt_every = int(evaluation.get_config('checkpoint_every') or 4)
         for start, stop, pad in iter_tile_chunks(plan.n_tiles, chunk_tiles):
             if stop <= done_until:
@@ -446,19 +460,22 @@ class BaseModel(ABC):
                     except AttributeError:  # non-jax leaf (never on TPU)
                         pass
             pending.append((start, stop, res))
+            n_dispatched += 1
             if len(pending) >= max_inflight:
                 s0, s1, r0 = pending.pop(0)
                 for k, arr in r0.items():
                     out_tiles[k][s0:s1] = np.asarray(arr, np.float32)[:s1 - s0]
-            if ckpt_path and len(pending) % ckpt_every == 0:
+            if ckpt_path and n_dispatched % ckpt_every == 0:
                 # checkpointing needs host copies mid-run: pull what is in
-                # flight and persist (full-rewrite npz, so throttled)
+                # flight and persist (full-rewrite npz, so throttled).
+                # Cadence counts dispatched chunks, NOT len(pending): the
+                # streaming path pops pending as it goes, which used to
+                # keep the modulo from ever firing
                 for s0, s1, r0 in pending:
                     for k, arr in r0.items():
                         out_tiles[k][s0:s1] = np.asarray(arr, np.float32)[:s1 - s0]
-                np.savez(ckpt_path + '.tmp', n_tiles=plan.n_tiles,
-                         tile_size=tile_size, done_until=pending[-1][1],
-                         **out_tiles)
+                np.savez(ckpt_path + '.tmp', plan_fp=ck_plan_fp,
+                         done_until=stop, **out_tiles)
                 os.replace(ckpt_path + '.tmp.npz', ckpt_path)
                 pending = []
 

@@ -135,7 +135,6 @@ class CylinderZeppelinBall(BaseModel):
         ndirs = kernels['wmr'].shape[1]
 
         from ..ops.solvers import gram, power_iteration_L
-        from ._fitops import solve_tiles
 
         import jax
 

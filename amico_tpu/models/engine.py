@@ -36,14 +36,14 @@ class TilePlan:
         return self.tile_dirs.shape[0]
 
 
-def build_tile_plan(lut_idx: np.ndarray, tile_size: int = 128,
-                    tiles_multiple: int = 1) -> TilePlan:
+def build_tile_plan(lut_idx: np.ndarray, tile_size: int = 128) -> TilePlan:
     """Bucket voxels by LUT direction into fixed-size tiles.
 
     Voxels with the same direction index land in consecutive tiles; each
-    bucket is padded up to a tile multiple.  ``tiles_multiple`` additionally
-    pads the *number* of tiles (e.g. to a device-count multiple for
-    sharding).  Padding tiles reuse direction 0 and are fully invalid.
+    bucket is padded up to a tile multiple.  Device-multiple padding for
+    sharding happens at the chunk level (models/base.py), not here.  An
+    empty voxel set still yields one fully-invalid tile so downstream
+    shapes stay rank-stable.
     """
     lut_idx = np.asarray(lut_idx, np.int64)
     n = lut_idx.shape[0]
@@ -69,13 +69,10 @@ def build_tile_plan(lut_idx: np.ndarray, tile_size: int = 128,
     tile_dirs = np.concatenate(dir_parts) if dir_parts else np.zeros(0, np.int64)
     valid = np.concatenate(valid_parts) if valid_parts else np.zeros(0, bool)
 
-    n_tiles = tile_dirs.shape[0]
-    target = max(-(-n_tiles // tiles_multiple) * tiles_multiple, tiles_multiple)
-    if target > n_tiles:
-        extra = target - n_tiles
-        perm = np.concatenate([perm, np.full(extra * tile_size, n, np.int64)])
-        tile_dirs = np.concatenate([tile_dirs, np.zeros(extra, np.int64)])
-        valid = np.concatenate([valid, np.zeros(extra * tile_size, bool)])
+    if tile_dirs.shape[0] == 0:
+        perm = np.full(tile_size, n, np.int64)
+        tile_dirs = np.zeros(1, np.int64)
+        valid = np.zeros(tile_size, bool)
 
     return TilePlan(perm=perm.astype(np.int32),
                     tile_dirs=tile_dirs.astype(np.int32),

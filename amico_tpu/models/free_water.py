@@ -133,7 +133,6 @@ class FreeWater(BaseModel):
         ndirs = kernels['D'].shape[1]
 
         from ..ops.solvers import gram, power_iteration_L
-        from ._fitops import solve_tiles
 
         import jax
 

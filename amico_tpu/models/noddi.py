@@ -192,7 +192,6 @@ class NODDI(BaseModel):
             rows_dwi = np.asarray(self.scheme.dwi_idx, np.int64)
 
         from ..ops.solvers import gram, power_iteration_L
-        from ._fitops import solve_tiles
 
         import jax
 

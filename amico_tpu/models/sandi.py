@@ -132,6 +132,11 @@ class SANDI(BaseModel):
         configs = self._common_configs(evaluation)
         kernels = evaluation.KERNELS
         solver_kw = self._solver_kwargs()
+        if self.solver_params.get('backend', 'auto') not in ('auto', 'xla'):
+            from ..utils.logging import WARNING
+            WARNING("SANDI's direction-free fit always uses the batched "
+                    "XLA solver (one shared 15-atom dictionary -- a VMEM "
+                    "tile kernel has nothing to gain); 'backend' ignored")
         lam1 = float(self.solver_params['lambda1'])
         lam2 = float(self.solver_params['lambda2'])
 

@@ -250,12 +250,18 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             # stick).
             carry = (x, m_init, 0, False)
             sched = [int(it) for it in cg_schedule[:refine_rounds]]
+            # schedules shorter than refine_rounds extend at their last
+            # entry (silent round truncation would under-converge)
+            if sched and len(sched) < refine_rounds:
+                sched += [sched[-1]] * (refine_rounds - len(sched))
             n_r = len(sched)
             precs_r = [prec_iter if r < n_r - n_late else prec_polish
                        for r in range(n_r)]
             inners_r = ([int(p) for p in inner_schedule[:n_r]]
                         if inner_schedule is not None
                         else [inner_passes] * n_r)
+            if inners_r and len(inners_r) < n_r:
+                inners_r += [inners_r[-1]] * (n_r - len(inners_r))
             runs = []
             for it, pr, inn in zip(sched, precs_r, inners_r):
                 if runs and runs[-1][1] == (it, pr, inn):

@@ -268,6 +268,10 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
             # equal-budget runs stay rolled in fori_loops (see pallas_qp)
             carry = (x, m_init, 0, False)
             sched = [int(it) for it in cg_schedule[:refine_rounds]]
+            # a schedule shorter than refine_rounds extends at its last
+            # budget (silently truncating rounds would under-converge)
+            if sched and len(sched) < refine_rounds:
+                sched += [sched[-1]] * (refine_rounds - len(sched))
             runs: list[list[int]] = []
             for it in sched:
                 if runs and runs[-1][1] == it:

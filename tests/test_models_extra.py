@@ -216,3 +216,30 @@ def test_solver_tuple_cg_schedule_matches_flat():
                                      cg_iters=(3, 4, 5, 6, 7, 8, 9, 10,
                                                11, 12, 12, 12)))
     np.testing.assert_allclose(sched, flat, rtol=0, atol=5e-5)
+
+
+def test_set_solver_accepts_cg_tuple(tmp_path):
+    """Per-round CG budget tuples must pass through the public set_solver
+    (the progressive-schedule feature); previously int() raised."""
+    import os
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    from amico_tpu.models import FreeWater
+    from amico_tpu.testing import demo_scheme
+    from tests.test_models import EvalStub, _prepare, _rand_voxels, _scheme_v0
+
+    scheme = _scheme_v0()
+    model = FreeWater()
+    model.set()
+    model.set_solver(cg_iters=(4, 6, 8), refine_rounds=8)
+    assert model.solver_params['cg_iters'] == (4, 6, 8)
+    workdir = tmp_path / 'k'
+    workdir.mkdir()
+    kernels, htable = _prepare(model, scheme, workdir)
+
+    def A_of(d):
+        return np.column_stack([kernels['D'][:, d, :].T, kernels['CSF'].T])
+
+    y, DIRs, _ = _rand_voxels(64, A_of, htable, seed=2)
+    est = model.fit(EvalStub(y, DIRs, htable, kernels,
+                             tile_size=32))['estimates']
+    assert np.isfinite(est).all() and np.abs(est).sum() > 0

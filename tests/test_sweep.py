@@ -106,10 +106,25 @@ def test_fit_checkpoint_resume(study):
     # steal the first chunks' correct values from ref via tiling
     est_tiled = tile_voxels(plan, ref)
     partial['estimates'][:done] = est_tiled[:done]
-    np.savez(ck[:-4], n_tiles=plan.n_tiles, tile_size=32,
-             done_until=done, **partial)
+    pstride = max(1, plan.perm.size // 65536)
+    fp = np.array([plan.n_tiles, 32,
+                   int(np.sum(plan.perm[::pstride], dtype=np.int64))],
+                  np.int64)
+    np.savez(ck[:-4], plan_fp=fp, done_until=done, **partial)
     got2 = model.fit(ev_ck)['estimates']
     np.testing.assert_allclose(got2, ref, atol=1e-6)
+
+    # a checkpoint whose plan fingerprint does not match this fit (e.g.
+    # another same-shaped subject) must be ignored, not merged
+    poisoned = {'estimates': np.full((plan.n_tiles, 32, 2), 9.0, np.float32)}
+    np.savez(ck[:-4], plan_fp=fp + 1, done_until=done, **poisoned)
+    got3 = model.fit(ev_ck)['estimates']
+    np.testing.assert_allclose(got3, ref, atol=1e-6)
+
+    # a checkpoint missing a requested output key is ignored too
+    np.savez(ck[:-4], plan_fp=fp, done_until=done)
+    got4 = model.fit(ev_ck)['estimates']
+    np.testing.assert_allclose(got4, ref, atol=1e-6)
 
 
 def test_keep_b0_intact(study):
