@@ -170,7 +170,10 @@ class Evaluation:
         if not isfile(pjoin(data_path, dwi_filename)):
             ERROR('DWI file not found')
         self.niiDWI = nifti.load(pjoin(data_path, dwi_filename))
-        img = self.niiDWI.get_fdata().astype(np.float32)
+        # raw values: the slope/inter rescale happens explicitly below so
+        # it can be logged (get_fdata would already apply it).  np.array
+        # copies -- dataobj may be a read-only view of the file buffer
+        img = np.array(self.niiDWI.dataobj, dtype=np.float32)
         if img.ndim != 4:
             ERROR('DWI file is not a 4D image')
         hdr = self.niiDWI.header
@@ -306,7 +309,27 @@ class Evaluation:
         atoms_path = self.get_config('ATOMS_path')
         LOG(f'\n-> Creating LUT for "{self.model.name}" model:')
 
+        # multi-host note: each host builds the LUT under ITS OWN study
+        # path (per-host study copies are the supported layout,
+        # docs/DISTRIBUTED.md).  Hosts sharing one study filesystem must
+        # generate kernels once before launching the distributed fit --
+        # a concurrent wipe+rebuild of a shared ATOMS_path is not safe,
+        # and this method cannot tell the two layouts apart.
+
         if glob.glob(pjoin(atoms_path, 'A_*.npy')) and not regenerate:
+            # the generated atoms depend on the shell parameters and the
+            # model configuration (not on subject directions); a cached
+            # LUT built for a different protocol or atom grid must not be
+            # silently reused across a sweep
+            meta_path = pjoin(atoms_path, 'lut_meta.pickle')
+            if isfile(meta_path):
+                with open(meta_path, 'rb') as fid:
+                    meta = pickle.load(fid)
+                want = self._kernel_signature()
+                if meta.get('gen_sig', want) != want:
+                    ERROR('Cached LUT was generated for a different '
+                          'scheme/model configuration; call '
+                          '"generate_kernels(regenerate=True)"')
             LOG('   [ cached LUT found on disk -- pass regenerate=True to '
                 'rebuild it ]')
             return
@@ -324,8 +347,21 @@ class Evaluation:
             self.model.generate(atoms_path, aux, idx_IN, idx_OUT, ndirs)
         with open(pjoin(atoms_path, 'lut_meta.pickle'), 'wb') as fid:
             pickle.dump({'lmax': lmax, 'ndirs': ndirs,
-                         'source': aux.get('source')}, fid)
+                         'source': aux.get('source'),
+                         'gen_sig': self._kernel_signature()}, fid)
         LOG(f'   [ {time.time() - tic:.1f} seconds ]')
+
+    def _kernel_signature(self) -> str:
+        """Hash of everything the generated atoms depend on: the shell
+        parameters (the high-res scheme replicates the grad table per
+        shell) and the model's atom-grid parameters."""
+        import hashlib
+        shells = [(s['b'], s['G'], s['Delta'], s['delta'], s['TE'])
+                  for s in self.scheme.shells]
+        params = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                  for k, v in self.model.get_params().items()}
+        text = repr((self.scheme.version, shells, sorted(params.items())))
+        return hashlib.sha1(text.encode()).hexdigest()
 
     # --------------------------------------------------------- load_kernels
     def load_kernels(self):
@@ -520,24 +556,6 @@ class Evaluation:
             for f in glob.glob(pjoin(out_dir, '*')):
                 remove(f)
 
-        PRINT('\t- configuration', end=' ')
-        # runtime-only config values (e.g. the device mesh holds live
-        # Device handles) are recorded by repr instead of failing the
-        # dump; the write is atomic so a crash never leaves a partial
-        # config.pickle to satisfy resume-by-existence
-        cfg = {}
-        for k, v in self.CONFIG.items():
-            try:
-                pickle.dumps(v, protocol=2)
-                cfg[k] = v
-            except Exception:
-                cfg[k] = repr(v)
-        tmp_cfg = pjoin(out_dir, 'config.pickle.tmp')
-        with open(tmp_cfg, 'wb') as fid:
-            pickle.dump(cfg, fid, protocol=2)
-        replace(tmp_cfg, pjoin(out_dir, 'config.pickle'))
-        PRINT(' [OK]')
-
         tag = f' (AMICO-TPU v{self.get_config("version")})'
 
         def emit(data, fname, descrip=None, cal=(None, None)):
@@ -589,6 +607,25 @@ class Evaluation:
             else:
                 WARNING('No directional-average signal to save: enable '
                         'doDirectionalAverage before load_data()')
+
+        # config.pickle is written LAST and atomically: it is the
+        # resume-by-existence marker (sweep.py), so it must only appear
+        # once every map above is on disk.  Runtime-only config values
+        # (e.g. the live device mesh) are recorded by repr rather than
+        # failing the dump.
+        PRINT('\t- configuration', end=' ')
+        cfg = {}
+        for k, v in self.CONFIG.items():
+            try:
+                pickle.dumps(v, protocol=2)
+                cfg[k] = v
+            except Exception:
+                cfg[k] = repr(v)
+        tmp_cfg = pjoin(out_dir, 'config.pickle.tmp')
+        with open(tmp_cfg, 'wb') as fid:
+            pickle.dump(cfg, fid, protocol=2)
+        replace(tmp_cfg, pjoin(out_dir, 'config.pickle'))
+        PRINT(' [OK]')
 
         if dist_on:
             dist.barrier('save_results')

@@ -55,7 +55,9 @@ class Nifti1Header:
         self.cal_max = 0.0
         self.descrip = b''
         self.qform_code = 0
-        self.sform_code = 1
+        # 0 until a real affine is set: claiming a valid sform while srow
+        # is all-zero would publish a degenerate geometry
+        self.sform_code = 0
         self.quatern = np.zeros(3)
         self.qoffset = np.zeros(3)
         self.srow = np.zeros((3, 4))
@@ -121,11 +123,24 @@ class Nifti1Image:
     def ndim(self) -> int:
         return self._data.ndim
 
+    @property
+    def dataobj(self) -> np.ndarray:
+        """The stored array, raw (no scl scaling) -- nibabel-style."""
+        return self._data
+
     def get_fdata(self, dtype=np.float64) -> np.ndarray:
-        # nibabel applies scl_slope/inter in get_fdata; our loader keeps raw
-        # data and exposes the scaling via the header so the pipeline can
-        # reproduce the reference's explicit rescale (core.py:146-150).
-        return self._data.astype(dtype)
+        """Floating-point data with ``scl_slope``/``scl_inter`` applied,
+        matching nibabel semantics (finite nonzero slope enables scaling;
+        a non-finite inter counts as 0).  Raw values are on ``dataobj``;
+        the DWI pipeline scales explicitly via ``intensity_rescale`` so it
+        can log the fact (reference core.py:146-150)."""
+        out = self._data.astype(dtype)
+        sl = float(self.header.scl_slope)
+        it = float(self.header.scl_inter)
+        it = it if np.isfinite(it) else 0.0
+        if np.isfinite(sl) and sl != 0.0 and (sl != 1.0 or it != 0.0):
+            out = out * sl + it
+        return out
 
 
 def _read_bytes(filename: str) -> bytes:
@@ -235,7 +250,10 @@ def save(img: Nifti1Image, filename: str) -> None:
     descrip = bytes(hdr.descrip)[:79]
     buf[148:148 + len(descrip)] = descrip
     struct.pack_into('<h', buf, 252, int(hdr.qform_code))
-    struct.pack_into('<h', buf, 254, max(int(hdr.sform_code), 1))
+    # preserve sform_code as-is: forcing it >= 1 on a qform-only image
+    # would publish an all-zero srow as a "valid" sform and destroy the
+    # geometry for any consumer that prefers sform
+    struct.pack_into('<h', buf, 254, int(hdr.sform_code))
     struct.pack_into('<3f', buf, 256, *np.asarray(hdr.quatern, dtype=np.float32))
     struct.pack_into('<3f', buf, 268, *np.asarray(hdr.qoffset, dtype=np.float32))
     srow = np.asarray(hdr.srow, dtype=np.float32).reshape(-1)

@@ -93,8 +93,12 @@ def precompute_rotation_matrices(lmax: int, ndirs: int,
 
     AUX = {'lmax': lmax, 'ndirs': ndirs, 'fit': fit, 'Ylm_rot': Ylm_rot,
            'const': const, 'idx_m0': idx_m0, 'grad': grad, 'source': source}
-    with open(filename, 'wb+') as fid:
+    # atomic write: a concurrent reader (another process resuming setup)
+    # must never see a partially-written pickle
+    tmp = filename + f'.tmp{os.getpid()}'
+    with open(tmp, 'wb') as fid:
         pickle.dump(AUX, fid, protocol=4)
+    os.replace(tmp, filename)
 
 
 def load_precomputed_rotation_matrices(lmax: int, ndirs: int,

@@ -58,8 +58,13 @@ def debias_rician_batch(signal, sigma, iters: int = 50):
 
     dg = jax.grad(lambda x, k: g_of_x(x, k).sum(), argnums=0)
 
-    x0 = jnp.maximum(S * S - 2.0 * sigma * sigma, 0.0) \
-        / (2.0 * sigma * sigma + 1e-30)
+    # sigma == 0 means no noise: the Rician mean IS the signal.  Guarding
+    # here also keeps x0 = S^2/(2 sigma^2) from overflowing f32 to inf
+    # (E = 0 * inf would poison the output with NaNs)
+    sig2 = 2.0 * sigma * sigma
+    noisy = sig2 > 0.0
+    x0 = jnp.where(noisy, jnp.maximum(S * S - sig2, 0.0)
+                   / jnp.where(noisy, sig2, 1.0), 0.0)
 
     def body(_, x):
         r = g_of_x(x, k) - S
@@ -68,7 +73,7 @@ def debias_rician_batch(signal, sigma, iters: int = 50):
 
     x = jax.lax.fori_loop(0, iters, body, x0)
     E = sigma * jnp.sqrt(2.0 * x)
-    return jnp.where(S <= k, 0.0, E)
+    return jnp.where(noisy, jnp.where(S <= k, 0.0, E), S)
 
 
 def debiasRician(DWI, SNR, mask, scheme):

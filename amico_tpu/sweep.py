@@ -44,6 +44,13 @@ class SubjectSweep:
         self._warm = None
 
     def _result_dir(self, subject: str) -> str:
+        # an OUTPUT_path in config is a BASE dir: each subject gets its
+        # own subdirectory (sharing one literal dir would make every
+        # save_results wipe the previous subject's maps, and
+        # resume-by-existence would never match)
+        out_base = self.config.get('OUTPUT_path')
+        if out_base is not None:
+            return pjoin(out_base, subject)
         return pjoin(self.study_path, subject, 'AMICO', self.model_name)
 
     def _warm_signature(self, ev) -> tuple:
@@ -71,9 +78,13 @@ class SubjectSweep:
                 self.results[subject] = self._result_dir(subject)
                 continue
             try:
-                ev = Evaluation(self.study_path, subject)
+                out_base = self.config.get('OUTPUT_path')
+                ev = Evaluation(self.study_path, subject,
+                                output_path=None if out_base is None
+                                else pjoin(out_base, subject))
                 for k, v in self.config.items():
-                    ev.set_config(k, v)
+                    if k != 'OUTPUT_path':
+                        ev.set_config(k, v)
                 if self.mesh is not None:
                     ev.set_config('mesh', self.mesh)
                 if checkpoint:
@@ -108,7 +119,14 @@ class SubjectSweep:
                 ev.fit()
                 ev.save_results()
                 self.results[subject] = self._result_dir(subject)
-            except Exception as e:  # keep sweeping on per-subject failure
-                WARNING(f'[{subject}] failed: {e}')
+            except Exception as e:
+                # SPMD runs must not swallow a per-host failure: the other
+                # hosts are (or will be) blocked in this subject's
+                # collectives, and continuing here would pair the next
+                # subject's collectives with theirs
+                from .parallel import dist
+                if self.config.get('distributed') and dist.process_count() > 1:
+                    raise
+                WARNING(f'[{subject}] failed: {e}')  # else keep sweeping
                 self.results[subject] = f'FAILED: {e}'
         return self.results

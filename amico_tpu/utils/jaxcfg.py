@@ -22,7 +22,14 @@ def _machine_fingerprint() -> str:
     try:
         import jax
         parts.append(jax.__version__)
-        parts.append(jax.default_backend())
+        # NB: deliberately NOT jax.default_backend() -- that initializes
+        # the runtime, and this fingerprint runs at Evaluation
+        # construction, which must stay legal before
+        # jax.distributed.initialize().  The platform env vars carry the
+        # same signal without touching the backend; device kind is part
+        # of jax's own cache key anyway.
+        parts.append(os.environ.get('JAX_PLATFORMS', '')
+                     or os.environ.get('JAX_PLATFORM_NAME', ''))
     except Exception:
         pass
     try:

@@ -21,9 +21,12 @@ def test_qform_int16_scaled():
     dim = (4, 3, 2)
     want = (np.arange(np.prod(dim), dtype=np.int16) - 5).reshape(dim,
                                                                  order='C')
-    got = img.get_fdata()
+    np.testing.assert_array_equal(np.asarray(img.dataobj),
+                                  want)               # raw, nibabel-style
+    got = img.get_fdata()                             # scaled, nibabel-style
     assert got.shape == dim
-    np.testing.assert_array_equal(got, want.astype(np.float64))
+    np.testing.assert_allclose(got, want.astype(np.float64) * 2.5 - 3.0,
+                               rtol=1e-6)
     h = img.header
     assert h.scl_slope == pytest.approx(2.5)
     assert h.scl_inter == pytest.approx(-3.0)
@@ -46,12 +49,12 @@ def test_qform_scaling_applied_by_pipeline():
     get_fdata would (reference core.py:146-150)."""
     from amico_tpu.pipeline import intensity_rescale
     img = nifti.load(os.path.join(DATA, 'foreign_qform_int16.nii.gz'))
-    scaled, applied = intensity_rescale(img.get_fdata().astype(np.float32),
-                                        img.header.scl_slope,
+    raw = np.asarray(img.dataobj, np.float32)
+    scaled, applied = intensity_rescale(raw, img.header.scl_slope,
                                         img.header.scl_inter)
     assert applied
-    np.testing.assert_allclose(scaled, img.get_fdata() * 2.5 - 3.0,
-                               rtol=1e-6)
+    # the explicit pipeline rescale and nibabel-style get_fdata agree
+    np.testing.assert_allclose(scaled, img.get_fdata(), rtol=1e-6)
 
 
 def test_big_endian_sform():
@@ -85,3 +88,17 @@ def test_garbage_fails_loudly(tmp_path):
     bad.write_bytes(b'\x00' * 500)
     with pytest.raises(ValueError, match='sizeof_hdr'):
         nifti.load(str(bad))
+
+
+def test_qform_only_roundtrip_preserves_geometry(tmp_path):
+    """Saving a qform-only image must not fabricate sform_code=1 with an
+    all-zero srow (which any sform-preferring consumer would pick over
+    the intact qform)."""
+    src = nifti.load(os.path.join(DATA, 'foreign_qform_int16.nii.gz'))
+    assert src.header.sform_code == 0 and src.header.qform_code > 0
+    out = str(tmp_path / 'roundtrip.nii.gz')
+    nifti.save(src, out)
+    back = nifti.load(out)
+    assert back.header.sform_code == 0
+    assert back.header.qform_code == src.header.qform_code
+    np.testing.assert_allclose(back.affine, src.affine, atol=1e-6)
