@@ -514,15 +514,21 @@ class Evaluation:
         if self.model.name == 'Free-Water' and self.get_config('doSaveCorrectedDWI'):
             mean_b0_masked = (self.mean_b0s[mask == 1]
                               if self.mean_b0s is not None else None)
+            # under doMergeB0 the fitted signal has one merged b0 at
+            # column 0 -- the pre-merge scheme.b0_idx would overwrite DWI
+            # columns (an upstream AMICO flaw, core.py:495-496, fixed here)
+            b0_cols = (np.array([0]) if self.get_config('doMergeB0')
+                       else self.scheme.b0_idx)
             yc = _pl.reinstate_corrected_dwi(
                 results['y_corrected'], self.y, mean_b0_masked,
-                self.scheme.b0_idx,
+                b0_cols,
                 bool(self.get_config('doNormalizeSignal'))
                 and self.scheme.b0_count > 0,
                 bool(self.get_config('doKeepb0Intact'))
                 and self.scheme.b0_count > 0)
-            out['DWI_corrected'] = _pl.scatter(yc.astype(np.float32), mask,
-                                               self.niiDWI.shape)
+            out['DWI_corrected'] = _pl.scatter(
+                yc.astype(np.float32), mask,
+                self.niiDWI.shape[:3] + (yc.shape[1],))
         return out
 
     # --------------------------------------------------------- save_results

@@ -181,3 +181,29 @@ def test_sweep_warm_state_reuses_model_and_matches_fresh(study):
     fresh.run(resume=False)
     fw_fresh = nifti.load(str(out2 / 'fit_FW.nii.gz')).get_fdata()
     np.testing.assert_array_equal(fw_warm, fw_fresh)
+
+
+def test_corrected_dwi_with_merge_b0(study):
+    """doMergeB0 + doSaveCorrectedDWI: the fitted signal has one merged b0
+    at column 0, so the b0 reinstatement must address column 0 of the
+    merged layout -- the pre-merge b0_idx would overwrite DWI columns (an
+    upstream AMICO flaw, reference core.py:495-496, fixed here)."""
+    subj = _make_subject(study, 's4', 9)
+    ev = amico_tpu.Evaluation(str(study), 's4')
+    ev.set_config('doSaveCorrectedDWI', True)
+    ev.set_config('doKeepb0Intact', True)
+    ev.set_config('doMergeB0', True)
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    ev.set_model('FreeWater')
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    ev.fit()
+    corr = ev.RESULTS['DWI_corrected']
+    mask = ev.niiMASK_img == 1
+    assert corr.shape[3] == 1 + ev.scheme.dwi_count     # merged layout
+    expected_b0 = ev.y[:, 0] * ev.mean_b0s[mask]
+    np.testing.assert_allclose(corr[mask][:, 0], expected_b0, rtol=1e-5)
+    # DWI columns hold the *corrected* signal, not reinstated raw values
+    assert not np.allclose(corr[mask][:, 1:],
+                           ev.y[:, 1:] * ev.mean_b0s[mask][:, None])
