@@ -39,6 +39,26 @@ def _kv(pairs):
     return out
 
 
+def _filter_model_params(model_name: str, params: dict) -> dict:
+    """Signature-filter --param values against the model's set(), matching
+    the WARNING-and-ignore behavior --solver gets (core.py set_solver)."""
+    if not params:
+        return params
+    import inspect
+
+    from . import models as _models
+    from .utils.logging import WARNING
+    if not hasattr(_models, model_name):
+        return params            # set_model will raise the clear error
+    accepted = set(inspect.signature(
+        getattr(_models, model_name).set).parameters) - {'self'}
+    known = {k: v for k, v in params.items() if k in accepted}
+    for k in params.keys() - known.keys():
+        WARNING(f'model parameter "{k}" is not used by {model_name}; '
+                'ignoring it')
+    return known
+
+
 def _cmd_setup(args):
     from . import setup
     setup(lmax=args.lmax)
@@ -49,7 +69,7 @@ def _cmd_fit(args):
     # validate key=value options before touching any data
     config = _kv(args.config)
     solver = _kv(args.solver)
-    params = _kv(args.param)
+    params = _filter_model_params(args.model, _kv(args.param))
 
     from . import Evaluation, set_verbose
     set_verbose(args.verbose)
@@ -73,7 +93,7 @@ def _cmd_fit(args):
 def _cmd_sweep(args):
     config = _kv(args.config)
     solver = _kv(args.solver)
-    params = _kv(args.param)
+    params = _filter_model_params(args.model, _kv(args.param))
 
     from . import set_verbose
     from .sweep import SubjectSweep

@@ -27,12 +27,27 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 _LIB_PATH = os.path.join(_NATIVE_DIR, 'libamico_native.so')
 
 _lib = None
+_load_error = None
 
 
 def _load():
-    global _lib
+    global _lib, _load_error
     if _lib is not None:
         return _lib
+    if _load_error is not None:
+        # cache the failure: re-spawning a failing `make` (or re-probing a
+        # corrupt .so) on EVERY solver call would cost milliseconds per
+        # call and distort any timing that runs on the fallback path
+        raise RuntimeError(_load_error)
+    try:
+        _lib = _load_uncached()
+        return _lib
+    except Exception as e:
+        _load_error = str(e)
+        raise RuntimeError(_load_error) from e
+
+
+def _load_uncached():
     if os.environ.get('AMICO_TPU_NO_NATIVE') == '1':
         raise RuntimeError('native solvers disabled via AMICO_TPU_NO_NATIVE')
     path = None
@@ -47,6 +62,8 @@ def _load():
             path = _LIB_PATH
         except Exception as e:  # pragma: no cover
             raise RuntimeError(f'cannot build libamico_native.so: {e}') from e
+    # OSError here (truncated/wrong-arch .so) is caught by _load and
+    # cached as a failure -> the NumPy fallback engages
     lib = ctypes.CDLL(path)
     dptr = ctypes.POINTER(ctypes.c_double)
     lib.amico_qp_nonneg.argtypes = [dptr, dptr, ctypes.c_int, dptr]
@@ -56,7 +73,6 @@ def _load():
     lib.amico_lasso.argtypes = [dptr, dptr, ctypes.c_int, ctypes.c_int, dptr,
                                 ctypes.c_double, ctypes.c_double]
     lib.amico_lasso.restype = ctypes.c_int
-    _lib = lib
     return lib
 
 
@@ -89,7 +105,10 @@ def _qp_nonneg_py(G: np.ndarray, b: np.ndarray,
         P[j] = True
         while True:
             idx = np.where(P)[0]
-            z = np.linalg.solve(G[np.ix_(idx, idx)], b[idx])
+            # same tiny ridge as the C++ solver: a singular working-set
+            # Gram (duplicated atoms) must not crash or emit garbage
+            z = np.linalg.solve(
+                G[np.ix_(idx, idx)] + 1e-13 * np.eye(idx.size), b[idx])
             if (z > 0).all():
                 x[:] = 0.0
                 x[idx] = z
@@ -101,6 +120,11 @@ def _qp_nonneg_py(G: np.ndarray, b: np.ndarray,
             P[idx[x[idx] <= tol]] = False
             x[x <= tol] = 0.0
         w = b - G @ x
+    else:
+        # same failure contract as the native wrapper (rc=-1 -> raise):
+        # silently returning a non-converged x would feed wrong
+        # coefficients downstream as if they were exact
+        raise RuntimeError('NNLS (NumPy fallback) did not converge')
     return x
 
 

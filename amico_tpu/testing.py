@@ -46,7 +46,17 @@ def demo_noddi(scheme: Scheme | None = None, small: bool = True,
     os.makedirs(out, exist_ok=True)
     from .ops.sphere import resolve_source
     src = resolve_source(NDIRS)
-    marker = os.path.join(out, f'source={src}')
+    # the marker keys everything the generated atoms depend on: direction
+    # source, the scheme table, and the model's atom grid -- a persistent
+    # kernels_dir must never silently resample kernels built for a
+    # different protocol or grid
+    import hashlib
+    sig = hashlib.sha1(repr((
+        np.asarray(scheme.raw).tobytes(),
+        sorted((k, v.tolist() if isinstance(v, np.ndarray) else v)
+               for k, v in model.get_params().items()),
+        LMAX, NDIRS)).encode()).hexdigest()[:16]
+    marker = os.path.join(out, f'source={src}_sig={sig}')
     if not (os.path.isfile(os.path.join(out, 'A_001.npy'))
             and os.path.isfile(marker)):
         for f in os.listdir(out):

@@ -38,7 +38,7 @@ def main():
     os.environ.setdefault('AMICO_TPU_HOME',
                           os.path.join(os.path.expanduser('~'), '.amico_tpu'))
     import jax
-    from amico_tpu.testing import demo_noddi, demo_scheme, demo_voxels
+    from amico_tpu.testing import demo_noddi, demo_voxels
     from amico_tpu import set_verbose
     set_verbose(1)
 
@@ -82,13 +82,12 @@ def main():
     # absent on directly-attached hosts).  The headline composes this
     # clean upload cost with the steady-state fit, which re-runs all host
     # work but reuses staged device data.
-    import jax as _jax
     Y_probe = np.ascontiguousarray(y.astype(np.float32))
-    _jax.device_put(Y_probe[:1000]).block_until_ready()
+    jax.device_put(Y_probe[:1000]).block_until_ready()
     t_upload = float('inf')
     for _ in range(3):
         t0 = time.time()
-        _jax.device_put(Y_probe).block_until_ready()
+        jax.device_put(Y_probe).block_until_ready()
         t_upload = min(t_upload, time.time() - t0)
 
     # first fit: separate true XLA/Mosaic compile time (monitoring events;
@@ -232,7 +231,7 @@ def main():
         from amico_tpu.models import CylinderZeppelinBall, FreeWater, SANDI
         from amico_tpu.io.scheme import GAMMA
 
-        def bench_model(name, model, scheme_m, n=None, direction_free=False):
+        def bench_model(name, model, scheme_m, n=None):
             n = n or int(os.environ.get('BENCH_ALL_VOXELS', 50000))
             kd = os.path.join(os.environ['AMICO_TPU_HOME'], f'bench_{name}')
             os.makedirs(kd, exist_ok=True)
@@ -250,7 +249,7 @@ def main():
             Db /= np.linalg.norm(Db, axis=1, keepdims=True)
 
             class C2:
-                y, DIRs, htable2, KERNELS = yb, Db, htable, K
+                y, DIRs, KERNELS = yb, Db, K
 
                 def get_config(self, k):
                     return {'tile_size': 'auto',
