@@ -1,0 +1,86 @@
+"""Property tests: structural invariants that hold for ALL inputs, checked
+over randomized cases (seeded).  These pin the contracts the fit engine and
+the parsers rely on, independent of any specific fixture.
+"""
+import numpy as np
+import pytest
+
+from amico_tpu.io.scheme import Scheme
+from amico_tpu.models.engine import (build_tile_plan, tile_voxels,
+                                     untile_voxels)
+from amico_tpu.utils.logging import AmicoError
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_tile_plan_is_a_permutation_with_padding(seed):
+    """Every voxel appears exactly once; padding entries are exactly the
+    n_voxels sentinel; each tile holds one direction; valid marks real
+    voxels and only real voxels; untile(tile(y)) == y."""
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(1, 700))
+    ndirs = int(rng.randint(1, 40))
+    M = int(rng.choice([8, 32, 128]))
+    lut_idx = rng.randint(0, ndirs, n)
+    plan = build_tile_plan(lut_idx, M)
+
+    real = plan.perm[plan.perm < n]
+    assert np.array_equal(np.sort(real), np.arange(n))          # bijection
+    assert (plan.perm[plan.perm >= n] == n).all()               # sentinel
+    assert plan.perm.size == plan.n_tiles * M
+    assert plan.valid.shape == (plan.n_tiles, M)
+    assert plan.valid.sum() == n
+    assert (plan.valid.reshape(-1) == (plan.perm < n)).all()
+    # every tile is single-direction: each valid voxel's lut_idx matches
+    # its tile's direction
+    tile_of = np.repeat(plan.tile_dirs, M)
+    sel = plan.perm < n
+    assert (lut_idx[plan.perm[sel]] == tile_of[sel]).all()
+
+    y = rng.rand(n, 5).astype(np.float32)
+    np.testing.assert_array_equal(untile_voxels(plan, tile_voxels(plan, y)),
+                                  y)
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_scheme_shells_partition_samples(seed):
+    """Shells + b0 indices partition the sample axis exactly once, and
+    every returned direction is unit-norm on the y>=0 hemisphere."""
+    rng = np.random.RandomState(seed)
+    nb0 = int(rng.randint(0, 4))
+    shells = sorted(rng.choice(np.arange(500, 4000, 250),
+                               size=rng.randint(1, 4), replace=False))
+    rows = [np.zeros((nb0, 4))]
+    for b in shells:
+        nd = int(rng.randint(3, 20))
+        g = rng.randn(nd, 3)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        rows.append(np.c_[g, np.full(nd, float(b))])
+    tab = np.vstack(rows)
+    if tab.shape[0] == 0 or len(tab) == nb0:
+        pytest.skip('degenerate draw')
+    s = Scheme(tab)
+
+    covered = np.concatenate([s.b0_idx] + [sh['idx'] for sh in s.shells])
+    assert np.array_equal(np.sort(covered), np.arange(s.nS))
+    assert s.b0_count == nb0 and s.dwi_count == s.nS - nb0
+    dirs = s.raw[s.dwi_idx, :3]
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=1), 1.0, atol=1e-6)
+    assert (dirs[:, 1] >= -1e-12).all()      # hemisphere canonicalization
+
+
+def test_scheme_malformed_inputs_fail_loudly(tmp_path):
+    """Garbage schemes raise AmicoError (the reference sys.exits), never
+    silently mis-parse."""
+    # NB: the VERSION header line is informational in the reference too --
+    # the format derives from the column count (scheme.py:74-81), so a
+    # wrong VERSION with a valid 4-column table parses as version 0.
+    cases = {
+        'cols5.scheme': 'VERSION: BVECTOR\n1 0 0 700 9\n',
+        'empty.scheme': 'VERSION: BVECTOR\n',
+        'text.scheme': 'VERSION: BVECTOR\na b c d\n',
+    }
+    for name, text in cases.items():
+        p = tmp_path / name
+        p.write_text(text)
+        with pytest.raises((AmicoError, ValueError)):
+            Scheme(str(p))
