@@ -7,11 +7,14 @@ build replaces the dipy dependency with an in-framework batched closed-form
 fit (SURVEY.md section 7 'design deltas'): one design-matrix matmul + a
 batched symmetric 3x3 eigendecomposition, entirely on device.
 
-Supported methods: 'OLS'/'LS' (ordinary least squares on log signal) and
+Supported methods: 'OLS'/'LS' (ordinary least squares on log signal),
 'WLS' (weighted by the squared OLS-predicted signal, the standard
-Salvador/Chung weighting dipy uses).  'NLLS'/'RT'/'RESTORE' fall back to WLS
-with a warning -- the direction estimate feeds a 1-degree LUT quantization
-(lut.pyx:349-351), so solver differences beyond WLS are quantized away.
+Salvador/Chung weighting dipy uses), 'NLLS' (signal-space
+Levenberg-Marquardt started from WLS, fixed iteration count so one jit
+covers every voxel), and 'RESTORE'/'RT' (robust tensor fitting per Chang,
+Jones & Pierpaoli 2005: iteratively reweighted NLLS with Geman-McClure
+weights, then a final fit with residual outliers beyond 3 sigma excluded
+-- the same algorithm family dipy's TensorModel dispatches to).
 """
 from __future__ import annotations
 
@@ -85,6 +88,88 @@ def principal_eigenvector(D: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(anisotropic, v / jnp.maximum(vn, 1e-30), ez)
 
 
+def _lm_refine(params: jnp.ndarray, Bj: jnp.ndarray, y: jnp.ndarray,
+               w: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Fixed-iteration batched Levenberg-Marquardt on the signal-space
+    objective ``sum_n w_n (y_n - exp(B_n p))^2`` (what dipy's NLLS
+    minimizes).  Per-voxel damping adapts by accept/reject so one jitted
+    loop serves every voxel; rejected steps keep the old parameters."""
+    dt = params.dtype
+    I7 = jnp.eye(7, dtype=dt)
+    prec = jax.lax.Precision.HIGHEST
+
+    def cost(p):
+        pred = jnp.exp(jnp.clip(
+            jnp.einsum('np,vp->vn', Bj, p, precision=prec), -60.0, 60.0))
+        r = y - pred
+        return pred, r, jnp.sum(w * r * r, axis=-1)
+
+    def body(_, state):
+        p, lam, c = state
+        pred, r, _ = cost(p)
+        J = pred[..., None] * Bj[None, :, :]             # (N, nS, 7)
+        Jw = J * w[..., None]
+        grad = jnp.einsum('vnp,vn->vp', Jw, r, precision=prec)
+        H = jnp.einsum('vnp,vnq->vpq', Jw, J, precision=prec)
+        diagH = jnp.diagonal(H, axis1=-2, axis2=-1)
+        damp = lam[..., None] * jnp.maximum(diagH, 1e-12) + 1e-12
+        Hd = H + damp[..., None] * I7
+        step = jnp.linalg.solve(Hd, grad[..., None])[..., 0]
+        p_new = p + step
+        _, _, c_new = cost(p_new)
+        ok = jnp.isfinite(c_new) & (c_new < c)
+        p = jnp.where(ok[..., None], p_new, p)
+        lam = jnp.where(ok, lam / 3.0, lam * 4.0)
+        c = jnp.where(ok, c_new, c)
+        return p, lam, c
+
+    _, _, c0 = cost(params)
+    lam0 = jnp.full(params.shape[:-1], 1e-3, dt)
+    p, _, _ = jax.lax.fori_loop(0, iters, body, (params, lam0, c0))
+    return p
+
+
+def _restore(params: jnp.ndarray, Bj: jnp.ndarray, y: jnp.ndarray,
+             nlls_iters: int = 8, irls_rounds: int = 4) -> jnp.ndarray:
+    """Robust tensor fit (RESTORE, Chang/Jones/Pierpaoli MRM 2005).
+
+    (1) plain NLLS on all samples; (2) iteratively reweighted NLLS with
+    Geman-McClure weights ``1/(r^2 + C^2)``, the robust scale C re-estimated
+    each round as 1.4826*MAD of the residuals (the self-consistent variant
+    dipy uses when no noise sigma is supplied); (3) samples with
+    ``|r| > 3C`` are excluded and the tensor refit on the inliers.  Voxels
+    with no detected outliers keep the plain-NLLS parameters, matching the
+    reference algorithm's early-out."""
+    dt = params.dtype
+    ones = jnp.ones(y.shape, dt)
+    prec = jax.lax.Precision.HIGHEST
+    p_nlls = _lm_refine(params, Bj, y, ones, nlls_iters)
+
+    def residuals(p):
+        pred = jnp.exp(jnp.clip(
+            jnp.einsum('np,vp->vn', Bj, p, precision=prec), -60.0, 60.0))
+        return y - pred
+
+    def scale(r):
+        med = jnp.median(r, axis=-1, keepdims=True)
+        mad = jnp.median(jnp.abs(r - med), axis=-1, keepdims=True)
+        return jnp.maximum(1.4826 * mad, 1e-8)
+
+    p = p_nlls
+    for _ in range(irls_rounds):
+        r = residuals(p)
+        C = scale(r)
+        w = 1.0 / (r * r + C * C)
+        p = _lm_refine(p, Bj, y, w, 2)
+
+    r = residuals(p)
+    C = scale(r)
+    inlier = (jnp.abs(r) <= 3.0 * C).astype(dt)
+    has_outlier = jnp.any(inlier == 0, axis=-1)
+    p_in = _lm_refine(p, Bj, y, inlier, nlls_iters)
+    return jnp.where(has_outlier[..., None], p_in, p_nlls)
+
+
 def fit_dti(y: jnp.ndarray, b: np.ndarray, g: np.ndarray,
             method: str = 'OLS') -> jnp.ndarray:
     """Fit the diffusion tensor per voxel; return principal directions.
@@ -101,8 +186,10 @@ def fit_dti(y: jnp.ndarray, b: np.ndarray, g: np.ndarray,
     pinv = jnp.asarray(np.linalg.pinv(Bd), dt)           # (7, nS)
     params = jnp.einsum('pn,vn->vp', pinv, logy, precision=prec)
 
-    if method.upper() not in ('OLS', 'LS'):
-        # WLS: weights = squared OLS-predicted signal
+    meth = method.upper()
+    if meth not in ('OLS', 'LS'):
+        # WLS: weights = squared OLS-predicted signal (also the NLLS /
+        # RESTORE starting point)
         Bj = jnp.asarray(Bd, dt)
         pred = jnp.einsum('np,vp->vn', Bj, params, precision=prec)
         w = jnp.exp(2.0 * pred)
@@ -112,6 +199,13 @@ def fit_dti(y: jnp.ndarray, b: np.ndarray, g: np.ndarray,
         rhs = jnp.einsum('vpn,vn->vp', BtW, logy, precision=prec)
         lhs = lhs + 1e-12 * jnp.eye(7, dtype=dt)
         params = jnp.linalg.solve(lhs, rhs[..., None])[..., 0]
+
+        y_sig = jnp.maximum(y, MIN_SIGNAL)
+        if meth == 'NLLS':
+            params = _lm_refine(params, Bj, y_sig,
+                                jnp.ones(y_sig.shape, dt), 12)
+        elif meth in ('RT', 'RESTORE'):
+            params = _restore(params, Bj, y_sig)
 
     D = _tensors_from_params(params)
     return principal_eigenvector(D)

@@ -133,17 +133,16 @@ _DTI_METHODS = ('OLS', 'LS', 'WLS', 'NLLS', 'RT', 'RESTORE', 'restore')
 
 
 def resolve_dti_method(method: str) -> str:
-    """Validate and normalize the DTI fit-method name.  Nonlinear/robust
-    variants degrade to WLS here: directions are quantized to a 1-degree LUT
-    grid downstream, so the extra solver cost cannot change the result
-    (reference accepts the same names, core.py:414-420)."""
+    """Validate and normalize the DTI fit-method name (the reference
+    accepts the same set and forwards it to dipy, core.py:414-420).  All
+    four families run natively here: OLS/WLS closed-form, NLLS via batched
+    Levenberg-Marquardt, RESTORE/RT via robust reweighting
+    (amico_tpu.ops.dti)."""
     if method not in _DTI_METHODS:
         ERROR(f'Unknown DTI fit method "{method}"; choose one of '
               f'{", ".join(_DTI_METHODS)}')
-    if method in ('NLLS', 'RT', 'RESTORE', 'restore'):
-        WARNING(f'DTI method "{method}" runs as WLS in this build (direction '
-                'estimates land on a 1-degree grid; see amico_tpu.ops.dti)')
-        return 'WLS'
+    if method in ('RT', 'restore'):
+        return 'RESTORE'
     return 'OLS' if method == 'LS' else method
 
 

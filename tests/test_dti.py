@@ -74,3 +74,73 @@ def test_direction_quantization_roundtrip(tmp_path):
     dots = np.abs(np.sum(lut_dirs[idx] * axes, axis=1))
     # LUT has ~500 dirs over the hemisphere: nearest within ~7 degrees
     assert np.percentile(dots, 5) > np.cos(np.deg2rad(8.0))
+
+
+def test_nlls_exact_on_noiseless_and_improves_rician():
+    """NLLS must reproduce truth exactly on clean signals and beat OLS on
+    Rician-floored ones (signal-space residuals weight high-signal samples
+    more than log-space OLS does)."""
+    rng = np.random.RandomState(7)
+    g = np.vstack([np.zeros((2, 3)), fibonacci_hemisphere(40)])
+    b = np.concatenate([np.zeros(2), np.full(40, 2000.0)])
+    axes = fibonacci_hemisphere(64)
+    y = _synth(axes, b, g)
+
+    dirs = np.asarray(fit_dti(jnp.asarray(y), b, g, 'NLLS'))
+    dots = np.abs(np.sum(dirs * axes, axis=1))
+    assert dots.min() > 1 - 1e-5
+
+    # Rician magnitude noise: sqrt((S+n1)^2 + n2^2)
+    s = 0.04
+    y_ric = np.sqrt((y + s * rng.randn(*y.shape)) ** 2
+                    + (s * rng.randn(*y.shape)) ** 2)
+    err = {}
+    for method in ('OLS', 'NLLS'):
+        d = np.asarray(fit_dti(jnp.asarray(y_ric), b, g, method))
+        err[method] = np.degrees(np.arccos(np.clip(
+            np.abs(np.sum(d * axes, axis=1)), 0, 1)))
+    assert np.isfinite(np.median(err['NLLS']))
+    assert np.median(err['NLLS']) <= np.median(err['OLS']) + 0.5
+
+
+def test_restore_rejects_outlier_spikes():
+    """RESTORE must hold direction accuracy when a few samples per voxel
+    are corrupted by large spikes (the artifact class Chang et al. 2005
+    target); plain OLS degrades visibly on the same data."""
+    rng = np.random.RandomState(3)
+    g = np.vstack([np.zeros((2, 3)), fibonacci_hemisphere(40)])
+    b = np.concatenate([np.zeros(2), np.full(40, 1500.0)])
+    axes = fibonacci_hemisphere(80)
+    y = _synth(axes, b, g)
+    y = np.abs(y + 0.01 * rng.randn(*y.shape))
+
+    y_bad = y.copy()
+    for v in range(y.shape[0]):
+        hit = rng.choice(np.arange(2, y.shape[1]), size=3, replace=False)
+        y_bad[v, hit] *= rng.uniform(2.5, 4.0, size=3)  # signal dropout/spike
+
+    def med_err(method):
+        d = np.asarray(fit_dti(jnp.asarray(y_bad), b, g, method))
+        dots = np.abs(np.sum(d * axes, axis=1))
+        return np.median(np.degrees(np.arccos(np.clip(dots, 0, 1))))
+
+    e_ols, e_rob = med_err('OLS'), med_err('RESTORE')
+    assert e_rob < e_ols, (e_rob, e_ols)
+    assert e_rob < 3.0, e_rob   # robust fit stays within a few degrees
+
+    # clean data: RESTORE's early-out keeps the plain-NLLS answer
+    d_clean = np.asarray(fit_dti(jnp.asarray(y), b, g, 'RESTORE'))
+    dots = np.abs(np.sum(d_clean * axes, axis=1))
+    assert np.median(dots) > np.cos(np.deg2rad(2.0))
+
+
+def test_resolve_dti_method_aliases():
+    from amico_tpu.pipeline import resolve_dti_method
+    from amico_tpu.utils.logging import AmicoError
+    assert resolve_dti_method('LS') == 'OLS'
+    assert resolve_dti_method('RT') == 'RESTORE'
+    assert resolve_dti_method('restore') == 'RESTORE'
+    assert resolve_dti_method('NLLS') == 'NLLS'
+    import pytest
+    with pytest.raises(AmicoError):
+        resolve_dti_method('bogus')
