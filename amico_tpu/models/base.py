@@ -192,6 +192,28 @@ class BaseModel(ABC):
             backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
         return backend
 
+    def _ckpt_fingerprint(self, plan, tile_size: int,
+                          y: np.ndarray) -> np.ndarray:
+        """Mid-fit checkpoint fingerprint: pins everything a resumed
+        chunk's values depend on -- the tile plan (voxel bucketing), the
+        signal content, and the model/solver parameters.  A crash-rerun
+        with a changed lambda or an edited volume must recompute, not
+        merge stale chunks."""
+        import hashlib
+        pstride = max(1, plan.perm.size // 65536)
+        ystride = max(1, y.size // 65536)
+        y_sum = np.float64(np.sum(y.ravel()[::ystride], dtype=np.float64))
+        params_repr = repr((sorted(getattr(self, 'solver_params',
+                                           {}).items()),
+                            sorted(self.get_params().items(),
+                                   key=lambda kv: kv[0])))
+        params_h = int.from_bytes(
+            hashlib.blake2b(params_repr.encode(), digest_size=8).digest(),
+            'little', signed=True)
+        return np.array([plan.n_tiles, tile_size,
+                         int(np.sum(plan.perm[::pstride], dtype=np.int64)),
+                         params_h, y_sum.view(np.int64)], np.int64)
+
     # ------------------------------------------------- tiled fit driver
     def _run_tiled_fit(self, evaluation, fit_chunk_fn, n_outputs_like: dict,
                        tile_size: int | None = None,
@@ -318,10 +340,7 @@ class BaseModel(ABC):
         # the plan fingerprint pins the voxel bucketing and every output
         # key must be present
         ckpt_path = evaluation.get_config('fit_checkpoint')
-        pstride = max(1, plan.perm.size // 65536)
-        ck_plan_fp = np.array([plan.n_tiles, tile_size,
-                               int(np.sum(plan.perm[::pstride],
-                                          dtype=np.int64))], np.int64)
+        ck_plan_fp = self._ckpt_fingerprint(plan, tile_size, y)
         done_until = 0
         if ckpt_path and os.path.isfile(ckpt_path):
             with np.load(ckpt_path) as ck:

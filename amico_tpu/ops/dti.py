@@ -150,21 +150,26 @@ def _restore(params: jnp.ndarray, Bj: jnp.ndarray, y: jnp.ndarray,
             jnp.einsum('np,vp->vn', Bj, p, precision=prec), -60.0, 60.0))
         return y - pred
 
-    def scale(r):
+    def center_scale(r):
+        """Residuals centered on their per-voxel median, and the robust
+        spread C = 1.4826*MAD about that median.  Centering matters: a
+        voxel with a systematic residual offset (e.g. a Rician noise
+        floor at high b) would otherwise flag nearly every sample as an
+        outlier and refit on a rank-deficient remainder; about the
+        median, at least half the samples always stay within 1.4826 MAD."""
         med = jnp.median(r, axis=-1, keepdims=True)
-        mad = jnp.median(jnp.abs(r - med), axis=-1, keepdims=True)
-        return jnp.maximum(1.4826 * mad, 1e-8)
+        rc = r - med
+        mad = jnp.median(jnp.abs(rc), axis=-1, keepdims=True)
+        return rc, jnp.maximum(1.4826 * mad, 1e-8)
 
     p = p_nlls
     for _ in range(irls_rounds):
-        r = residuals(p)
-        C = scale(r)
-        w = 1.0 / (r * r + C * C)
+        rc, C = center_scale(residuals(p))
+        w = 1.0 / (rc * rc + C * C)
         p = _lm_refine(p, Bj, y, w, 2)
 
-    r = residuals(p)
-    C = scale(r)
-    inlier = (jnp.abs(r) <= 3.0 * C).astype(dt)
+    rc, C = center_scale(residuals(p))
+    inlier = (jnp.abs(rc) <= 3.0 * C).astype(dt)
     has_outlier = jnp.any(inlier == 0, axis=-1)
     p_in = _lm_refine(p, Bj, y, inlier, nlls_iters)
     return jnp.where(has_outlier[..., None], p_in, p_nlls)

@@ -106,6 +106,21 @@ def allgather_rows(local_rows: np.ndarray, n_total: int) -> np.ndarray:
     return np.concatenate(parts, axis=0)
 
 
+def broadcast_scalar(value) -> int:
+    """The coordinator's value of an int scalar, on every host.
+
+    For decisions that must be collective (e.g. skip-subject in a sweep):
+    per-host filesystems can disagree about what exists -- only process 0
+    writes results -- so each host deciding from its own disk desyncs the
+    subsequent collectives.  Single-process: identity.
+    """
+    if process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+    return int(multihost_utils.broadcast_one_to_all(
+        np.asarray(value, np.int64)))
+
+
 def barrier(name: str = 'amico_tpu') -> None:
     from jax.experimental import multihost_utils
     if process_count() > 1:

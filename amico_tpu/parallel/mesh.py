@@ -23,8 +23,15 @@ DATA_AXIS = 'data'
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = DATA_AXIS) -> Mesh:
-    """1-D mesh over (the first n of) the available devices."""
-    devs = jax.devices()
+    """1-D mesh over (the first n of) this process's devices.
+
+    Host-LOCAL on purpose: under ``jax.distributed`` each host fits its own
+    voxel slab on its own chips (docs/DISTRIBUTED.md), so the mesh must not
+    span other hosts' non-addressable devices -- ``jax.devices()`` does
+    after ``initialize()``, which would make ``device_put`` of slab tiles
+    fail.  In a single process the two device lists are identical.
+    """
+    devs = jax.local_devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
@@ -47,7 +54,7 @@ def shard_tiles(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
-def masked_mean(values, valid, mesh: Mesh | None = None):
+def masked_mean(values, valid):
     """Global mean of per-voxel statistics over valid voxels.
 
     Works on sharded tile arrays: implemented with jnp reductions so XLA

@@ -68,7 +68,16 @@ class SubjectSweep:
 
     def _is_done(self, subject: str) -> bool:
         d = self._result_dir(subject)
-        return os.path.isfile(pjoin(d, 'config.pickle'))
+        done = os.path.isfile(pjoin(d, 'config.pickle'))
+        # distributed: save_results writes config.pickle on the coordinator
+        # only, so with per-host study copies the hosts' disks disagree
+        # after a crash -- the skip decision must be the coordinator's on
+        # every host, or the pod's collectives desynchronize
+        if self.config.get('distributed'):
+            from .parallel import dist
+            if dist.process_count() > 1:
+                done = bool(dist.broadcast_scalar(int(done)))
+        return done
 
     def run(self, resume: bool = True, checkpoint: bool = True) -> dict:
         """Process all subjects; returns {subject: results_path}."""

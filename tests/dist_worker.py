@@ -41,4 +41,21 @@ ev.generate_kernels(ndirs=500)
 ev.load_kernels()
 ev.fit()
 ev.save_results()
+# --- regression coverage for multi-host pitfalls ---------------------
+# 1. make_mesh() must be host-LOCAL: a mesh spanning other hosts'
+#    non-addressable devices breaks device_put of slab tiles
+from amico_tpu.parallel.mesh import make_mesh  # noqa: E402
+m = make_mesh()
+assert m.devices.size == len(jax.local_devices()), m.devices
+assert all(d.process_index == dist.process_index()
+           for d in m.devices.ravel()), m.devices
+
+# 2. skip decisions must be collective: only rank 0 wrote config.pickle,
+#    so per-host disks disagree -- broadcast_scalar must give every rank
+#    the coordinator's answer
+local_done = os.path.isfile(os.path.join(
+    study, 'subj', 'AMICO', 'NODDI', 'config.pickle'))
+assert local_done == (rank == 0), (rank, local_done)
+assert dist.broadcast_scalar(int(local_done)) == 1
+
 print(f'rank {rank}: OK', flush=True)

@@ -106,13 +106,40 @@ def test_fit_checkpoint_resume(study):
     # steal the first chunks' correct values from ref via tiling
     est_tiled = tile_voxels(plan, ref)
     partial['estimates'][:done] = est_tiled[:done]
-    pstride = max(1, plan.perm.size // 65536)
-    fp = np.array([plan.n_tiles, 32,
-                   int(np.sum(plan.perm[::pstride], dtype=np.int64))],
-                  np.int64)
+    fp = model._ckpt_fingerprint(plan, 32, np.asarray(ev_ck.y, np.float32))
     np.savez(ck[:-4], plan_fp=fp, done_until=done, **partial)
     got2 = model.fit(ev_ck)['estimates']
     np.testing.assert_allclose(got2, ref, atol=1e-6)
+
+    # the fingerprint must change when solver params change: a stale
+    # checkpoint from a different lambda must be ignored on rerun
+    import copy as _copy
+    other = _copy.copy(model)
+    other.solver_params = dict(model.solver_params, lambda2=0.123)
+    fp_other = other._ckpt_fingerprint(plan, 32,
+                                       np.asarray(ev_ck.y, np.float32))
+    assert not np.array_equal(fp, fp_other)
+    poisoned0 = {'estimates': np.full((plan.n_tiles, 32, 2), 9.0,
+                                      np.float32)}
+    np.savez(ck[:-4], plan_fp=fp_other, done_until=done, **poisoned0)
+    got2b = model.fit(ev_ck)['estimates']
+    np.testing.assert_allclose(got2b, ref, atol=1e-6)
+
+    # ... and when the signal content changes under the same plan
+    y2 = np.asarray(ev_ck.y, np.float32).copy()
+    y2[0, 0] += 1.0
+    assert not np.array_equal(fp, model._ckpt_fingerprint(plan, 32, y2))
+
+    # positive control: a checkpoint with a VALID fingerprint is merged,
+    # not recomputed -- sentinel values in the done chunks must surface
+    sentinel = {'estimates': np.full((plan.n_tiles, 32, 2), 7.5,
+                                     np.float32)}
+    np.savez(ck[:-4], plan_fp=fp, done_until=done, **sentinel)
+    got5 = model.fit(ev_ck)['estimates']
+    # voxels living in the first `done` tiles carry the sentinel
+    first_tiles_vox = plan.perm[:done * 32]
+    first_tiles_vox = first_tiles_vox[first_tiles_vox < plan.n_voxels]
+    assert np.all(got5[first_tiles_vox] == 7.5)
 
     # a checkpoint whose plan fingerprint does not match this fit (e.g.
     # another same-shaped subject) must be ignored, not merged
