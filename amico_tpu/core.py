@@ -38,7 +38,7 @@ from . import pipeline as _pl
 from .io import nifti
 from .io.scheme import Scheme
 from .preproc import debiasRician
-from .utils.logging import ERROR, LOG, PRINT, WARNING, get_verbose
+from .utils.logging import ERROR, LOG, NOTE, PRINT, WARNING, get_verbose
 from .utils.progress import ProgressBar
 from .utils.timers import StageTimers
 
@@ -200,9 +200,9 @@ class Evaluation:
                 ERROR('MASK file not found')
             self.niiMASK = nifti.load(pjoin(data_path, mask_filename))
             self.niiMASK_img = self.niiMASK.get_fdata().astype(np.uint8)
+            if self.niiMASK.ndim != 3:       # before the dim print: a 2-D
+                ERROR('MASK file is not a 3D image')  # mask breaks its fmt
             PRINT('\t\t- dim    = %d x %d x %d' % self.niiMASK_img.shape[:3])
-            if self.niiMASK.ndim != 3:
-                ERROR('MASK file is not a 3D image')
             if self.get_config('dim') != self.niiMASK_img.shape[:3]:
                 ERROR('MASK geometry does not match with DWI data')
         else:
@@ -233,6 +233,11 @@ class Evaluation:
             if self.get_config('DWI-SNR') is None:
                 ERROR('Rician debias needs the acquisition SNR: '
                       "set_config('DWI-SNR', value) before load_data()")
+            if self.scheme.b0_count == 0:
+                # sigma is estimated from the b0 volumes; without any the
+                # stage would silently no-op on NaN sigmas
+                ERROR('No b0 volume to estimate the noise level '
+                      'for the Rician debias')
             img = debiasRician(img, self.get_config('DWI-SNR'),
                                self.niiMASK_img, self.scheme).astype(np.float32)
             PRINT(' [OK]')
@@ -247,8 +252,20 @@ class Evaluation:
                   f'max={img.max():.2f} ]')
 
         if self.get_config('doMergeB0'):
-            PRINT('\t* Merging multiple b0 volume(s)')
-            img = _pl.collapse_b0(img, self.scheme.b0_idx, self.scheme.dwi_idx)
+            if self.scheme.b0_count == 0:
+                ERROR('No b0 volume to merge')
+            if self.get_config('doDirectionalAverage'):
+                # the directional average already collapses all b0s into a
+                # single mean column; merging first would desynchronize the
+                # image layout from the scheme's sample indices (the
+                # reference silently mixes columns here, core.py:225-268)
+                NOTE('doMergeB0 is redundant with doDirectionalAverage '
+                     '(the shell average already merges the b0s); skipping '
+                     'the merge')
+            else:
+                PRINT('\t* Merging multiple b0 volume(s)')
+                img = _pl.collapse_b0(img, self.scheme.b0_idx,
+                                      self.scheme.dwi_idx)
         else:
             PRINT('\t* Keeping all b0 volume(s)')
 
@@ -316,12 +333,15 @@ class Evaluation:
         # a concurrent wipe+rebuild of a shared ATOMS_path is not safe,
         # and this method cannot tell the two layouts apart.
 
+        meta_path = pjoin(atoms_path, 'lut_meta.pickle')
         if glob.glob(pjoin(atoms_path, 'A_*.npy')) and not regenerate:
             # the generated atoms depend on the shell parameters and the
             # model configuration (not on subject directions); a cached
             # LUT built for a different protocol or atom grid must not be
-            # silently reused across a sweep
-            meta_path = pjoin(atoms_path, 'lut_meta.pickle')
+            # silently reused across a sweep.  lut_meta.pickle doubles as
+            # the completion marker (written atomically, after the last
+            # atom): A_*.npy files without it are an interrupted
+            # generation, not a cache
             if isfile(meta_path):
                 with open(meta_path, 'rb') as fid:
                     meta = pickle.load(fid)
@@ -330,9 +350,11 @@ class Evaluation:
                     ERROR('Cached LUT was generated for a different '
                           'scheme/model configuration; call '
                           '"generate_kernels(regenerate=True)"')
-            LOG('   [ cached LUT found on disk -- pass regenerate=True to '
-                'rebuild it ]')
-            return
+                LOG('   [ cached LUT found on disk -- pass regenerate=True '
+                    'to rebuild it ]')
+                return
+            WARNING('Found LUT atoms without a completion marker '
+                    '(interrupted generation?); rebuilding')
         if not exists(atoms_path):
             makedirs(atoms_path)
         else:
@@ -345,10 +367,11 @@ class Evaluation:
         tic = time.time()
         with self.timers.stage('generate_kernels'), self._blas_limit():
             self.model.generate(atoms_path, aux, idx_IN, idx_OUT, ndirs)
-        with open(pjoin(atoms_path, 'lut_meta.pickle'), 'wb') as fid:
+        with open(meta_path + '.tmp', 'wb') as fid:
             pickle.dump({'lmax': lmax, 'ndirs': ndirs,
                          'source': aux.get('source'),
                          'gen_sig': self._kernel_signature()}, fid)
+        replace(meta_path + '.tmp', meta_path)  # completion marker, atomic
         LOG(f'   [ {time.time() - tic:.1f} seconds ]')
 
     def _kernel_signature(self) -> str:
@@ -490,10 +513,22 @@ class Evaluation:
         if not isfile(path):
             ERROR('PEAKS file not found')
         peaks = nifti.load(path).get_fdata().astype(np.float32)
+        if peaks.ndim != 4 or peaks.shape[3] < 3:
+            ERROR('PEAKS file must be a 4D image with at least 3 '
+                  'components (x, y, z of the principal direction)')
         PRINT('\t* peaks dim = %d x %d x %d x %d' % peaks.shape[:4])
         if peaks.shape[:3] != mask.shape[:3]:
             ERROR('PEAKS geometry does not match with DWI data')
-        return peaks[mask == 1, :3]
+        dirs = peaks[mask == 1, :3]
+        # non-finite peak rows (common fill outside the tractography FOV
+        # but inside a loose mask) would crash the LUT quantizer mid-fit;
+        # zero rows are legal (quantizer maps them to the pole)
+        bad = ~np.isfinite(dirs).all(axis=1)
+        if bad.any():
+            WARNING(f'{int(bad.sum())} voxels have non-finite peaks; '
+                    'treating them as direction-free')
+            dirs[bad] = 0.0
+        return dirs
 
     def _scatter_results(self, results, mask):
         """Expand per-voxel fit outputs into full volumes via the scatter

@@ -88,7 +88,9 @@ def debiasRician(DWI, SNR, mask, scheme):
     b0 = vox[:, scheme.b0_idx].mean(axis=1)
     sigma = (b0 / SNR)[:, None]
 
-    out = np.zeros(DWI.shape, dtype=np.float64)
+    # float32 output: the solve is f32 anyway and the caller casts to f32
+    # -- a full-brain f64 buffer would transiently triple host memory
+    out = np.zeros(DWI.shape, dtype=np.float32)
     debiased = np.asarray(debias_rician_batch(
         jnp.asarray(vox, jnp.float32), jnp.asarray(sigma, jnp.float32)))
     out[mask] = debiased

@@ -134,3 +134,148 @@ def test_main_module_import_does_not_exit():
                          cwd=os.path.dirname(os.path.dirname(__file__)))
     assert out.returncode == 0, out.stderr
     assert 'imported True' in out.stdout
+
+
+# ------------------------------------------------ review batch 5 findings
+
+def test_interrupted_lut_generation_is_rebuilt(tmp_path):
+    """A_*.npy files without the lut_meta.pickle completion marker are an
+    interrupted generation, not a cache: generate_kernels must rebuild
+    instead of logging 'cached LUT found' and leaving load_kernels to die
+    on the missing atoms."""
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    _write_subject(subj, np.ones((4, 4, 2), np.uint8))
+    ev = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    ev.set_model('FreeWater')
+    ev.generate_kernels(regenerate=True)
+    atoms = ev.get_config('ATOMS_path')
+    names = sorted(os.listdir(atoms))
+    assert 'lut_meta.pickle' in names
+    # simulate a crash mid-generation: marker missing, one atom missing
+    os.remove(os.path.join(atoms, 'lut_meta.pickle'))
+    os.remove(os.path.join(atoms, names[-2]))
+    ev.generate_kernels()                      # must rebuild, not skip
+    names2 = sorted(os.listdir(atoms))
+    assert names2 == names
+    ev.load_kernels()                          # and the LUT is complete
+
+
+def test_merge_b0_with_directional_average_is_consistent(tmp_path):
+    """doMergeB0 + doDirectionalAverage: the merge is skipped (the shell
+    average already collapses the b0s) instead of desynchronizing the
+    image layout from the scheme indices -- the reference silently mixes
+    columns here (core.py:225-268)."""
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    # directional averaging needs a STEJSKALTANNER scheme (the derived
+    # per-shell table carries G/Delta/delta, reference core.py:241-252)
+    from amico_tpu.io.scheme import GAMMA
+    Delta, delta = 0.035, 0.015
+    rows = [np.array([[0, 0, 0, 0, Delta, delta, Delta + delta]])] * 2
+    for b in (1000.0, 2500.0):
+        g = fibonacci_hemisphere(20)
+        G = np.sqrt(b * 1e6 / (GAMMA ** 2 * delta ** 2 * (Delta - delta / 3)))
+        rows.append(np.c_[g, np.full(20, G), np.full(20, Delta),
+                          np.full(20, delta), np.full(20, Delta + delta)])
+    np.savetxt(subj / 'DWI.scheme', np.vstack(rows), fmt='%.6f',
+               header='VERSION: 1', comments='')
+    vol = np.abs(100 * (0.3 + 0.7 * np.random.RandomState(0)
+                        .rand(4, 4, 2, 42))).astype(np.float32)
+    vol[..., :2] = 100.0
+    nifti.save(nifti.Nifti1Image(vol), str(subj / 'DWI.nii.gz'))
+    ev = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev.set_config('doMergeB0', True)
+    ev.set_config('doDirectionalAverage', True)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    # 2 shells -> 1 mean b0 + 2 shell means, matching the derived scheme
+    assert ev.niiDWI_img.shape[3] == 3
+    assert ev.scheme.nS == 3
+    assert np.isfinite(ev.niiDWI_img).all()
+
+    # the averages must equal the plain directional-average run
+    ev2 = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev2.set_config('doDirectionalAverage', True)
+    ev2.load_data('DWI.nii.gz', 'DWI.scheme')
+    np.testing.assert_array_equal(ev.niiDWI_img, ev2.niiDWI_img)
+
+
+def test_no_b0_guards(tmp_path):
+    """doMergeB0 / doDebiasSignal on a scheme without b0 volumes fail with
+    a clear error instead of NaN-merging or silently no-op debiasing."""
+    from amico_tpu.utils.logging import AmicoError
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    g = fibonacci_hemisphere(24)
+    tab = np.c_[g, np.full(24, 1000.0)]       # no b0 rows at all
+    np.savetxt(subj / 'DWI.scheme', tab, fmt='%.6f',
+               header='VERSION: BVECTOR', comments='')
+    vol = np.abs(np.random.RandomState(0).rand(4, 4, 2, 24) * 100 + 50
+                 ).astype(np.float32)
+    nifti.save(nifti.Nifti1Image(vol), str(subj / 'DWI.nii.gz'))
+
+    for cfg in ({'doMergeB0': True}, {'doDebiasSignal': True, 'DWI-SNR': 20}):
+        ev = amico_tpu.Evaluation(str(tmp_path), 's')
+        ev.set_config('doNormalizeSignal', False)
+        for k, v in cfg.items():
+            ev.set_config(k, v)
+        with pytest.raises(AmicoError, match='[Nn]o b0'):
+            ev.load_data('DWI.nii.gz', 'DWI.scheme')
+
+
+def test_peaks_file_validation(tmp_path):
+    """A 3-D peaks file fails with a clear error (not a %-format
+    TypeError); NaN peak rows inside the mask are treated as
+    direction-free instead of crashing the LUT quantizer mid-fit."""
+    from amico_tpu.utils.logging import AmicoError
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    _write_subject(subj, np.ones((4, 4, 2), np.uint8))
+
+    # 3-D peaks: rejected cleanly
+    nifti.save(nifti.Nifti1Image(np.zeros((4, 4, 2), np.float32)),
+               str(subj / 'peaks3d.nii.gz'))
+    ev = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev.set_config('peaks_filename', 'peaks3d.nii.gz')
+    ev.load_data('DWI.nii.gz', 'DWI.scheme')
+    ev.set_model('FreeWater')
+    ev.generate_kernels(regenerate=True)
+    ev.load_kernels()
+    with pytest.raises(AmicoError, match='4D'):
+        ev.fit()
+
+    # NaN rows: fit completes, affected voxels get the pole direction
+    peaks = np.random.RandomState(1).randn(4, 4, 2, 3).astype(np.float32)
+    peaks[0, 0, 0] = np.nan
+    nifti.save(nifti.Nifti1Image(peaks), str(subj / 'peaks.nii.gz'))
+    ev2 = amico_tpu.Evaluation(str(tmp_path), 's')
+    ev2.set_config('peaks_filename', 'peaks.nii.gz')
+    ev2.load_data('DWI.nii.gz', 'DWI.scheme')
+    ev2.set_model('FreeWater')
+    ev2.generate_kernels()
+    ev2.load_kernels()
+    ev2.fit()
+    assert np.isfinite(ev2.RESULTS['MAPs']).all()
+
+
+def test_2d_mask_rejected_cleanly(tmp_path):
+    from amico_tpu.utils.logging import AmicoError
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    amico_tpu.set_verbose(0)
+    subj = tmp_path / 's'
+    subj.mkdir()
+    _write_subject(subj, np.ones((4, 4, 2), np.uint8))
+    nifti.save(nifti.Nifti1Image(np.ones((4, 4), np.uint8)),
+               str(subj / 'mask2d.nii.gz'))
+    ev = amico_tpu.Evaluation(str(tmp_path), 's')
+    with pytest.raises(AmicoError, match='not a 3D image'):
+        ev.load_data('DWI.nii.gz', 'DWI.scheme', mask_filename='mask2d.nii.gz')
