@@ -185,7 +185,13 @@ class NODDI(BaseModel):
         n_atoms = n_wm + 1 + (1 if is_exvivo else 0)
         nS = kernels['wm'].shape[2]
         ndirs = kernels['wm'].shape[1]
-        single_b0 = evaluation.y.shape[1] == 1 + self.scheme.dwi_count
+        # merged-b0 layout (mean b0 in column 0, DWIs after) iff the
+        # doMergeB0 preprocessing ran -- the same decision resample() made
+        # when building KERNELS (reference models.pyx:914-921 keys this
+        # off the scheme's layout after core.py:225-228 collapsed it).
+        # Inferring it from y.shape would misfire on schemes with exactly
+        # one b0 that is not the first volume.
+        single_b0 = bool(evaluation.get_config('doMergeB0'))
         if single_b0:
             rows_dwi = np.arange(1, nS)
         else:

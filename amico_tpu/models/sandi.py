@@ -20,6 +20,7 @@ from .. import lut as _lut
 from ..synthesis import Astrosticks, Ball, SphereGPD
 from ..utils.logging import ERROR, get_verbose
 from ..utils.progress import ProgressBar
+from ._fitops import error_maps
 from .base import BaseModel
 
 
@@ -66,11 +67,14 @@ class SANDI(BaseModel):
         sp = getattr(self, 'solver_params', {})
         from .base import (DEFAULT_CD_SWEEPS, DEFAULT_CG_ITERS,
                            DEFAULT_FISTA_ITERS, DEFAULT_REFINE_ROUNDS)
+        cg = sp.get('cg_iters', DEFAULT_CG_ITERS)
         return {
             'fista_iters': int(sp.get('fista_iters', DEFAULT_FISTA_ITERS)),
             'cd_sweeps': int(sp.get('cd_sweeps', DEFAULT_CD_SWEEPS)),
             'refine_rounds': int(sp.get('refine_rounds', DEFAULT_REFINE_ROUNDS)),
-            'cg_iters': int(sp.get('cg_iters', DEFAULT_CG_ITERS)),
+            # cg_iters accepts a per-round tuple (see base._set_solver_common)
+            'cg_iters': (tuple(int(v) for v in cg)
+                         if isinstance(cg, (tuple, list)) else int(cg)),
         }
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
@@ -184,15 +188,12 @@ class SANDI(BaseModel):
             est = jnp.stack([fsoma, fneurite, fextra, Rsoma, Din, De], axis=-1)
 
             out = {'estimates': est}
-            if configs['compute_rmse'] or configs['compute_nrmse']:
-                y_est = jnp.einsum('sa,ma->ms', A, x, precision=prec)
-                sq = jnp.sum((Y - y_est) ** 2, axis=-1)
-                if configs['compute_rmse']:
-                    out['rmse'] = jnp.sqrt(sq / Y.shape[-1])
-                if configs['compute_nrmse']:
-                    den = jnp.sum(Y ** 2, axis=-1)
-                    out['nrmse'] = jnp.where(den > 1e-16,
-                                             jnp.sqrt(sq / jnp.maximum(den, 1e-16)), 0.0)
+            # shared-dictionary adapter: error_maps is tiled (C, ...); lift
+            # the single shared A/chunk to a 1-tile batch.  A@x equals the
+            # un-normalized prediction (A_unnorm @ xu) exactly.
+            out.update({k: v[0] for k, v in error_maps(
+                A[None], x[None], Y[None],
+                configs['compute_rmse'], configs['compute_nrmse']).items()})
             return out
 
         # chunked direction-free driver (no tiling needed); jit memoized

@@ -75,7 +75,8 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                     early_exit: bool = False,
                     cg_schedule: tuple | None = None,
                     precision=_HI,
-                    inner_schedule: tuple | None = None):
+                    inner_schedule: tuple | None = None,
+                    converge: bool = False):
     """Build the shared in-kernel solver: FISTA (in-kernel power-iteration
     Lipschitz estimate, adaptive restart) followed by Lawson-Hanson-style
     active-set rounds with masked-CG subproblem solves.
@@ -99,6 +100,10 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
     per-round inner-pass count: early rounds with 1-2-atom working sets
     settle in one solve+prune pass, so a second pass there is pure waste,
     while late rounds (large sets, support decisions stick) keep 2.
+    ``converge`` appends a while-loop of extra rounds (full-width CG
+    budget) after the scheduled ones until every lane's working set is
+    stable -- the round count then tunes the fast path instead of capping
+    the reachable support size (see ops.solvers.nneg_qp_batch).
     ``precision`` sets the MXU precision of every in-kernel matvec.
     Mixed forms trade MXU passes for exactness only where it matters:
 
@@ -289,9 +294,9 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                         lambda _, c, _it=it, _mv=mvf, _in=inn:
                             as_round(c, _it, _mv, _in),
                         carry)
-            x, m = carry[0], carry[1]
+            x, m, stable0 = carry[0], carry[1], carry[3]
         elif early_exit:
-            x, m, _, _ = jax.lax.while_loop(
+            x, m, _, stable0 = jax.lax.while_loop(
                 lambda c: jnp.logical_and(c[2] < refine_rounds,
                                           jnp.logical_not(c[3])),
                 as_round, (x, m_init, 0, False))
@@ -306,8 +311,20 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                 carry = jax.lax.fori_loop(
                     0, refine_rounds - n_lo,
                     lambda _, c: as_round(c, cg_iters, mvf), carry)
-            x, m = carry[0], carry[1]
-        x, m = inner_solve(x, m, cg_iters, mv_polish)
+            x, m, stable0 = carry[0], carry[1], carry[3]
+        cg_polish = cg_iters
+        if converge:
+            # extra rounds until every lane's working set is stable: the
+            # scheduled round count tunes the fast path but must not cap
+            # the reachable support size (one atom is added per round)
+            cont_it = max(cg_iters, npad_l)
+            x, m, _, _ = jax.lax.while_loop(
+                lambda c: jnp.logical_and(c[2] < 3 * npad_l,
+                                          jnp.logical_not(c[3])),
+                lambda c: as_round(c, cont_it, mv_polish, inner_passes),
+                (x, m, 0, stable0))
+            cg_polish = cont_it
+        x, m = inner_solve(x, m, cg_polish, mv_polish)
         return jnp.maximum(x, 0.0)
 
     return as_solve
@@ -316,11 +333,13 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
 def _make_kernel(n: int, npad: int, M: int, lam1: float, lam2: float,
                  fista_iters: int, cd_sweeps: int, refine_rounds: int,
                  cg_iters, has_mask: bool, inner_passes: int = 2,
-                 has_warm: bool = False, early_exit: bool = False):
+                 has_warm: bool = False, early_exit: bool = False,
+                 converge: bool = False):
     sched = tuple(cg_iters) if isinstance(cg_iters, tuple) else None
     cg_cap = max(sched) if sched else cg_iters
     as_solve = _build_as_solve(M, fista_iters, refine_rounds, cg_cap,
-                               inner_passes, early_exit, cg_schedule=sched)
+                               inner_passes, early_exit, cg_schedule=sched,
+                               converge=converge)
 
     def kernel(*refs):
         refs = list(refs)
@@ -349,12 +368,12 @@ def _make_kernel(n: int, npad: int, M: int, lam1: float, lam2: float,
 @functools.partial(jax.jit, static_argnames=('lam1', 'lam2', 'fista_iters',
                                              'cd_sweeps', 'refine_rounds',
                                              'cg_iters', 'interpret',
-                                             'inner_passes'))
+                                             'inner_passes', 'converge'))
 def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
                          fista_iters: int = 60, cd_sweeps: int = 4,
                          refine_rounds: int = 14, cg_iters: int = 24,
                          interpret: bool = False, inner_passes: int = 2,
-                         m0=None, x0=None):
+                         m0=None, x0=None, converge: bool = False):
     """Per-tile QP solve: G (C, n, n), b (C, M, n), L (C,) -> x (C, M, n).
 
     Same problem and same math as ops.solvers.nneg_qp_batch with a per-tile
@@ -397,7 +416,8 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
     kernel = _make_kernel(n, npad, M, float(lam1), float(lam2),
                           int(fista_iters), int(cd_sweeps),
                           int(refine_rounds), cg_iters, has_mask,
-                          int(inner_passes), has_warm)
+                          int(inner_passes), has_warm,
+                          converge=bool(converge))
 
     xT = pl.pallas_call(
         kernel,
@@ -558,9 +578,13 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
     A2T (C, n_wm, ndwi) (= scaled stage-2 dictionary transposed),
     iso_dwi (ndwi,), icvf/kappa (n_wm,).
     ``stage_iters``: optional per-stage (hashable) override
-    ((fista1, rounds1), (fista2, rounds2), rounds3); defaults to
-    (fista_iters, refine_rounds) for stages 1-2 and refine_rounds for the
-    warm-started debias stage.
+    ((fista1, rounds1, cg1, inner1), (fista2, rounds2, cg2, inner2),
+    (rounds3, cg3, inner3)) -- the same format NODDI.set_solver documents
+    (stage 3 never runs FISTA; a ``cg`` entry may be a per-round tuple
+    whose length equals its ``rounds``).  Defaults to (fista_iters,
+    refine_rounds, cg_iters, inner_passes) for stages 1-2 and
+    (refine_rounds, cg_iters, inner_passes) for the warm-started debias
+    stage.
     Returns estimates (C, M, 3) [NDI, ODI, FWF] (+x (C, M, na) if want_x).
     """
     from jax.experimental import pallas as pl

@@ -102,7 +102,8 @@ def _cg_masked(G, b, m, x0, lam2, iters: int):
 def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
                   fista_iters: int = 200, cd_sweeps: int = 40, x0=None,
                   refine_rounds: int = 0, cg_iters: int = 32,
-                  inner_passes: int = 2, m0=None, early_exit: bool = True):
+                  inner_passes: int = 2, m0=None, early_exit: bool = True,
+                  converge: bool = False):
     """Solve min_x 0.5 x'Gx - b'x + lam1 1'x + 0.5 lam2 |x|^2,  x >= 0
     for a broadcastable batch of problems.
 
@@ -123,6 +124,14 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
     cg_iters : int (flat budget) or tuple (per-round budgets; rounds are
         then unrolled -- round r's working set holds at most r atoms, so
         early rounds need only a few CG steps)
+    converge : after the scheduled active-set rounds, keep running rounds
+        (at a full-width CG budget) until every problem's working set is
+        stable.  Each round grows the working set by at most one atom, so
+        a fixed ``refine_rounds`` silently truncates solutions whose
+        optimal support is larger -- with ``converge`` the round count is
+        a *tuning* of the fast path, not a support-size cap.  Costs
+        nothing when the batch is already stable (while_loop exits on
+        entry).
     """
     b = jnp.asarray(b)
     G = jnp.asarray(G, b.dtype)
@@ -285,17 +294,29 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
                     carry = jax.lax.fori_loop(
                         0, count, lambda _, c, _it=it: as_round(c, _it),
                         carry)
-            x, m = carry[0], carry[1]
+            x, m, stable0 = carry[0], carry[1], carry[3]
         elif early_exit:
-            x, m, _, _ = jax.lax.while_loop(
+            x, m, _, stable0 = jax.lax.while_loop(
                 lambda c: jnp.logical_and(c[2] < refine_rounds,
                                           jnp.logical_not(c[3])),
                 as_round, (x, m_init, 0, False))
         else:
-            x, m, _, _ = jax.lax.fori_loop(
+            x, m, _, stable0 = jax.lax.fori_loop(
                 0, refine_rounds, lambda _, c: as_round(c),
                 (x, m_init, 0, False))
-        x, m = inner_solve((x, m))
+        if converge:
+            # supports larger than the scheduled round count keep growing
+            # one atom per round until stable (cap: generous 3n rounds to
+            # bound anti-cycling churn); full-width CG budget since the
+            # working set can now reach any size <= n
+            cont_it = max(cg_cap, n)
+            x, m, _, _ = jax.lax.while_loop(
+                lambda c: jnp.logical_and(c[2] < 3 * n,
+                                          jnp.logical_not(c[3])),
+                lambda c: as_round(c, cont_it), (x, m, 0, stable0))
+            x, m = inner_solve((x, m), cont_it)
+        else:
+            x, m = inner_solve((x, m))
         x = jnp.maximum(x, 0.0)
     return x
 

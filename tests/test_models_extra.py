@@ -127,7 +127,8 @@ def test_noddi_merge_b0(workdir):
     y_merged = np.column_stack([y[:, scheme.b0_idx].mean(1), y[:, scheme.dwi_idx]])
 
     res_full = model.fit(EvalStub(y, DIRs, htable, k_full))
-    res_merged = model.fit(EvalStub(y_merged, DIRs, htable, k_merged))
+    res_merged = model.fit(EvalStub(y_merged, DIRs, htable, k_merged,
+                                    doMergeB0=True))
     err = np.abs(res_full['estimates'] - res_merged['estimates'])
     assert np.median(err) < 5e-3
 
