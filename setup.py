@@ -5,6 +5,13 @@ The reference links two Cython extensions against OpenBLAS
 small exact active-set oracle (native/amico_native.cpp).  The build is
 best-effort: without a C++ toolchain the wheel still builds and the package
 falls back to the pure-NumPy solvers (amico_tpu/ops/native.py).
+
+Wheel tagging: a wheel that embeds the compiled ``.so`` must be
+platform-tagged -- a ``py3-none-any`` wheel with a linux x86-64 binary
+inside would be served to every platform (the ctypes loader would fall
+back cleanly, but shipping dead binaries to other platforms is wrong).
+Set ``AMICO_TPU_PURE=1`` to skip the native build and produce a genuinely
+universal pure-Python wheel (CI builds both).
 """
 import os
 import shutil
@@ -12,13 +19,17 @@ import subprocess
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
+from setuptools.dist import Distribution
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+PURE = os.environ.get('AMICO_TPU_PURE') == '1'
 
 
 class BuildWithNative(build_py):
     def run(self):
         super().run()
+        if PURE:
+            return
         native_dir = os.path.join(HERE, 'native')
         lib = os.path.join(native_dir, 'libamico_native.so')
         try:
@@ -33,4 +44,31 @@ class BuildWithNative(build_py):
             shutil.copy2(lib, dest)
 
 
-setup(cmdclass={'build_py': BuildWithNative})
+class NativeDistribution(Distribution):
+    """Platform-tag the wheel whenever the native library is bundled."""
+
+    def has_ext_modules(self):
+        return not PURE
+
+
+_cmds = {'build_py': BuildWithNative}
+try:
+    from wheel.bdist_wheel import bdist_wheel
+
+    class BdistWheelCtypes(bdist_wheel):
+        """The .so is loaded via ctypes -- independent of the CPython
+        version and ABI -- so the right tag is py3-none-<platform>,
+        not cp3XX-cp3XX-<platform>."""
+
+        def get_tag(self):
+            python, abi, plat = super().get_tag()
+            if not PURE:
+                return 'py3', 'none', plat
+            return python, abi, plat
+
+    _cmds['bdist_wheel'] = BdistWheelCtypes
+except ImportError:  # wheel not installed: sdist-only build
+    pass
+
+
+setup(cmdclass=_cmds, distclass=NativeDistribution)
