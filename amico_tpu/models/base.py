@@ -79,6 +79,22 @@ DEFAULT_AS_SOLVER_KW = {
     'cg_iters': (6, 6, 6, 10, 10, 10, 12, 12, 12, 12, 12, 12),
     'converge': True,
 }
+# dense-support single-solve default (CylinderZeppelinBall's lambda2=4):
+# the big ridge both spreads the optimal support over all 21 correlated
+# cylinder atoms AND makes the QP well-conditioned (cond ~ (L+4)/4), so
+# FISTA+CD reaches the full support in tens of cheap MXU matvecs while
+# from-empty Lawson-Hanson would pay one masked-CG round per atom.  The
+# few refine rounds polish to the exact vertex; `converge` still
+# guarantees stability on adversarial voxels.  Measured on v5e: 706k
+# vox/s vs 172k for the from-empty default at identical oracle error
+# (p95 diameter error 5.6e-6 um).
+DENSE_AS_SOLVER_KW = {
+    'fista_iters': 80,
+    'cd_sweeps': 8,
+    'refine_rounds': 6,
+    'cg_iters': 16,
+    'converge': True,
+}
 
 
 class BaseModel(ABC):

@@ -55,6 +55,15 @@ class CylinderZeppelinBall(BaseModel):
         self._set_solver_common(lambda1, lambda2, fista_iters, cd_sweeps,
                                 refine_rounds, cg_iters, backend)
 
+    def _solver_kwargs(self) -> dict:
+        """The lambda2=4 ridge makes this model's QP dense-support and
+        well-conditioned -- use the FISTA-warm-started default
+        (base.DENSE_AS_SOLVER_KW) instead of from-empty Lawson-Hanson."""
+        if not getattr(self, 'solver_params', {}).get('custom_iters'):
+            from .base import DENSE_AS_SOLVER_KW
+            return dict(DENSE_AS_SOLVER_KW)
+        return super()._solver_kwargs()
+
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Reference models.pyx:445-479."""
         if self.scheme.version != 1:

@@ -316,13 +316,26 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
         if converge:
             # extra rounds until every lane's working set is stable: the
             # scheduled round count tunes the fast path but must not cap
-            # the reachable support size (one atom is added per round)
+            # the reachable support size (one atom is added per round).
+            # Also exit once x stops moving -- the QP solution is unique,
+            # so residual working-set churn at fixed x is degenerate
+            # cycling, and one such lane would otherwise pin the whole
+            # tile at the round cap
             cont_it = max(cg_iters, npad_l)
+            xtol = tol * jnp.max(scale)
+
+            def cont_round(c):
+                x0c, m0c, i, _ = c
+                xn, mn, _, st = as_round((x0c, m0c, i, False), cont_it,
+                                         mv_polish, inner_passes)
+                done = jnp.logical_or(
+                    st, jnp.max(jnp.abs(xn - x0c)) <= xtol)
+                return xn, mn, i + 1, done
+
             x, m, _, _ = jax.lax.while_loop(
                 lambda c: jnp.logical_and(c[2] < 3 * npad_l,
                                           jnp.logical_not(c[3])),
-                lambda c: as_round(c, cont_it, mv_polish, inner_passes),
-                (x, m, 0, stable0))
+                cont_round, (x, m, 0, stable0))
             cg_polish = cont_it
         x, m = inner_solve(x, m, cg_polish, mv_polish)
         return jnp.maximum(x, 0.0)

@@ -306,14 +306,27 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
                 (x, m_init, 0, False))
         if converge:
             # supports larger than the scheduled round count keep growing
-            # one atom per round until stable (cap: generous 3n rounds to
-            # bound anti-cycling churn); full-width CG budget since the
-            # working set can now reach any size <= n
+            # one atom per round until stable (cap: generous 3n rounds);
+            # full-width CG budget since the working set can now reach any
+            # size <= n.  Second exit criterion: the QP solution x is
+            # unique (strictly convex), so once a round stops MOVING x the
+            # remaining working-set churn is degenerate cycling between
+            # equivalent supports -- without this, one cycling problem
+            # pins the whole batch at the round cap
             cont_it = max(cg_cap, n)
+            xtol = tol * jnp.max(scale)
+
+            def cont_body(c):
+                x0c, m0c, i, _ = c
+                xn, mn, _, st = as_round((x0c, m0c, i, False), cont_it)
+                done = jnp.logical_or(
+                    st, jnp.max(jnp.abs(xn - x0c)) <= xtol)
+                return xn, mn, i + 1, done
+
             x, m, _, _ = jax.lax.while_loop(
                 lambda c: jnp.logical_and(c[2] < 3 * n,
                                           jnp.logical_not(c[3])),
-                lambda c: as_round(c, cont_it), (x, m, 0, stable0))
+                cont_body, (x, m, 0, stable0))
             x, m = inner_solve((x, m), cont_it)
         else:
             x, m = inner_solve((x, m))
