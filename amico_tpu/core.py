@@ -319,6 +319,9 @@ class Evaluation:
         if not _lut.is_valid(ndirs):
             ERROR(f'ndirs={ndirs} is not a precomputable direction count; '
                   f'valid values: {_lut.valid_dirs()}')
+        if lmax % 2 or lmax < 0:
+            ERROR(f'lmax={lmax} is invalid: the SH basis uses even degrees '
+                  'only (axially symmetric kernels); pass an even lmax')
         self.BLAS_nthreads = self._resolve_threads('BLAS_nthreads')
         self.set_config('lmax', lmax)
         self.set_config('ndirs', ndirs)

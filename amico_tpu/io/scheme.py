@@ -192,8 +192,15 @@ def sandi2scheme(bvalsFilename, bvecsFilename, Delta_data, smalldel_data,
                 WARNING(f'{name} values average {arr.mean():.4f} -- timings are '
                         'expected in seconds; check the units')
         else:
+            # scalar or per-sample array (both documented by the reference,
+            # util.py:117-146)
+            data = np.asarray(data, dtype=float)
+            if data.ndim > 1 or (data.ndim == 1
+                                 and data.shape != bvals.shape):
+                ERROR(f'{name} must be a scalar or a 1-D array matching '
+                      'bvals in length')
             arr = np.ones_like(bvals) * data
-            if data > 0.1:
+            if float(arr.mean()) > 0.1:
                 WARNING(f'{name}={arr.mean():.4f} -- timings are expected in '
                         'seconds; check the units')
         return arr

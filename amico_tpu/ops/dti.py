@@ -192,6 +192,11 @@ def fit_dti(y: jnp.ndarray, b: np.ndarray, g: np.ndarray,
     params = jnp.einsum('pn,vn->vp', pinv, logy, precision=prec)
 
     meth = method.upper()
+    if meth not in ('OLS', 'LS', 'WLS', 'NLLS', 'RT', 'RESTORE'):
+        # direct callers bypass pipeline.resolve_dti_method's gate; a typo
+        # must not silently degrade to a WLS fit
+        raise ValueError(f'unknown DTI fit method {method!r}; choose one '
+                         'of OLS, LS, WLS, NLLS, RT, RESTORE')
     if meth not in ('OLS', 'LS'):
         # WLS: weights = squared OLS-predicted signal (also the NLLS /
         # RESTORE starting point)

@@ -39,7 +39,16 @@ def cart2sphere(x, y, z):
 
 
 def num_sh_coeff(lmax: int) -> int:
-    """Number of even-order SH coefficients: (lmax+1)(lmax+2)/2 (lut.pyx:187)."""
+    """Number of even-order SH coefficients: (lmax+1)(lmax+2)/2 (lut.pyx:187).
+
+    Only valid for even lmax -- the basis uses even degrees only (axially
+    symmetric kernels), and for odd lmax this count disagrees with the
+    columns real_sh_basis produces, surfacing later as an opaque shape
+    mismatch deep in LUT assembly.  The reference chain errors the same
+    way (dipy's sph_harm_ind_list rejects odd sh_order)."""
+    if lmax % 2 or lmax < 0:
+        raise ValueError(f'lmax must be even and >= 0 (got {lmax}): the SH '
+                         'basis uses even degrees only')
     return (lmax + 1) * (lmax + 2) // 2
 
 

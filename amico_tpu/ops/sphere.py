@@ -35,6 +35,16 @@ def amico_home() -> str:
     return path
 
 
+def _atomic_save(fn: str, arr: np.ndarray) -> None:
+    """np.save via tmp-file + rename: concurrent processes (multi-host
+    setup racing on a shared home, lut/rotation.py:96-101 scenario) must
+    never np.load a torn file, and a crash must not leave a truncated
+    cache that poisons every later run."""
+    tmp = f'{fn}.{os.getpid()}.tmp.npy'   # .npy suffix: np.save appends none
+    np.save(tmp, arr)
+    os.replace(tmp, fn)
+
+
 def valid_dirs() -> list[int]:
     """Supported ndirs values; same set as the reference (lut.pyx:18-25)."""
     return np.arange(start=500, stop=10500, step=500).tolist() + [1, 32761]
@@ -113,7 +123,7 @@ def load_directions(ndirs: int, source: str | None = None) -> np.ndarray:
     if os.path.isfile(fn):
         return np.load(fn)
     dirs = fibonacci_hemisphere(ndirs)
-    np.save(fn, dirs)
+    _atomic_save(fn, dirs)
     return dirs
 
 
@@ -156,5 +166,5 @@ def load_precomputed_hash_table(ndirs: int,
     if os.path.isfile(fn):
         return np.load(fn)
     ht = build_hash_table(load_directions(ndirs, source='generated'))
-    np.save(fn, ht)
+    _atomic_save(fn, ht)
     return ht

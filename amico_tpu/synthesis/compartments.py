@@ -19,7 +19,7 @@ Conventions follow the reference exactly:
 from __future__ import annotations
 
 import numpy as np
-from scipy.special import dawsn, erf, erfi
+from scipy.special import dawsn, erf
 
 from ..io.scheme import GAMMA, Scheme
 from ..ops.sh import _assoc_legendre_all

@@ -279,3 +279,68 @@ def test_2d_mask_rejected_cleanly(tmp_path):
     ev = amico_tpu.Evaluation(str(tmp_path), 's')
     with pytest.raises(AmicoError, match='not a 3D image'):
         ev.load_data('DWI.nii.gz', 'DWI.scheme', mask_filename='mask2d.nii.gz')
+
+
+def test_fit_dti_rejects_unknown_method():
+    """fit_dti silently degraded typo'd method names to a WLS fit; the
+    public op now validates (pipeline.resolve_dti_method only gates the
+    Evaluation path)."""
+    from amico_tpu.ops.dti import fit_dti
+    y = np.abs(np.random.RandomState(0).rand(4, 10)).astype(np.float32)
+    b = np.r_[0.0, np.full(9, 1000.0)]
+    g = np.random.RandomState(1).randn(10, 3)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    with pytest.raises(ValueError, match='NLS'):
+        fit_dti(y, b, g, method='NLS')
+
+
+def test_direction_cache_written_atomically(tmp_path):
+    """Direction/hash-table caches use tmp+rename so concurrent processes
+    never np.load a torn file (the lut/rotation.py AUX-cache guarantee)."""
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path / 'home')
+    from amico_tpu.ops import sphere
+    d = sphere.load_directions(1000, source='generated')
+    h = sphere.load_precomputed_hash_table(1000, source='generated')
+    cache = tmp_path / 'home' / 'directions'
+    names = sorted(p.name for p in cache.iterdir())
+    assert names == ['htable_ndirs=1000.npy', 'ndirs=1000.npy']  # no .tmp
+    np.testing.assert_array_equal(np.load(cache / 'ndirs=1000.npy'), d)
+    np.testing.assert_array_equal(np.load(cache / 'htable_ndirs=1000.npy'), h)
+
+
+def test_sandi2scheme_accepts_per_sample_arrays(tmp_path):
+    """Delta_data/smalldel_data as numpy arrays (a documented reference
+    use case, util.py:117-146) crashed on the scalar-only 'data > 0.1'
+    check."""
+    from amico_tpu.io.scheme import sandi2scheme
+    n = 7
+    bvals = np.r_[0.0, np.full(n - 1, 3000.0)]
+    bvecs = np.random.RandomState(2).randn(3, n)
+    bvecs /= np.linalg.norm(bvecs, axis=0, keepdims=True)
+    bvalsf = tmp_path / 'bvals'; bvecsf = tmp_path / 'bvecs'
+    np.savetxt(bvalsf, bvals[None], fmt='%.1f')
+    np.savetxt(bvecsf, bvecs, fmt='%.6f')
+    out = sandi2scheme(str(bvalsf), str(bvecsf),
+                       Delta_data=np.full(n, 0.035),
+                       smalldel_data=0.015,
+                       schemeFilename=str(tmp_path / 'o.scheme'))
+    tab = np.loadtxt(out, skiprows=1)
+    assert tab.shape == (n, 7)
+    np.testing.assert_allclose(tab[:, 4], 0.035)
+    # length mismatch errors cleanly
+    from amico_tpu.utils.logging import AmicoError
+    with pytest.raises(AmicoError, match='matching bvals'):
+        sandi2scheme(str(bvalsf), str(bvecsf),
+                     Delta_data=np.full(n + 2, 0.035),
+                     smalldel_data=0.015,
+                     schemeFilename=str(tmp_path / 'o2.scheme'))
+
+
+def test_odd_lmax_rejected_up_front(tmp_path):
+    """Odd lmax used to surface as an opaque shape mismatch deep in LUT
+    assembly (num_sh_coeff's formula only matches the even-degree basis
+    for even lmax)."""
+    from amico_tpu.ops.sh import num_sh_coeff
+    with pytest.raises(ValueError, match='even'):
+        num_sh_coeff(5)
+    assert num_sh_coeff(12) == 91
