@@ -198,3 +198,24 @@ def test_czb_full_grid_oracle_parity(tmp_path):
     assert np.median(err[:, 0]) < 2e-3      # v (ICVF)
     assert np.percentile(err[:, 0], 95) < 2e-2
     assert np.median(err[:, 1]) < 2e-2      # a (diameter, micrometers)
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_converge_matches_oracle_randomized(seed):
+    """Property sweep: DEFAULT_AS_SOLVER_KW must match the exact native
+    oracle on random problems across the regimes the models produce --
+    sparse and dense supports, with and without ridge."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(8, 30))
+    m = int(rng.integers(n, 3 * n))
+    A = np.abs(rng.normal(size=(m, n)) + (0.5 if seed % 2 else 0.0))
+    A /= np.linalg.norm(A, axis=0)
+    y = A @ np.abs(rng.normal(size=n) * (rng.random(n) < 0.6))
+    lam2 = [0.0, 1e-3, 4.0][seed % 3]
+    G = np.asarray(gram(A))
+    b = A.T @ y
+    xo = native.qp_nonneg(np.asarray(G + lam2 * np.eye(n), np.float64),
+                          np.asarray(b, np.float64))
+    x = np.asarray(nneg_qp_batch(G, b, 0.0, lam2, **DEFAULT_AS_SOLVER_KW))
+    scale = np.abs(b).max() + 1e-30
+    np.testing.assert_allclose(x / scale, xo / scale, atol=3e-5)
