@@ -220,17 +220,35 @@ class SANDI(BaseModel):
             chunk = -(-per_chunk // 4096) * 4096
         else:
             chunk = int(vpc)
+        # device staging cache (the tiled driver's warm re-fit semantics,
+        # base._run_tiled_fit): a re-fit of the SAME signal array skips the
+        # per-chunk uploads, which dominate this tiny direction-averaged
+        # problem on tunneled backends (the solve itself is ~15 atoms x
+        # nshells+1 samples).  Keyed by array identity + chunking.
+        stage_key = (evaluation.y, chunk)
+        staged = getattr(self, '_stage_cache', None)
+        if staged is not None and staged[0][0] is stage_key[0] \
+                and staged[0][1] == stage_key[1]:
+            chunks_dev = staged[1]
+        else:
+            chunks_dev = {}
+            self._stage_cache = (stage_key, chunks_dev)
         pending = []
         for start in range(0, N, chunk):
-            Yc = y[start:start + chunk]
-            # auto mode pads even a lone chunk to the quantized size so
-            # nearby volume sizes share one compiled shape; explicit
-            # chunk sizes keep the historical no-pad single-chunk shape
-            pad = chunk - Yc.shape[0] \
-                if Yc.shape[0] < chunk and (vpc == 'auto' or N > chunk) else 0
-            if pad:
-                Yc = np.concatenate([Yc, np.zeros((pad, y.shape[1]), y.dtype)])
-            res = fit_jit(jnp.asarray(Yc), A, G, Lc, norms, Rs, d_in, d_isos)
+            Yc_dev = chunks_dev.get(start)
+            if Yc_dev is None:
+                Yc = y[start:start + chunk]
+                # auto mode pads even a lone chunk to the quantized size so
+                # nearby volume sizes share one compiled shape; explicit
+                # chunk sizes keep the historical no-pad single-chunk shape
+                pad = chunk - Yc.shape[0] \
+                    if Yc.shape[0] < chunk and (vpc == 'auto' or N > chunk) \
+                    else 0
+                if pad:
+                    Yc = np.concatenate(
+                        [Yc, np.zeros((pad, y.shape[1]), y.dtype)])
+                Yc_dev = chunks_dev[start] = jnp.asarray(Yc)
+            res = fit_jit(Yc_dev, A, G, Lc, norms, Rs, d_in, d_isos)
             pending.append((min(chunk, N - start), res))
         outs: dict[str, list] = {}
         for take, res in pending:
