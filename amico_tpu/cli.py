@@ -154,7 +154,7 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument('--regenerate', action='store_true')
     pf.add_argument('--output-path', default=None)
     pf.add_argument('--suffix', default=None)
-    pf.add_argument('--verbose', type=int, default=2)
+    pf.add_argument('--verbose', type=int, default=2, choices=(0, 1, 2, 3))
     pf.add_argument('--config', action='append', metavar='KEY=VALUE',
                     help='pipeline config (repeatable)')
     pf.add_argument('--solver', action='append', metavar='KEY=VALUE',
@@ -180,7 +180,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help='re-fit subjects whose results already exist')
     pw.add_argument('--no-checkpoint', action='store_true',
                     help='disable chunk-level mid-fit checkpoints')
-    pw.add_argument('--verbose', type=int, default=2)
+    pw.add_argument('--verbose', type=int, default=2, choices=(0, 1, 2, 3))
     pw.add_argument('--config', action='append', metavar='KEY=VALUE',
                     help='Evaluation config override (repeatable)')
     pw.add_argument('--solver', action='append', metavar='KEY=VALUE',

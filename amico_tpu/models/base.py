@@ -17,7 +17,8 @@ import numpy as np
 
 from .. import lut as _lut
 from ..utils.logging import ERROR
-from .engine import build_tile_plan, iter_tile_chunks, tile_voxels, untile_voxels
+from .engine import (auto_tile_size, build_tile_plan, iter_tile_chunks,
+                     tile_voxels, untile_voxels)
 
 # default solver iteration counts (validated against the exact native oracle
 # in tests/test_solvers.py and tests/test_models.py): FISTA + CD warm start
@@ -280,20 +281,11 @@ class BaseModel(ABC):
             tile_size = int(cfg_tile)
         if tile_size is None:
             if backend == 'pallas':
-                # pick the lane width that minimizes predicted solve time:
-                # padded slots scale the work, and the per-slot rate rises
-                # with M as M/(M+c) (per-grid-step overhead, measured c~64
-                # on v5e) -- wide tiles only pay off when buckets fill them
                 counts = pc[2].get('_counts')
                 if counts is None:
                     _, counts = np.unique(lut_idx, return_counts=True)
                     pc[2]['_counts'] = counts
-                tile_size, best = 128, float('inf')
-                for m in (128, 256, 512, 1024):
-                    slots = int(np.sum(-(-counts // m) * m)) if counts.size else m
-                    cost = slots * (1.0 + 64.0 / m)
-                    if cost < best:
-                        tile_size, best = m, cost
+                tile_size = auto_tile_size(counts)
             else:
                 tile_size = 128
         vpc = voxels_per_chunk or evaluation.get_config('voxels_per_chunk') \

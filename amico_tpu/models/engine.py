@@ -105,3 +105,21 @@ def iter_tile_chunks(n_tiles: int, chunk: int):
     for start in range(0, n_tiles, chunk):
         stop = min(start + chunk, n_tiles)
         yield start, stop, chunk - (stop - start)
+
+
+def auto_tile_size(counts: np.ndarray, widths=(128, 256, 512, 1024),
+                   step_overhead: float = 64.0) -> int:
+    """Lane width minimizing predicted solve time for direction-bucket
+    sizes ``counts``: padded slots scale the work, and the per-slot rate
+    rises with M as M/(M + c) (per-grid-step overhead, measured c~64 on
+    v5e) -- wide tiles only pay off when buckets fill them.  Shared by the
+    fit driver (models/base.py) and bench.py so the bench always measures
+    the width production picks."""
+    counts = np.asarray(counts)
+    best_m, best = widths[0], float('inf')
+    for m in widths:
+        slots = int(np.sum(-(-counts // m) * m)) if counts.size else m
+        cost = slots * (1.0 + step_overhead / m)
+        if cost < best:
+            best_m, best = m, cost
+    return best_m

@@ -21,7 +21,7 @@ class SubjectSweep:
     """Run one model over many subjects of a study."""
 
     def __init__(self, study_path: str, subjects: list[str], model_name: str,
-                 dwi_filename='DWI.nii.gz', scheme_filename='DWI.scheme',
+                 dwi_filename='DWI.nii', scheme_filename='DWI.scheme',
                  mask_filename=None, b0_thr=0, ndirs=500, lmax=12,
                  mesh=None, config: dict | None = None,
                  model_params: dict | None = None,

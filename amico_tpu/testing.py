@@ -57,14 +57,24 @@ def demo_noddi(scheme: Scheme | None = None, small: bool = True,
                for k, v in model.get_params().items()),
         LMAX, NDIRS)).encode()).hexdigest()[:16]
     marker = os.path.join(out, f'source={src}_sig={sig}')
-    if not (os.path.isfile(os.path.join(out, 'A_001.npy'))
-            and os.path.isfile(marker)):
-        for f in os.listdir(out):
-            os.remove(os.path.join(out, f))
-        aux = _lut.load_precomputed_rotation_matrices(LMAX, NDIRS)
-        idx_in, idx_out = _lut.aux_structures_generate(scheme, LMAX)
-        model.generate(out, aux, idx_in, idx_out, NDIRS)
-        open(marker, 'w').close()
+    # exclusive lock: two concurrent processes sharing a kernels_dir (bench
+    # + tests on one AMICO_TPU_HOME) must not race the check-wipe-generate
+    # sequence -- a reader mid-resample would see a half-regenerated set
+    import fcntl
+    with open(os.path.join(out, '.lock'), 'w') as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        if not (os.path.isfile(os.path.join(out, 'A_001.npy'))
+                and os.path.isfile(marker)):
+            # wipe ONLY files this helper owns (atom files + markers):
+            # kernels_dir is caller-supplied and may contain unrelated data
+            for f in os.listdir(out):
+                if (f.startswith('A_') and f.endswith('.npy')) \
+                        or f.startswith('source='):
+                    os.remove(os.path.join(out, f))
+            aux = _lut.load_precomputed_rotation_matrices(LMAX, NDIRS)
+            idx_in, idx_out = _lut.aux_structures_generate(scheme, LMAX)
+            model.generate(out, aux, idx_in, idx_out, NDIRS)
+            open(marker, 'w').close()
     ridx, Ylm = _lut.aux_structures_resample(scheme, LMAX)
     kernels = model.resample(out, ridx, Ylm, False, NDIRS)
     htable = _lut.load_precomputed_hash_table(NDIRS)

@@ -30,7 +30,7 @@ class ProgressBar:
         return self
 
     def __exit__(self, *exc):
-        if not self.disable:
+        if not self.disable and self.total > 0:   # nothing was ever drawn
             self._draw()
             sys.stderr.write('\n')
             sys.stderr.flush()

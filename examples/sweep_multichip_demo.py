@@ -38,6 +38,7 @@ def main():
 
     sweep = SubjectSweep(
         study, subjects, 'NODDI',
+        dwi_filename='DWI.nii.gz',
         mesh=mesh,
         # chunk-level mid-fit checkpointing: a killed sweep resumes
         # mid-subject (the reference has no fit-level resume at all)
@@ -48,7 +49,9 @@ def main():
         print(f'  {subject}: {path}')
 
     # re-running is a no-op thanks to resume-by-existence
-    again = SubjectSweep(study, subjects, 'NODDI', mesh=mesh).run(resume=True)
+    again = SubjectSweep(study, subjects, 'NODDI',
+                         dwi_filename='DWI.nii.gz',
+                         mesh=mesh).run(resume=True)
     assert again.keys() == results.keys()
 
 

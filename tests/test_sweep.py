@@ -37,7 +37,7 @@ def study(tmp_path_factory):
 
 
 def test_sweep_two_subjects_and_resume(study):
-    sweep = SubjectSweep(str(study), ['s1', 's2'], 'FreeWater',
+    sweep = SubjectSweep(str(study), ['s1', 's2'], 'FreeWater', dwi_filename='DWI.nii.gz',
                          config={'tile_size': 32})
     results = sweep.run()
     for s in ['s1', 's2']:
@@ -47,7 +47,7 @@ def test_sweep_two_subjects_and_resume(study):
 
     # resume: both already fitted -> skipped (config mtime unchanged)
     mtime = os.path.getmtime(study / 's1' / 'AMICO' / 'FreeWater' / 'config.pickle')
-    sweep2 = SubjectSweep(str(study), ['s1', 's2'], 'FreeWater',
+    sweep2 = SubjectSweep(str(study), ['s1', 's2'], 'FreeWater', dwi_filename='DWI.nii.gz',
                           config={'tile_size': 32})
     sweep2.run(resume=True)
     assert os.path.getmtime(
@@ -55,7 +55,7 @@ def test_sweep_two_subjects_and_resume(study):
 
 
 def test_sweep_survives_bad_subject(study):
-    sweep = SubjectSweep(str(study), ['nope', 's1'], 'FreeWater',
+    sweep = SubjectSweep(str(study), ['nope', 's1'], 'FreeWater', dwi_filename='DWI.nii.gz',
                          config={'tile_size': 32})
     results = sweep.run()
     assert results['nope'].startswith('FAILED')
@@ -181,7 +181,7 @@ def test_sweep_with_mesh_config_pickles(study):
     completes (regression: the sweep used to write every map, fail on the
     pickle, and report the subject FAILED)."""
     from amico_tpu.parallel.mesh import make_mesh
-    sweep = SubjectSweep(str(study), ['s2'], 'FreeWater',
+    sweep = SubjectSweep(str(study), ['s2'], 'FreeWater', dwi_filename='DWI.nii.gz',
                          mesh=make_mesh(), config={'tile_size': 32})
     results = sweep.run(resume=False)
     out = study / 's2' / 'AMICO' / 'FreeWater'
@@ -197,13 +197,13 @@ def test_sweep_warm_state_reuses_model_and_matches_fresh(study):
     run bit-for-bit."""
     out2 = study / 's2' / 'AMICO' / 'FreeWater'
 
-    warm = SubjectSweep(str(study), ['s1', 's2'], 'FreeWater',
+    warm = SubjectSweep(str(study), ['s1', 's2'], 'FreeWater', dwi_filename='DWI.nii.gz',
                         config={'tile_size': 32})
     warm.run(resume=False)
     assert warm._warm is not None
     fw_warm = nifti.load(str(out2 / 'fit_FW.nii.gz')).get_fdata().copy()
 
-    fresh = SubjectSweep(str(study), ['s2'], 'FreeWater',
+    fresh = SubjectSweep(str(study), ['s2'], 'FreeWater', dwi_filename='DWI.nii.gz',
                          config={'tile_size': 32})
     fresh.run(resume=False)
     fw_fresh = nifti.load(str(out2 / 'fit_FW.nii.gz')).get_fdata()
