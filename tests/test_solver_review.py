@@ -219,3 +219,24 @@ def test_converge_matches_oracle_randomized(seed):
     x = np.asarray(nneg_qp_batch(G, b, 0.0, lam2, **DEFAULT_AS_SOLVER_KW))
     scale = np.abs(b).max() + 1e-30
     np.testing.assert_allclose(x / scale, xo / scale, atol=3e-5)
+
+
+def test_solver_kw_presets_accepted_by_both_backends():
+    """API contract: every key in the model solver presets must be
+    accepted by both the XLA and Pallas entry points (the TPU fit path
+    forwards them verbatim via _fitops.solve_tiles), and the two
+    backends must agree with the oracle on the CZB-shaped preset too."""
+    from amico_tpu.models.base import DENSE_AS_SOLVER_KW
+    from amico_tpu.ops.pallas_qp import nneg_qp_tiles_pallas
+    import jax.numpy as jnp
+
+    G, b, x_oracle, lam2 = _dense_support_problem(seed=7)
+    Gt = jnp.asarray(G, jnp.float32)[None]
+    bt = jnp.asarray(b, jnp.float32)[None, None]
+    L = jnp.ones((1,), jnp.float32)
+    for kw in (DEFAULT_AS_SOLVER_KW, DENSE_AS_SOLVER_KW):
+        x1 = np.asarray(nneg_qp_batch(G, b, 0.0, lam2, **kw))
+        x2 = np.asarray(nneg_qp_tiles_pallas(Gt, bt, L, 0.0, lam2,
+                                             interpret=True, **kw))[0, 0]
+        np.testing.assert_allclose(x1, x_oracle, atol=5e-5)
+        np.testing.assert_allclose(x2, x_oracle, atol=5e-5)
