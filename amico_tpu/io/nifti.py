@@ -1,18 +1,19 @@
-"""Pure-NumPy NIfTI-1 I/O.
+"""Pure-NumPy NIfTI I/O (NIfTI-1 read/write, NIfTI-2 read).
 
 The reference delegates image I/O to ``nibabel`` (/root/reference/amico/core.py:9,
 135-150, 542-609).  nibabel is not a dependency of this framework, so we
-implement the small subset of NIfTI-1 needed by the pipeline:
+implement the subset the pipeline needs:
 
-* read ``.nii`` / ``.nii.gz`` single-file images (magic ``n+1``),
-  honoring dtype, dims, ``scl_slope``/``scl_inter`` rescale
-  (reference core.py:146-150) and returning data in Fortran (x fastest) order
-  like nibabel's ``get_fdata``;
-* write float32 images with affine (qform/sform), ``descrip``,
-  ``cal_min``/``cal_max`` header fields (reference core.py:542-609).
-
-Only the NIfTI-1 348-byte header, single-file layout, is supported; this is
-what the AMICO ecosystem's demo data uses.
+* read ``.nii`` / ``.nii.gz`` single-file images and ``.hdr``/``.img``
+  pairs, both NIfTI-1 (348-byte header, magic ``n+1``/``ni1``) and NIfTI-2
+  (540-byte header, magic ``n+2``/``ni2``), either endianness, honoring
+  dtype, dims, ``scl_slope``/``scl_inter`` rescale (reference
+  core.py:146-150) and returning data in Fortran (x fastest) order like
+  nibabel's ``get_fdata``;
+* write float32 NIfTI-1 images with affine (qform/sform), ``descrip``,
+  ``cal_min``/``cal_max`` header fields (reference core.py:542-609) --
+  the reference writes ``nibabel.Nifti1Image`` outputs, so results stay
+  NIfTI-1 for parity even when the input was NIfTI-2.
 """
 from __future__ import annotations
 
@@ -158,30 +159,11 @@ def _companion(filename: str, ext: str) -> str:
     return stem + ext + ('.gz' if gz else '')
 
 
-def load(filename: str) -> Nifti1Image:
-    """Load a NIfTI-1 image (raw, unscaled data).
+_HDR2_SIZE = 540
 
-    Supports single-file ``.nii``/``.nii.gz`` (magic ``n+1``) and two-file
-    ``.hdr``/``.img`` pairs (magic ``ni1``), either endianness.  NIfTI-2
-    files fail loudly (sizeof_hdr 540) rather than being misparsed.
-    """
-    name = str(filename)
-    if name.replace('.gz', '').endswith('.img'):
-        name = _companion(name, '.hdr')
-    raw = _read_bytes(name)
-    if len(raw) < _HDR_SIZE:
-        raise ValueError(f'{filename}: too small to be a NIfTI-1 file')
+
+def _parse_nifti1(raw: bytes, endian: str, filename: str) -> Nifti1Header:
     hdr = Nifti1Header()
-    sizeof_hdr = struct.unpack('<i', raw[0:4])[0]
-    endian = '<'
-    if sizeof_hdr != _HDR_SIZE:
-        if sizeof_hdr == 540 or struct.unpack('>i', raw[0:4])[0] == 540:
-            raise ValueError(f'{filename}: NIfTI-2 is not supported; convert '
-                             'to NIfTI-1 (e.g. mrconvert/fslchfiletype)')
-        sizeof_hdr = struct.unpack('>i', raw[0:4])[0]
-        if sizeof_hdr != _HDR_SIZE:
-            raise ValueError(f'{filename}: bad sizeof_hdr (not a NIfTI file?)')
-        endian = '>'
     hdr.endian = endian
     magic = raw[344:348]
     if magic not in (b'n+1\x00', b'ni1\x00'):
@@ -204,18 +186,81 @@ def load(filename: str) -> Nifti1Image:
     hdr.qoffset = np.array(u('3f', 268), dtype=np.float64)
     hdr.srow = np.array(u('12f', 280), dtype=np.float64).reshape(3, 4)
     hdr.xyzt_units = raw[123]
+    hdr._pair = magic == b'ni1\x00'
+    return hdr
+
+
+def _parse_nifti2(raw: bytes, endian: str, filename: str) -> Nifti1Header:
+    """NIfTI-2 header (540 bytes, official nifti2.h layout): same fields as
+    NIfTI-1 widened to int64/double, magic at offset 4.  Parsed into the
+    same in-memory header class -- downstream code is format-agnostic."""
+    hdr = Nifti1Header()
+    hdr.endian = endian
+    magic = raw[4:12]
+    if magic[:4] not in (b'n+2\x00', b'ni2\x00'):
+        raise ValueError(f'{filename}: bad NIfTI-2 magic {magic!r}')
+    u = lambda fmt, off: struct.unpack(endian + fmt, raw[off:off + struct.calcsize(fmt)])
+
+    hdr.datatype = u('h', 12)[0]
+    hdr.bitpix = u('h', 14)[0]
+    hdr.dim = np.array(u('8q', 16), dtype=np.int64)
+    hdr.pixdim = np.array(u('8d', 104), dtype=np.float64)
+    hdr.vox_offset = float(u('q', 168)[0])
+    hdr.scl_slope = u('d', 176)[0]
+    hdr.scl_inter = u('d', 184)[0]
+    hdr.cal_max = u('d', 192)[0]
+    hdr.cal_min = u('d', 200)[0]
+    hdr.descrip = raw[240:320].split(b'\x00')[0]
+    hdr.qform_code = u('i', 344)[0]
+    hdr.sform_code = u('i', 348)[0]
+    hdr.quatern = np.array(u('3d', 352), dtype=np.float64)
+    hdr.qoffset = np.array(u('3d', 376), dtype=np.float64)
+    hdr.srow = np.array(u('12d', 400), dtype=np.float64).reshape(3, 4)
+    hdr.xyzt_units = u('i', 500)[0] & 0xff
+    hdr._pair = magic[:4] == b'ni2\x00'
+    return hdr
+
+
+def load(filename: str) -> Nifti1Image:
+    """Load a NIfTI image (raw, unscaled data).
+
+    Supports single-file ``.nii``/``.nii.gz`` and two-file ``.hdr``/``.img``
+    pairs, NIfTI-1 (magic ``n+1``/``ni1``) and NIfTI-2 (magic
+    ``n+2``/``ni2``), either endianness.
+    """
+    name = str(filename)
+    if name.replace('.gz', '').endswith('.img'):
+        name = _companion(name, '.hdr')
+    raw = _read_bytes(name)
+    if len(raw) < _HDR_SIZE:
+        raise ValueError(f'{filename}: too small to be a NIfTI file')
+    endian = None
+    for e in ('<', '>'):
+        sz = struct.unpack(e + 'i', raw[0:4])[0]
+        if sz in (_HDR_SIZE, _HDR2_SIZE):
+            endian, sizeof_hdr = e, sz
+            break
+    if endian is None:
+        raise ValueError(f'{filename}: bad sizeof_hdr (not a NIfTI file?)')
+    if sizeof_hdr == _HDR2_SIZE:
+        if len(raw) < _HDR2_SIZE:
+            raise ValueError(f'{filename}: truncated NIfTI-2 header')
+        hdr = _parse_nifti2(raw, endian, filename)
+    else:
+        hdr = _parse_nifti1(raw, endian, filename)
 
     if hdr.datatype not in _DTYPES:
         raise ValueError(f'{filename}: unsupported NIfTI datatype {hdr.datatype}')
     dtype = np.dtype(_DTYPES[hdr.datatype]).newbyteorder(endian)
     shape = hdr.shape
     count = int(np.prod(shape)) if shape else 0
-    if magic == b'ni1\x00':
+    if hdr._pair:
         # two-file pair: voxels live in the sibling .img at vox_offset
         raw = _read_bytes(_companion(name, '.img'))
-        off = int(hdr.vox_offset)
-    else:
-        off = int(hdr.vox_offset)
+    off = int(hdr.vox_offset)
+    if count and len(raw) < off + count * dtype.itemsize:
+        raise ValueError(f'{filename}: data truncated '
+                         f'(need {count} x {dtype} at offset {off})')
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=off)
     # NIfTI voxel data is Fortran-ordered (x fastest)
     data = data.reshape(shape, order='F')
