@@ -64,6 +64,8 @@ class Nifti1Header:
         self.srow = np.zeros((3, 4))
         self.xyzt_units = 10  # mm | sec
         self.endian = '<'
+        # True when parsed from an .hdr of a two-file pair (magic ni1/ni2)
+        self._pair = False
 
     @property
     def shape(self) -> tuple[int, ...]:
@@ -199,6 +201,14 @@ def _parse_nifti2(raw: bytes, endian: str, filename: str) -> Nifti1Header:
     magic = raw[4:12]
     if magic[:4] not in (b'n+2\x00', b'ni2\x00'):
         raise ValueError(f'{filename}: bad NIfTI-2 magic {magic!r}')
+    # nifti2.h requires signature bytes 8-11 = \r\n\x1a\n as corruption
+    # detection (a text-mode transfer mangles \r\n); refuse silently-broken
+    # files instead of parsing garbage offsets
+    if magic[4:8] != b'\r\n\x1a\n':
+        raise ValueError(
+            f'{filename}: NIfTI-2 signature bytes corrupted '
+            f'(got {magic[4:8]!r}, want CR LF SUB LF -- possible '
+            f'text-mode transfer corruption)')
     u = lambda fmt, off: struct.unpack(endian + fmt, raw[off:off + struct.calcsize(fmt)])
 
     hdr.datatype = u('h', 12)[0]

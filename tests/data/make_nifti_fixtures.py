@@ -51,6 +51,41 @@ def nifti1_header(endian, dim, datatype, bitpix, pixdim, vox_offset,
     return bytes(buf)
 
 
+def nifti2_header(endian, dim, datatype, bitpix, pixdim, vox_offset,
+                  scl_slope=1.0, scl_inter=0.0, qform_code=0, sform_code=0,
+                  quatern=(0, 0, 0), qoffset=(0, 0, 0), srow=None,
+                  descrip=b'', magic=b'n+2\x00', qfac=1.0, xyzt_units=10):
+    """NIfTI-2 header packed straight from the official nifti2.h offsets
+    (540 bytes; int64 dims, double pixdim/scl/quatern/srow, int32 codes)."""
+    buf = bytearray(540)
+    struct.pack_into(endian + 'i', buf, 0, 540)          # sizeof_hdr
+    buf[4:8] = magic                                     # magic[0:4]
+    buf[8:12] = b'\r\n\x1a\n'                            # signature bytes
+    struct.pack_into(endian + 'h', buf, 12, datatype)
+    struct.pack_into(endian + 'h', buf, 14, bitpix)
+    dims = np.ones(8, np.int64)
+    dims[0] = len(dim)
+    dims[1:1 + len(dim)] = dim
+    struct.pack_into(endian + '8q', buf, 16, *dims)
+    pd = np.ones(8, np.float64)
+    pd[0] = qfac
+    pd[1:1 + len(pixdim)] = pixdim
+    struct.pack_into(endian + '8d', buf, 104, *pd)
+    struct.pack_into(endian + 'q', buf, 168, int(vox_offset))
+    struct.pack_into(endian + 'd', buf, 176, scl_slope)
+    struct.pack_into(endian + 'd', buf, 184, scl_inter)
+    buf[240:240 + len(descrip)] = descrip
+    struct.pack_into(endian + 'i', buf, 344, qform_code)
+    struct.pack_into(endian + 'i', buf, 348, sform_code)
+    struct.pack_into(endian + '3d', buf, 352, *quatern)
+    struct.pack_into(endian + '3d', buf, 376, *qoffset)
+    if srow is not None:
+        struct.pack_into(endian + '12d', buf, 400,
+                         *np.asarray(srow, np.float64).reshape(-1))
+    struct.pack_into(endian + 'i', buf, 500, xyzt_units)
+    return bytes(buf)
+
+
 def main():
     # 1. qform-only rotation (90 deg about z: quaternion (a,b,c,d) =
     #    (cos45, 0, 0, sin45)), int16 data, scl_slope=2.5/inter=-3, qfac=-1
@@ -90,12 +125,52 @@ def main():
     with open(os.path.join(OUT, 'foreign_pair.img'), 'wb') as f:
         f.write(data.tobytes(order='F'))
 
-    # 4. minimal NIfTI-2 header (sizeof 540, magic n+2) -- must fail loudly
+    # 4. corrupted NIfTI-2: valid sizeof_hdr/magic[0:4] but signature bytes
+    #    8-11 zeroed (as a text-mode transfer would mangle) -- must fail loudly
     buf = bytearray(540)
     struct.pack_into('<i', buf, 0, 540)
     buf[4:8] = b'n+2\x00'
     with open(os.path.join(OUT, 'foreign_nifti2.nii'), 'wb') as f:
         f.write(bytes(buf))
+
+    # 5. valid NIfTI-2, little-endian, float32, scl scaling + sform, gzipped
+    dim = (4, 3, 2, 2)
+    data = np.linspace(-2.0, 7.0, int(np.prod(dim)),
+                       dtype=np.float32).reshape(dim, order='C')
+    srow = np.array([[0.0, -1.25, 0.0, 4.0],
+                     [1.25, 0.0, 0.0, -4.0],
+                     [0.0, 0.0, 3.0, 1.0]])
+    hdr = nifti2_header('<', dim, datatype=16, bitpix=32,
+                        pixdim=(1.25, 1.25, 3.0, 2.0), vox_offset=544,
+                        scl_slope=0.5, scl_inter=1.5,
+                        sform_code=2, srow=srow, descrip=b'nifti2 le')
+    with gzip.open(os.path.join(OUT, 'foreign_nifti2_le.nii.gz'), 'wb') as f:
+        f.write(hdr + b'\x00' * 4 + data.tobytes(order='F'))
+
+    # 6. valid NIfTI-2, big-endian, int16, qform-only with qfac=-1
+    #    (same 90-deg rotation about z as fixture 1)
+    dim = (4, 3, 2)
+    data = (np.arange(np.prod(dim), dtype=np.int16) - 5).reshape(dim, order='C')
+    hdr = nifti2_header('>', dim, datatype=4, bitpix=16,
+                        pixdim=(1.5, 2.0, 2.5), vox_offset=544,
+                        scl_slope=2.5, scl_inter=-3.0,
+                        qform_code=1, quatern=(0.0, 0.0, np.sin(np.pi / 4)),
+                        qoffset=(10.0, -20.0, 30.0), qfac=-1.0,
+                        descrip=b'nifti2 be qform')
+    with open(os.path.join(OUT, 'foreign_nifti2_be.nii'), 'wb') as f:
+        f.write(hdr + b'\x00' * 4 + data.astype('>i2').tobytes(order='F'))
+
+    # 7. NIfTI-2 .hdr/.img pair (magic ni2, vox_offset 0), uint8
+    dim = (5, 4, 3)
+    data = np.arange(np.prod(dim), dtype=np.uint8).reshape(dim, order='C')
+    hdr = nifti2_header('<', dim, datatype=2, bitpix=8,
+                        pixdim=(1.0, 1.0, 1.0), vox_offset=0,
+                        sform_code=1, srow=np.c_[np.eye(3), np.zeros(3)],
+                        magic=b'ni2\x00', descrip=b'nifti2 pair')
+    with open(os.path.join(OUT, 'foreign_nifti2_pair.hdr'), 'wb') as f:
+        f.write(hdr)
+    with open(os.path.join(OUT, 'foreign_nifti2_pair.img'), 'wb') as f:
+        f.write(data.tobytes(order='F'))
 
     print('fixtures written to', OUT)
 

@@ -1,0 +1,48 @@
+"""Vendor upstream AMICO's direction data as one npz bundle.
+
+Reads every ``ndirs=N.bin`` / ``htable_ndirs=N.bin`` shipped by the
+reference (raw little-endian float64/int16, formats read at
+/root/reference/amico/lut.pyx:47-91) and packs them into
+``amico_tpu/data/ref_directions.npz`` with keys ``dirs_{N}`` and
+``htable_{N}``.  This is data vendoring, not code: the bundle is what
+makes out-of-the-box LUT indices (and therefore parameter maps)
+bit-compatible with upstream at every supported ndirs.
+
+Run from the repo root:  python tests/data/make_ref_bundle.py [src_dir]
+"""
+import os
+import re
+import sys
+
+import numpy as np
+
+N_GRID = 32761
+
+
+def main(src):
+    arrays = {}
+    for fn in sorted(os.listdir(src)):
+        m = re.fullmatch(r'ndirs=(\d+)\.bin', fn)
+        if m:
+            n = int(m.group(1))
+            d = np.fromfile(os.path.join(src, fn), dtype='<f8')
+            assert d.size == n * 3, (fn, d.size)
+            arrays[f'dirs_{n}'] = d.reshape(n, 3)
+            continue
+        m = re.fullmatch(r'htable_ndirs=(\d+)\.bin', fn)
+        if m:
+            ht = np.fromfile(os.path.join(src, fn), dtype='<i2')
+            assert ht.size == N_GRID, (fn, ht.size)
+            arrays[f'htable_{int(m.group(1))}'] = ht
+    assert arrays, f'no direction binaries found under {src}'
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       '..', '..', 'amico_tpu', 'data', 'ref_directions.npz')
+    out = os.path.normpath(out)
+    np.savez_compressed(out, **arrays)
+    print(f'wrote {out}: {len(arrays)} arrays, '
+          f'{os.path.getsize(out) / 1e6:.2f} MB')
+
+
+if __name__ == '__main__':
+    main(sys.argv[1] if len(sys.argv) > 1
+         else '/root/reference/amico/directions')

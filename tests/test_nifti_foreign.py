@@ -78,8 +78,79 @@ def test_hdr_img_pair():
         np.testing.assert_array_equal(img.get_fdata(), want)
 
 
-def test_nifti2_fails_loudly():
-    with pytest.raises(ValueError, match='NIfTI-2'):
+def test_nifti2_le_scaled_sform():
+    """Valid little-endian NIfTI-2 single file: data, scl scaling, sform
+    (reference reads NIfTI-2 transparently via nibabel, core.py:135-150)."""
+    img = nifti.load(os.path.join(DATA, 'foreign_nifti2_le.nii.gz'))
+    dim = (4, 3, 2, 2)
+    want = np.linspace(-2.0, 7.0, int(np.prod(dim)),
+                       dtype=np.float32).reshape(dim, order='C')
+    np.testing.assert_array_equal(np.asarray(img.dataobj), want)
+    np.testing.assert_allclose(img.get_fdata(),
+                               want.astype(np.float64) * 0.5 + 1.5, rtol=1e-6)
+    h = img.header
+    assert h.scl_slope == pytest.approx(0.5)
+    assert h.scl_inter == pytest.approx(1.5)
+    assert h.get_zooms() == pytest.approx((1.25, 1.25, 3.0, 2.0))
+    assert h.descrip == b'nifti2 le'
+    srow = np.array([[0.0, -1.25, 0.0, 4.0],
+                     [1.25, 0.0, 0.0, -4.0],
+                     [0.0, 0.0, 3.0, 1.0]])
+    np.testing.assert_allclose(img.affine[:3], srow, atol=1e-12)
+
+
+def test_nifti2_be_qform_qfac():
+    """Big-endian NIfTI-2 with qform-only geometry and qfac=-1: must decode
+    the same rotation/flip as the NIfTI-1 qform fixture."""
+    img = nifti.load(os.path.join(DATA, 'foreign_nifti2_be.nii'))
+    dim = (4, 3, 2)
+    want = (np.arange(np.prod(dim), dtype=np.int16) - 5).reshape(dim,
+                                                                 order='C')
+    np.testing.assert_array_equal(np.asarray(img.dataobj), want)
+    assert img.header.endian == '>'
+    assert img.header.sform_code == 0 and img.header.qform_code == 1
+    R = np.array([[0.0, -1.0, 0.0],
+                  [1.0, 0.0, 0.0],
+                  [0.0, 0.0, 1.0]])
+    want_aff = np.eye(4)
+    want_aff[:3, :3] = R @ np.diag([1.5, 2.0, -2.5])
+    want_aff[:3, 3] = [10.0, -20.0, 30.0]
+    np.testing.assert_allclose(img.affine, want_aff, atol=1e-6)
+    np.testing.assert_allclose(img.get_fdata(),
+                               want.astype(np.float64) * 2.5 - 3.0, rtol=1e-6)
+
+
+def test_nifti2_hdr_img_pair():
+    dim = (5, 4, 3)
+    want = np.arange(np.prod(dim), dtype=np.uint8).reshape(dim, order='C')
+    for entry in ('foreign_nifti2_pair.hdr', 'foreign_nifti2_pair.img'):
+        img = nifti.load(os.path.join(DATA, entry))
+        assert img.shape == dim
+        np.testing.assert_array_equal(img.get_fdata(), want)
+
+
+def test_nifti2_roundtrips_to_nifti1(tmp_path):
+    """NIfTI-2 in, NIfTI-1 out: our writer always emits NIfTI-1 (as the
+    reference does via nibabel.Nifti1Image, core.py:542-609) and the
+    geometry/data must survive."""
+    src = nifti.load(os.path.join(DATA, 'foreign_nifti2_le.nii.gz'))
+    out = str(tmp_path / 'as_nifti1.nii.gz')
+    nifti.save(src, out)
+    raw = __import__('gzip').open(out, 'rb').read()
+    assert raw[:4] == (348).to_bytes(4, 'little', signed=True)  # NIfTI-1 hdr
+    assert raw[344:348] == b'n+1\x00'
+    back = nifti.load(out)
+    np.testing.assert_allclose(np.asarray(back.dataobj),
+                               np.asarray(src.dataobj), rtol=1e-6)
+    np.testing.assert_allclose(back.affine, src.affine, atol=1e-6)
+    assert back.header.scl_slope == pytest.approx(src.header.scl_slope)
+    assert back.header.scl_inter == pytest.approx(src.header.scl_inter)
+
+
+def test_nifti2_corrupt_signature_fails_loudly():
+    """A NIfTI-2 header whose \\r\\n\\x1a\\n signature bytes were mangled
+    (e.g. text-mode transfer) must be refused, not parsed as garbage."""
+    with pytest.raises(ValueError, match='corrupt'):
         nifti.load(os.path.join(DATA, 'foreign_nifti2.nii'))
 
 

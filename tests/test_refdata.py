@@ -57,6 +57,25 @@ def test_vendored_matches_shipped_binaries():
 
 
 @needs_ref
+def test_bundle_matches_shipped_binaries_all_ndirs():
+    """The vendored npz bundle is bit-identical to every shipped binary
+    (VERDICT r2 item 3: out-of-box parity at every valid ndirs)."""
+    import re as _re
+    shipped = sorted(int(m.group(1)) for f in os.listdir(REF_DIRS)
+                     if (m := _re.fullmatch(r'ndirs=(\d+)\.bin', f)))
+    assert set(shipped) == set(sph.valid_dirs())
+    for n in shipped:
+        d = np.fromfile(os.path.join(REF_DIRS, f'ndirs={n}.bin'),
+                        np.float64).reshape(n, 3)
+        np.testing.assert_array_equal(refdata.load_reference_directions(n), d)
+        ht = np.fromfile(os.path.join(REF_DIRS, f'htable_ndirs={n}.bin'),
+                         np.int16)
+        np.testing.assert_array_equal(refdata.load_reference_hash_table(n),
+                                      ht)
+        assert refdata.has_reference_directions(n)
+
+
+@needs_ref
 def test_loader_reads_amico_directions_folder(monkeypatch):
     monkeypatch.setenv('AMICO_TPU_REFERENCE_DIRECTIONS', REF_DIRS)
     for n in (1, 1000, 32761):
@@ -111,8 +130,10 @@ def test_hash_builder_near_parity_other_ndirs(monkeypatch):
 # ------------------------------------------------------- source selection
 def test_source_selection(tmp_path, monkeypatch):
     monkeypatch.setenv('AMICO_TPU_HOME', str(tmp_path))
-    assert sph.resolve_source(500) == 'reference'       # vendored
-    assert sph.resolve_source(1000) == 'generated'      # not vendored
+    # every upstream-shipped count is vendored, so 'auto' = 'reference'
+    assert sph.resolve_source(500) == 'reference'
+    assert sph.resolve_source(1000) == 'reference'
+    assert sph.resolve_source(700) == 'generated'       # never shipped
     ref = sph.load_directions(500)
     gen = sph.load_directions(500, source='generated')
     np.testing.assert_array_equal(ref, refdata.load_reference_directions(500))

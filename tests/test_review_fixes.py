@@ -89,17 +89,19 @@ def test_stage_cache_invalidated_by_new_dirs(tmp_path):
 
 def test_refdata_partial_folder_falls_back_to_vendored(tmp_path, monkeypatch):
     """A configured AMICO directions folder holding only some ndirs files
-    must not shadow the vendored 500-dir set."""
+    must not shadow the vendored bundle (which covers every shipped count)."""
     from amico_tpu.lut import refdata
     monkeypatch.setenv('AMICO_TPU_REFERENCE_DIRECTIONS', str(tmp_path))
-    assert refdata.has_reference_directions(500)
-    dirs = refdata.load_reference_directions(500)
-    assert dirs.shape == (500, 3)
-    ht = refdata.load_reference_hash_table(500)
-    assert ht.shape == (refdata.N_GRID,)
-    assert not refdata.has_reference_directions(1000)
+    for n in (500, 1000):
+        assert refdata.has_reference_directions(n)
+        dirs = refdata.load_reference_directions(n)
+        assert dirs.shape == (n, 3)
+        ht = refdata.load_reference_hash_table(n)
+        assert ht.shape == (refdata.N_GRID,)
+    # counts upstream never shipped stay unavailable
+    assert not refdata.has_reference_directions(700)
     with pytest.raises(FileNotFoundError):
-        refdata.load_reference_directions(1000)
+        refdata.load_reference_directions(700)
 
 
 def test_lmax_mismatch_detected(tmp_path):
