@@ -329,13 +329,41 @@ class Evaluation:
         atoms_path = self.get_config('ATOMS_path')
         LOG(f'\n-> Creating LUT for "{self.model.name}" model:')
 
-        # multi-host note: each host builds the LUT under ITS OWN study
-        # path (per-host study copies are the supported layout,
-        # docs/DISTRIBUTED.md).  Hosts sharing one study filesystem must
-        # generate kernels once before launching the distributed fit --
-        # a concurrent wipe+rebuild of a shared ATOMS_path is not safe,
-        # and this method cannot tell the two layouts apart.
+        # SPMD coordination: a concurrent wipe+rebuild of a shared
+        # ATOMS_path is not safe, so under a distributed run the
+        # coordinator generates FIRST and everyone else waits at a
+        # barrier.  Afterwards each non-coordinator re-checks its own
+        # path: on a shared filesystem the coordinator's completed LUT is
+        # now visible and is reused (even under regenerate=True -- it was
+        # just built); on per-host study copies nothing appeared and the
+        # host builds its own copy, now race-free (no other writer of
+        # that path remains).  (Replaces the round-2 docs-only caveat.)
+        from .parallel import dist
+        spmd = bool(self.get_config('distributed')) \
+            and dist.process_count() > 1
+        if spmd and not dist.is_coordinator():
+            dist.barrier('generate_kernels')
+            if regenerate and self._lut_is_current(atoms_path):
+                regenerate = False
+        try:
+            self._generate_kernels_body(regenerate, lmax, ndirs, atoms_path)
+        finally:
+            # the coordinator (or a failed coordinator: the others then
+            # build for themselves) releases the waiters exactly once
+            if spmd and dist.is_coordinator():
+                dist.barrier('generate_kernels')
 
+    def _lut_is_current(self, atoms_path: str) -> bool:
+        """A completed LUT with a matching generation signature exists."""
+        meta_path = pjoin(atoms_path, 'lut_meta.pickle')
+        if not (glob.glob(pjoin(atoms_path, 'A_*.npy'))
+                and isfile(meta_path)):
+            return False
+        with open(meta_path, 'rb') as fid:
+            meta = pickle.load(fid)
+        return meta.get('gen_sig') == self._kernel_signature()
+
+    def _generate_kernels_body(self, regenerate, lmax, ndirs, atoms_path):
         meta_path = pjoin(atoms_path, 'lut_meta.pickle')
         if glob.glob(pjoin(atoms_path, 'A_*.npy')) and not regenerate:
             # the generated atoms depend on the shell parameters and the

@@ -16,14 +16,14 @@ import pytest
 from amico_tpu.parallel import dist
 
 
-def make_study(study_dir):
+def make_study(study_dir, subject='subj', seed=3):
     """Deterministic tiny NODDI subject (same bytes on every call)."""
     from amico_tpu.io import nifti
     from amico_tpu.io.scheme import Scheme
     from amico_tpu.ops.sphere import fibonacci_hemisphere
     from amico_tpu.synthesis import (NODDIExtraCellular, NODDIIntraCellular,
                                      NODDIIsotropic)
-    subj = os.path.join(study_dir, 'subj')
+    subj = os.path.join(study_dir, subject)
     os.makedirs(subj, exist_ok=True)
     rows = [np.zeros((2, 4))]
     for b in (700.0, 2000.0):
@@ -31,7 +31,7 @@ def make_study(study_dir):
     np.savetxt(os.path.join(subj, 'DWI.scheme'), np.vstack(rows), fmt='%.6f',
                header='VERSION: BVECTOR', comments='')
     scheme = Scheme(os.path.join(subj, 'DWI.scheme'))
-    rng = np.random.RandomState(3)
+    rng = np.random.RandomState(seed)
     kappa = 1 / np.tan(0.25 * np.pi / 2)
     base = 0.55 * NODDIIntraCellular(scheme).get_signal(1.7e-3, kappa) + \
         0.45 * NODDIExtraCellular(scheme).get_signal(1.7e-3, kappa, 0.55)
@@ -77,6 +77,29 @@ def _free_port():
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_two_process_sweep_resume_and_shared_atoms(tmp_path):
+    """Distributed SubjectSweep: collective resume after a simulated
+    restart, coordinator-only writes, fail-fast on a corrupt subject, and
+    the shared-ATOMS_path generation guard (VERDICT r2 item 7).  All
+    assertions live in tests/dist_sweep_worker.py and run on both ranks."""
+    workdir = str(tmp_path)
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    worker = os.path.join(os.path.dirname(__file__), 'dist_sweep_worker.py')
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(rank), '2', str(port), workdir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for rank in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f'rank {rank} failed:\n{out}'
+        assert f'rank {rank}: OK' in out
 
 
 def test_two_process_pipeline_matches_single(tmp_path):
