@@ -190,8 +190,11 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
         scale = jnp.max(jnp.abs(b_eff), axis=0, keepdims=True) + 1e-30
 
         def cg(m, z0, iters, mvf=mv):
+            # p is masked by construction (z/r/p all start masked and every
+            # update preserves it), so Aop needs no pre-mask on its input --
+            # one fewer VPU op on the CG critical path
             def Aop(p):
-                return (mvf(p * m) + l2 * p) * m
+                return (mvf(p) + l2 * p) * m
 
             z = z0 * m
             r = (b_eff * m) - Aop(z)
@@ -275,19 +278,26 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                     runs.append([1, (it, pr, inn)])
             for count, (it, pr, inn) in runs:
                 mvf = _mk_mv(pr)
-                if count == 1:
-                    carry = as_round(carry, it, mvf, inn)
-                elif early_exit:
-                    # stop a budget segment once the whole tile's working
-                    # sets are stable; the flag resets per segment so a
-                    # larger-budget segment still gets at least one round
-                    # to refine x on the settled support
+                if early_exit:
+                    # once the whole tile's working sets are stable, skip
+                    # every remaining scheduled round: the support cannot
+                    # change (wmax <= tol and no churn), and the final
+                    # masked-CG polish below recomputes x exactly on that
+                    # settled support, so later larger-budget rounds would
+                    # only redo work the polish does anyway.  The flag is
+                    # CARRIED across budget segments -- resetting it per
+                    # segment (the round-2 behavior) made the exit test
+                    # nearly dead: single-round segments ran
+                    # unconditionally and each multi-round segment paid at
+                    # least one full round to rediscover stability.
                     carry = jax.lax.while_loop(
                         lambda c: jnp.logical_and(
                             c[2] < count, jnp.logical_not(c[3])),
                         lambda c, _it=it, _mv=mvf, _in=inn:
                             as_round(c, _it, _mv, _in),
-                        (carry[0], carry[1], 0, False))
+                        (carry[0], carry[1], 0, carry[3]))
+                elif count == 1:
+                    carry = as_round(carry, it, mvf, inn)
                 else:
                     carry = jax.lax.fori_loop(
                         0, count,

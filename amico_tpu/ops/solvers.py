@@ -72,8 +72,10 @@ def _cg_masked(G, b, m, x0, lam2, iters: int):
     support mask m (off-support coordinates pinned to 0).  This is the
     same subproblem an active-set method solves exactly on its working set
     (reference SPAMS nnls inner solve; native amico_qp_nonneg chol_solve)."""
+    # p stays masked by construction (z/r/p start masked, every update
+    # preserves it), so Aop needs no pre-mask on its input
     def Aop(p):
-        return (_mv(G, p * m) + lam2 * p) * m
+        return (_mv(G, p) + lam2 * p) * m
 
     z = x0 * m
     r = (b * m) - Aop(z)

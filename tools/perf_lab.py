@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Solver-only NODDI perf lab: time noddi_fused_tiles_pallas variants on
+the bench workload (tools for round-3 tuning; see VERDICT.md item 4).
+
+Usage: python tools/perf_lab.py [variant ...]
+Variants: base, ee (early_exit), m256, m256ee, m512, m512ee, polish_split
+Each prints: name, ms, vox/s, and oracle map error (med/p95/max) on a
+1000-voxel sample so accuracy regressions are caught in the same run.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
+
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+
+import jax
+import jax.numpy as jnp
+
+from amico_tpu.testing import demo_noddi, demo_voxels
+from amico_tpu.io.scheme import Scheme
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from amico_tpu.models.engine import build_tile_plan, tile_voxels
+from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
+from amico_tpu.ops.solvers import gram
+from amico_tpu.models.base import (DEFAULT_NODDI_PRECISION,
+                                   DEFAULT_NODDI_STAGE_ITERS)
+from amico_tpu.ops import native
+
+N_VOX = int(os.environ.get('LAB_VOXELS', 409600))
+SAMPLE = int(os.environ.get('LAB_SAMPLE', 1000))
+REPS = int(os.environ.get('LAB_REPS', 3))
+
+_T0 = time.time()
+
+
+def trace(msg):
+    print(f'[lab +{time.time() - _T0:7.1f}s] {msg}', file=sys.stderr,
+          flush=True)
+
+
+def setup():
+    rows = [np.zeros((9, 4)),
+            np.c_[fibonacci_hemisphere(30), np.full(30, 700.0)],
+            np.c_[fibonacci_hemisphere(60), np.full(60, 2000.0)]]
+    scheme = Scheme(np.vstack(rows))
+    kdir = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_kernels')
+    model, kernels, htable = demo_noddi(scheme, small=False, kernels_dir=kdir)
+    y, DIRs, lut_idx = demo_voxels(N_VOX, kernels, htable, seed=0)
+    return scheme, kernels, y, lut_idx
+
+
+def stage_args(scheme, kernels, y, lut_idx, M):
+    plan = build_tile_plan(lut_idx, M)
+    Yt_d = jnp.asarray(tile_voxels(plan, y.astype(np.float32)))
+    n_wm = kernels['wm'].shape[0]
+    dwi = jnp.asarray(scheme.dwi_idx)
+    K_d = jnp.asarray(np.transpose(kernels['wm'], (1, 2, 0)), jnp.float32)
+    norms_d = jnp.asarray(kernels['norms'], jnp.float32)
+    iso_d = jnp.asarray(kernels['iso'], jnp.float32)
+
+    @jax.jit
+    def _prep(K_d, Yt_d, iso_d, norms_d, dirs_d):
+        A = jnp.concatenate(
+            [K_d[dirs_d],
+             jnp.broadcast_to(iso_d[None, :, None],
+                              (dirs_d.shape[0], Yt_d.shape[2], 1))], -1)
+        A2 = A[:, dwi, :n_wm] * norms_d[None, None, :]
+        return (gram(A), gram(A2),
+                jnp.einsum('csa,cms->cma', A, Yt_d,
+                           precision=jax.lax.Precision.HIGHEST),
+                Yt_d[:, :, dwi], jnp.swapaxes(A2, 1, 2))
+
+    args = list(_prep(K_d, Yt_d, iso_d, norms_d,
+                      jnp.asarray(plan.tile_dirs))) + [
+        iso_d[dwi],
+        jnp.asarray(kernels['icvf'], jnp.float32),
+        jnp.asarray(kernels['kappa'], jnp.float32)]
+    return plan, args
+
+
+def oracle_maps(scheme, kernels, y, lut_idx, sample):
+    n_wm = kernels['wm'].shape[0]
+    dwi = scheme.dwi_idx
+    est = np.zeros((sample, 3))
+    for i in range(sample):
+        A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
+        x1, _ = native.nnls(A, y[i])
+        y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
+        A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
+        x2 = native.lasso(A2, y2, 0.5, 1e-3)
+        x = np.zeros(n_wm + 1)
+        x[:n_wm] = x2
+        x[-1] = 1.0
+        sup = np.where(x > 0)[0]
+        x3, _ = native.nnls(A[:, sup], y[i])
+        x[:] = 0.0
+        x[sup] = x3
+        sa = x.sum() + 1e-16
+        xn = x[:n_wm] / sa
+        sw = xn.sum() + 1e-16
+        f1 = np.sum(kernels['icvf'] * xn) / sw
+        f2 = np.sum((1 - kernels['icvf']) * xn) / sw
+        k1 = np.sum(kernels['kappa'] * xn) / sw
+        est[i] = [f1 / (f1 + f2 + 1e-16),
+                  2 / np.pi * np.arctan2(1.0, k1), x[-1] / sa]
+    return est
+
+
+S = DEFAULT_NODDI_STAGE_ITERS
+
+VARIANTS = {
+    'base':    dict(M=128),
+    'ee':      dict(M=128, early_exit=True),
+    'm256':    dict(M=256),
+    'm256ee':  dict(M=256, early_exit=True),
+    'm512':    dict(M=512),
+    'm512ee':  dict(M=512, early_exit=True),
+    # all-split3 stage 3 + polish (tests whether the HIGHEST tail pays)
+    'allsplit': dict(M=128, precision=('split3', 'split3', 'split3')),
+    # 1-pass bf16 for the early support-growing rounds, split3 late
+    'fastprec': dict(M=128, precision=(('default', 'split3', 2),
+                                       ('default', 'split3', 3),
+                                       ('split3', 'highest', 2))),
+    # trimmed stage-1 (6 rounds) -- stage 1 only feeds x_iso + warm start
+    'sched1':  dict(M=128, stage_iters=((0, 6, (4, 4, 6, 6, 8, 8), 1),
+                                        S[1], S[2])),
+    # stage-2 single inner pass in the early rounds
+    'inner2':  dict(M=128, stage_iters=(
+        S[0], (0, 10, S[1][2], (1, 1, 1, 1, 2, 2, 2, 2, 2, 2)), S[2])),
+}
+
+
+def main():
+    names = sys.argv[1:] or ['base', 'ee', 'm256', 'm256ee']
+    # pay the tunnel first-download penalty explicitly up front (bench.py
+    # does the same; it has been measured at 6s..1000s+ on this env)
+    t0 = time.time()
+    np.asarray(jax.device_put(np.zeros(1, np.float32)))
+    trace(f'tunnel setup {time.time() - t0:.1f}s')
+    scheme, kernels, y, lut_idx = setup()
+    trace('kernels + voxels ready')
+    interp = jax.default_backend() != 'tpu'
+    oracle = oracle_maps(scheme, kernels, y, lut_idx, SAMPLE)
+    trace('oracle audit ready')
+    args_by_M = {}
+    plan_by_M = {}
+    for name in names:
+        v = dict(VARIANTS[name])
+        M = v.pop('M')
+        if M not in args_by_M:
+            plan_by_M[M], args_by_M[M] = stage_args(scheme, kernels, y,
+                                                    lut_idx, M)
+        plan, args = plan_by_M[M], args_by_M[M]
+        kw = dict(lam1=0.5, lam2=1e-3, stage_iters=DEFAULT_NODDI_STAGE_ITERS,
+                  precision=DEFAULT_NODDI_PRECISION, interpret=interp)
+        kw.update(v)
+        run = lambda: noddi_fused_tiles_pallas(*args, **kw)
+        trace(f'{name}: compiling')
+        t0 = time.time()
+        est = run()
+        est.block_until_ready()
+        t_compile = time.time() - t0
+        best = float('inf')
+        for _ in range(REPS):
+            t0 = time.time()
+            run().block_until_ready()
+            best = min(best, time.time() - t0)
+        # audit: untile the estimate, compare the first SAMPLE voxels
+        from amico_tpu.models.engine import untile_voxels
+        est_np = untile_voxels(plan, np.asarray(est))
+        err = np.abs(est_np[:SAMPLE, :3].astype(np.float64) - oracle)
+        print(f'{name:12s} M={M:<4d} {best*1000:8.1f} ms '
+              f'{N_VOX/best:>10,.0f} vox/s  compile {t_compile:5.1f}s  '
+              f'err med {np.median(err):.2e} p95 {np.percentile(err,95):.2e} '
+              f'max {err.max():.2e}', flush=True)
+
+
+if __name__ == '__main__':
+    main()

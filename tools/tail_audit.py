@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Diagnose the oracle-map-error tail (VERDICT r2 item 6).
+
+For the worst-N audited voxels of the bench workload, compares the TPU
+fused-kernel solution against the exact C++ active-set oracle at every
+stage:
+
+* stage-2 lasso objective value (TPU vs oracle x2) -- is the TPU solve
+  under-converged, or sitting in a different but equally-optimal vertex?
+* stage-2 support sets;
+* final debias NNLS objective + support;
+* per-map (NDI/ODI/FWF) error decomposition.
+
+If objectives agree to ~rtol but supports differ, the tail is valley
+degeneracy of the QP (multiple optimal vertices -> different kappa-weighted
+map averages), which is a property of the model grid, not a solver bug.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+
+import jax
+import jax.numpy as jnp
+
+from amico_tpu.testing import demo_noddi, demo_voxels
+from amico_tpu.io.scheme import Scheme
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from amico_tpu.models.engine import build_tile_plan, tile_voxels, untile_voxels
+from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
+from amico_tpu.ops.solvers import gram
+from amico_tpu.models.base import (DEFAULT_NODDI_PRECISION,
+                                   DEFAULT_NODDI_STAGE_ITERS)
+from amico_tpu.ops import native
+
+SAMPLE = int(os.environ.get('LAB_SAMPLE', 1000))
+WORST = int(os.environ.get('LAB_WORST', 15))
+
+
+def main():
+    np.asarray(jax.device_put(np.zeros(1, np.float32)))   # tunnel setup
+    rows = [np.zeros((9, 4)),
+            np.c_[fibonacci_hemisphere(30), np.full(30, 700.0)],
+            np.c_[fibonacci_hemisphere(60), np.full(60, 2000.0)]]
+    scheme = Scheme(np.vstack(rows))
+    kdir = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_kernels')
+    model, kernels, htable = demo_noddi(scheme, small=False, kernels_dir=kdir)
+    # the bench samples its audit from the first SAMPLE of the full set
+    y, DIRs, lut_idx = demo_voxels(409600, kernels, htable, seed=0)
+    y, lut_idx = y[:SAMPLE], lut_idx[:SAMPLE]
+
+    n_wm = kernels['wm'].shape[0]
+    dwi = scheme.dwi_idx
+    lam1, lam2 = 0.5, 1e-3
+
+    # ---- TPU solve with coefficients
+    plan = build_tile_plan(lut_idx, 128)
+    Yt = jnp.asarray(tile_voxels(plan, y.astype(np.float32)))
+    K_d = jnp.asarray(np.transpose(kernels['wm'], (1, 2, 0)), jnp.float32)
+    iso_d = jnp.asarray(kernels['iso'], jnp.float32)
+    norms_d = jnp.asarray(kernels['norms'], jnp.float32)
+    dwi_j = jnp.asarray(dwi)
+
+    @jax.jit
+    def _prep(K_d, Yt, iso_d, norms_d, dirs_d):
+        A = jnp.concatenate(
+            [K_d[dirs_d],
+             jnp.broadcast_to(iso_d[None, :, None],
+                              (dirs_d.shape[0], Yt.shape[2], 1))], -1)
+        A2 = A[:, dwi_j, :n_wm] * norms_d[None, None, :]
+        return (gram(A), gram(A2),
+                jnp.einsum('csa,cms->cma', A, Yt,
+                           precision=jax.lax.Precision.HIGHEST),
+                Yt[:, :, dwi_j], jnp.swapaxes(A2, 1, 2))
+
+    args = list(_prep(K_d, Yt, iso_d, norms_d, jnp.asarray(plan.tile_dirs))) \
+        + [iso_d[dwi_j], jnp.asarray(kernels['icvf'], jnp.float32),
+           jnp.asarray(kernels['kappa'], jnp.float32)]
+    est_t, x_t = noddi_fused_tiles_pallas(
+        *args, lam1=lam1, lam2=lam2, stage_iters=DEFAULT_NODDI_STAGE_ITERS,
+        precision=DEFAULT_NODDI_PRECISION, want_x=True,
+        interpret=jax.default_backend() != 'tpu')
+    est_tpu = untile_voxels(plan, np.asarray(est_t))[:SAMPLE]
+    x_tpu = untile_voxels(plan, np.asarray(x_t))[:SAMPLE]
+
+    # ---- oracle maps + coefficients
+    est_or = np.zeros((SAMPLE, 3))
+    x2_or_all = np.zeros((SAMPLE, n_wm))
+    x_or_all = np.zeros((SAMPLE, n_wm + 1))
+    for i in range(SAMPLE):
+        A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
+        x1, _ = native.nnls(A, y[i])
+        y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
+        A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
+        x2 = native.lasso(A2, y2, lam1, lam2)
+        x2_or_all[i] = x2
+        x = np.zeros(n_wm + 1)
+        x[:n_wm] = x2
+        x[-1] = 1.0
+        sup = np.where(x > 0)[0]
+        x3, _ = native.nnls(A[:, sup], y[i])
+        x[:] = 0.0
+        x[sup] = x3
+        x_or_all[i] = x
+        sa = x.sum() + 1e-16
+        xn = x[:n_wm] / sa
+        sw = xn.sum() + 1e-16
+        f1 = np.sum(kernels['icvf'] * xn) / sw
+        f2 = np.sum((1 - kernels['icvf']) * xn) / sw
+        k1 = np.sum(kernels['kappa'] * xn) / sw
+        est_or[i] = [f1 / (f1 + f2 + 1e-16),
+                     2 / np.pi * np.arctan2(1.0, k1), x[-1] / sa]
+
+    err = np.abs(est_tpu[:, :3].astype(np.float64) - est_or)
+    worst = np.argsort(err.max(axis=1))[::-1][:WORST]
+    print(f'sample={SAMPLE} err med {np.median(err):.2e} '
+          f'p95 {np.percentile(err, 95):.2e} max {err.max():.2e}')
+    map_names = ['NDI', 'ODI', 'FWF']
+    per_map_max = err.max(axis=0)
+    print('per-map max err: ' + '  '.join(
+        f'{n}={v:.2e}' for n, v in zip(map_names, per_map_max)))
+
+    def lasso_obj(A2, y2, x2):
+        r = A2 @ x2 - y2
+        return 0.5 * r @ r + lam1 * x2.sum() + 0.5 * lam2 * x2 @ x2
+
+    def nnls_obj(A, yv, x):
+        r = A @ x - yv
+        return 0.5 * r @ r
+
+    print(f'\nworst {WORST} voxels:')
+    for i in worst:
+        A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
+        x1o, _ = native.nnls(A, y[i])
+        y2 = np.clip(y[i][dwi] - x1o[-1] * kernels['iso'][dwi], 0, None)
+        A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
+        # TPU stage-2 objective is not directly observable (x2 stays in
+        # VMEM); reconstruct its support from the final solve's support
+        # (mask3 = stage2 support + forced iso atoms)
+        sup_t = set(np.where(x_tpu[i, :n_wm] > 0)[0])
+        sup_o = set(np.where(x_or_all[i, :n_wm] > 0)[0])
+        obj_t = nnls_obj(A, y[i], x_tpu[i])
+        obj_o = nnls_obj(A, y[i], x_or_all[i])
+        m = int(np.argmax(err[i]))
+        d_obj = (obj_t - obj_o) / max(abs(obj_o), 1e-30)
+        print(f'  vox {i:4d} worst={map_names[m]} err={err[i, m]:.3e} | '
+              f'final obj TPU {obj_t:.8e} vs oracle {obj_o:.8e} '
+              f'(rel diff {d_obj:+.1e}) | '
+              f'final supp TPU-only {sorted(sup_t - sup_o)} '
+              f'oracle-only {sorted(sup_o - sup_t)} '
+              f'shared {len(sup_t & sup_o)}')
+        # stage-2 objective from the oracle x2 vs TPU's implied support:
+        # resolve TPU x2 by NNLS restricted to its support (the lasso KKT
+        # point on a fixed support is what stage 2 would converge to)
+        x2o = x2_or_all[i]
+        if sup_t != sup_o:
+            sup_tl = sorted(sup_t)
+            G2s = A2[:, sup_tl]
+            x2t = np.zeros(n_wm)
+            if sup_tl:
+                # lasso restricted to support: solve (G+l2 I) x = A'y - l1
+                Gs = G2s.T @ G2s + lam2 * np.eye(len(sup_tl))
+                rhs = G2s.T @ y2 - lam1
+                x2t[sup_tl] = np.maximum(np.linalg.solve(Gs, rhs), 0)
+            print(f'           stage2 obj: TPU-supp {lasso_obj(A2, y2, x2t):.8e} '
+                  f'oracle {lasso_obj(A2, y2, x2o):.8e}')
+
+
+if __name__ == '__main__':
+    main()
