@@ -330,8 +330,15 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             # Also exit once x stops moving -- the QP solution is unique,
             # so residual working-set churn at fixed x is degenerate
             # cycling, and one such lane would otherwise pin the whole
-            # tile at the round cap
-            cont_it = max(cg_iters, npad_l)
+            # tile at the round cap.
+            # ``converge`` may be an int: the continuation CG budget
+            # (Krylov dim needed = working-set size, which is bounded by
+            # |seed| + rounds run, usually far below npad -- the fused
+            # NODDI stages use this to keep continuation rounds cheap).
+            if isinstance(converge, bool):
+                cont_it = max(cg_iters, npad_l)
+            else:
+                cont_it = max(cg_iters, int(converge))
             xtol = tol * jnp.max(scale)
 
             def cont_round(c):
@@ -485,18 +492,25 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
     exact active-set vertex on the full 145-atom dictionary (see
     tests/test_models_fullgrid.py).  A stage's ``cg`` entry may be a tuple:
     the per-round CG budget (rounds are then unrolled, ``rounds`` must
-    equal its length)."""
+    equal its length).  A stage tuple may carry one extra trailing
+    element: ``converge`` (False | True | int CG budget) -- when set, the
+    stage appends continuation rounds after the schedule until every
+    lane's working set is stable, so the scheduled rounds tune the fast
+    path without capping the reachable support (see _build_as_solve)."""
     if stage_iters is None:
         stage_iters = ((fista_iters, refine_rounds, cg_iters, inner_passes),
                        (fista_iters, refine_rounds, cg_iters, inner_passes),
                        (refine_rounds, cg_iters, inner_passes))
-    (f1_it, r1_it, cg1, i1), (f2_it, r2_it, cg2, i2), (r3_it, cg3, i3) =         stage_iters
+    s1, s2, s3 = stage_iters
+    (f1_it, r1_it, cg1, i1), cvg1 = s1[:4], (s1[4] if len(s1) > 4 else False)
+    (f2_it, r2_it, cg2, i2), cvg2 = s2[:4], (s2[4] if len(s2) > 4 else False)
+    (r3_it, cg3, i3), cvg3 = s3[:3], (s3[3] if len(s3) > 3 else False)
 
     # per-stage precision: a 3-tuple applies one entry per stage (the
     # final debias decides the maps and is the precision-critical solve)
     precs = precision if isinstance(precision, tuple) else (precision,) * 3
 
-    def mk(fista, rounds, cg, inner, prec):
+    def mk(fista, rounds, cg, inner, prec, cvg):
         sched = tuple(cg) if isinstance(cg, tuple) else None
         inns = tuple(inner) if isinstance(inner, tuple) else None
         if inns is not None and sched is None:
@@ -505,11 +519,11 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
         ip = max(inns) if inns else inner
         return _build_as_solve(M, fista, rounds, cg_cap, ip, early_exit,
                                cg_schedule=sched, precision=prec,
-                               inner_schedule=inns)
+                               inner_schedule=inns, converge=cvg)
 
-    solve1 = mk(f1_it, r1_it, cg1, i1, precs[0])
-    solve2 = mk(f2_it, r2_it, cg2, i2, precs[1])
-    solve3 = mk(0, r3_it, cg3, i3, precs[2])
+    solve1 = mk(f1_it, r1_it, cg1, i1, precs[0], cvg1)
+    solve2 = mk(f2_it, r2_it, cg2, i2, precs[1], cvg2)
+    solve3 = mk(0, r3_it, cg3, i3, precs[2], cvg3)
 
     def kernel(G1_ref, G2_ref, B1_ref, Ydwi_ref, A2T_ref, isod_ref,
                icvf_ref, kappa_ref, *out_refs):

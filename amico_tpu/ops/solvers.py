@@ -315,7 +315,11 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
             # remaining working-set churn is degenerate cycling between
             # equivalent supports -- without this, one cycling problem
             # pins the whole batch at the round cap
-            cont_it = max(cg_cap, n)
+            # ``converge`` may be an int: the continuation CG budget (the
+            # Krylov dim needed equals the working-set size, bounded by
+            # |seed| + rounds, usually far below n)
+            cont_it = max(cg_cap, n) if isinstance(converge, bool) \
+                else max(cg_cap, int(converge))
             xtol = tol * jnp.max(scale)
 
             def cont_body(c):

@@ -241,3 +241,61 @@ def test_inner_schedule_matches_uniform(noddi_problem):
     err = np.abs(est_u - est_t)
     assert np.median(err) < 1e-4, np.median(err)
     assert np.percentile(err, 95) < 1e-2, np.percentile(err, 95)
+
+
+def test_stage_converge_flag_refines(noddi_problem):
+    """A trailing per-stage ``converge`` entry (False | True | int CG
+    budget) appends continuation rounds until the working sets are stable.
+    On a deliberately under-scheduled stage 2 the continuation must move
+    the estimates toward the fully-scheduled reference, and the int form
+    must agree with the bool form (the int only caps the continuation CG
+    budget, which exceeds any reachable working set here)."""
+    scheme, kernels = noddi_problem
+    n_wm = kernels['wm'].shape[0]
+    dwi = np.asarray(scheme.dwi_idx)
+    rng = np.random.RandomState(11)
+    C, M = 2, 64
+    ds = rng.randint(0, 500, C)
+    A = np.stack([np.column_stack([kernels['wm'][:, d, :].T, kernels['iso']])
+                  for d in ds])
+    W = rng.rand(C, M, n_wm + 1) * (rng.rand(C, M, n_wm + 1) < 0.3) + 0.05
+    Y = np.einsum('csa,cma->cms', A,
+                  W / np.maximum(W.sum(-1, keepdims=True), 1e-9))
+    Y = np.clip(Y + 0.002 * rng.randn(*Y.shape), 0, None).astype(np.float32)
+    G1 = np.asarray(gram(jnp.asarray(A, jnp.float32)))
+    b1 = np.einsum('csa,cms->cma', A, Y).astype(np.float32)
+    A2 = A[:, dwi, :n_wm] * kernels['norms'][None, None, :]
+    G2 = np.asarray(gram(jnp.asarray(A2, jnp.float32)))
+    args = (jnp.asarray(G1), jnp.asarray(G2), jnp.asarray(b1),
+            jnp.asarray(Y[:, :, dwi]),
+            jnp.asarray(np.swapaxes(A2, 1, 2), jnp.float32),
+            jnp.asarray(kernels['iso'][dwi], jnp.float32),
+            jnp.asarray(kernels['icvf']), jnp.asarray(kernels['kappa']))
+    kw = dict(lam1=0.5, lam2=1e-3, interpret=True)
+
+    s1 = (0, 8, (4, 4, 6, 6, 8, 8, 8, 8), 1)
+    s3 = (6, (16, 10, 8, 8, 8, 8), 2)
+    full = ((s1, (0, 10, (3, 3, 4, 4, 6, 8, 10, 10, 12, 12), 2), s3))
+    short = (s1, (0, 3, (3, 3, 4), 2), s3)           # support capped at 3
+    short_cvg_int = (s1, (0, 3, (3, 3, 4), 2, 24), s3)
+    short_cvg_bool = (s1, (0, 3, (3, 3, 4), 2, True), s3)
+
+    est_full = np.asarray(noddi_fused_tiles_pallas(
+        *args, stage_iters=full, **kw))
+    est_short = np.asarray(noddi_fused_tiles_pallas(
+        *args, stage_iters=short, **kw))
+    est_int = np.asarray(noddi_fused_tiles_pallas(
+        *args, stage_iters=short_cvg_int, **kw))
+    est_bool = np.asarray(noddi_fused_tiles_pallas(
+        *args, stage_iters=short_cvg_bool, **kw))
+
+    # int and bool continuation agree bit-for-bit here (same rounds run;
+    # the int budget 24 >= any working set reachable from 3+cont rounds)
+    np.testing.assert_allclose(est_int, est_bool, atol=1e-6)
+    # the continuation must recover (almost all of) the gap the truncated
+    # schedule opened vs the full schedule
+    gap_short = np.abs(est_short - est_full)
+    gap_cvg = np.abs(est_int - est_full)
+    assert np.percentile(gap_cvg, 95) < max(np.percentile(gap_short, 95) * 0.25,
+                                            2e-3), \
+        (np.percentile(gap_cvg, 95), np.percentile(gap_short, 95))

@@ -134,6 +134,44 @@ VARIANTS = {
     # stage-2 single inner pass in the early rounds
     'inner2':  dict(M=128, stage_iters=(
         S[0], (0, 10, S[1][2], (1, 1, 1, 1, 2, 2, 2, 2, 2, 2)), S[2])),
+    # converge continuation on stage 2 (the tail-audit culprit: stage-2
+    # lands on slightly suboptimal vertices) -- cont CG budget 24
+    'cvg2':    dict(M=128, stage_iters=(S[0], S[1] + (24,), S[2])),
+    # converge on stages 2+3
+    'cvg23':   dict(M=128, stage_iters=(S[0], S[1] + (24,), S[2] + (24,))),
+    # converge everywhere incl. stage 1
+    'cvg123':  dict(M=128, stage_iters=(S[0] + (24,), S[1] + (24,),
+                                        S[2] + (24,))),
+    # bigger stage-2 CG budgets, no continuation
+    'acc2':    dict(M=128, stage_iters=(
+        S[0], (0, 12, (4, 4, 6, 6, 8, 10, 12, 12, 14, 14, 16, 16), 2),
+        S[2])),
+    # raise only the LATE stage-2 budgets (late subproblem exactness is
+    # what fixes the vertex choice), keep 10 rounds
+    'acc2b':   dict(M=128, stage_iters=(
+        S[0], (0, 10, (3, 3, 4, 4, 6, 8, 12, 16, 16, 16), 2), S[2])),
+    # + single inner pass in the early rounds
+    'acc2c':   dict(M=128, stage_iters=(
+        S[0], (0, 10, (3, 3, 4, 4, 6, 8, 12, 16, 16, 16),
+               (1, 1, 1, 1, 2, 2, 2, 2, 2, 2)), S[2])),
+    # full combo: trimmed stage 1 + late-heavy single-inner-early stage 2
+    'tuneA':   dict(M=128, stage_iters=(
+        (0, 6, (4, 4, 6, 6, 8, 8), 1),
+        (0, 10, (3, 3, 4, 4, 6, 8, 12, 16, 16, 16),
+         (1, 1, 1, 1, 2, 2, 2, 2, 2, 2)), S[2])),
+    # 12 rounds, moderate budgets (acc2's gain traced to the 2 extra
+    # rounds -- reachable support size -- not the budget bumps)
+    'r12':     dict(M=128, stage_iters=(
+        S[0], (0, 12, (3, 3, 4, 4, 6, 8, 10, 10, 12, 12, 12, 12), 2),
+        S[2])),
+    # 12 rounds + single-inner early rounds
+    'r12i':    dict(M=128, stage_iters=(
+        S[0], (0, 12, (3, 3, 4, 4, 6, 8, 10, 10, 12, 12, 12, 12),
+               (1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2)), S[2])),
+    # 10 rounds + cheap bounded continuation (adaptive extra rounds only
+    # on tiles that still churn)
+    '10cvg16': dict(M=128, stage_iters=(
+        S[0], S[1] + (16,), S[2])),
 }
 
 
