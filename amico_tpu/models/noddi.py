@@ -172,12 +172,16 @@ class NODDI(BaseModel):
         (s1f, s1r, s1cg, s1i) = _s1[:4]
         (s2f, s2r, s2cg, s2i) = _s2[:4]
         (s3r, s3cg, s3i) = _s3[:3]
-        # optional trailing per-stage ``converge`` flag (False|True|int CG
-        # budget): continuation rounds after the schedule until the
-        # working sets are stable (ops/pallas_qp._make_noddi_kernel)
+        # optional trailing per-stage entries: ``converge`` (False|True|int
+        # CG budget -- continuation rounds after the schedule until the
+        # working sets are stable) and ``add_k`` (top-k atom adds per
+        # round); see ops/pallas_qp._make_noddi_kernel
         s1cv = _s1[4] if len(_s1) > 4 else False
         s2cv = _s2[4] if len(_s2) > 4 else False
         s3cv = _s3[3] if len(_s3) > 3 else False
+        s1ak = int(_s1[5]) if len(_s1) > 5 else 1
+        s2ak = int(_s2[5]) if len(_s2) > 5 else 1
+        s3ak = int(_s3[4]) if len(_s3) > 4 else 1
         # per-round inner-pass tuples are a fused-kernel refinement; the
         # stagewise XLA path takes their cap (ops/solvers has one inner
         # count per solve)
@@ -298,7 +302,8 @@ class NODDI(BaseModel):
             x1 = solve_tiles(G1, b1, L1, 0.0, 0.0, backend=backend,
                              solver_kw=dict(fista_iters=s1f, cd_sweeps=0,
                                             refine_rounds=s1r, cg_iters=s1cg,
-                                            inner_passes=s1i, converge=s1cv))
+                                            inner_passes=s1i, converge=s1cv,
+                                            add_k=s1ak))
             x_iso1 = x1[..., -1]
 
             # ---- stage 2: scaled DWI-only lasso (models.pyx:914-926)
@@ -312,7 +317,8 @@ class NODDI(BaseModel):
                              backend=backend,
                              solver_kw=dict(fista_iters=s2f, cd_sweeps=0,
                                             refine_rounds=s2r, cg_iters=s2cg,
-                                            inner_passes=s2i, converge=s2cv))
+                                            inner_passes=s2i, converge=s2cv,
+                                            add_k=s2ak))
 
             # ---- stage 3: debias on the positive support (models.pyx:928-942)
             mask_wm = (x2 > 0.0).astype(Y.dtype)
@@ -324,7 +330,8 @@ class NODDI(BaseModel):
                             backend=backend, m0=mask, x0=x1 * mask,
                             solver_kw=dict(fista_iters=0, cd_sweeps=0,
                                            refine_rounds=s3r, cg_iters=s3cg,
-                                           inner_passes=s3i, converge=s3cv))
+                                           inner_passes=s3i, converge=s3cv,
+                                           add_k=s3ak))
 
             # ---- estimates (models.pyx:944-967)
             sum_atoms = jnp.sum(x, axis=-1) + 1e-16

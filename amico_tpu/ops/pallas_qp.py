@@ -76,7 +76,8 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                     cg_schedule: tuple | None = None,
                     precision=_HI,
                     inner_schedule: tuple | None = None,
-                    converge: bool = False):
+                    converge: bool = False,
+                    add_k: int = 1):
     """Build the shared in-kernel solver: FISTA (in-kernel power-iteration
     Lipschitz estimate, adaptive restart) followed by Lawson-Hanson-style
     active-set rounds with masked-CG subproblem solves.
@@ -104,6 +105,11 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
     budget) after the scheduled ones until every lane's working set is
     stable -- the round count then tunes the fast path instead of capping
     the reachable support size (see ops.solvers.nneg_qp_batch).
+    ``add_k`` adds the top-k violated atoms per round instead of the
+    classic single most-violated one: the reachable support grows k per
+    round, so k=2 halves the rounds a large support needs; a wrongly
+    co-added atom is removed by the same line-search pruning that serves
+    the k=1 path (it just becomes reachable one round earlier).
     ``precision`` sets the MXU precision of every in-kernel matvec.
     Mixed forms trade MXU passes for exactness only where it matters:
 
@@ -220,7 +226,11 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
 
         def inner_solve(x, m, iters=cg_iters, mvf=mv):
             z = cg(m, x, iters, mvf)
-            neg = (z <= 0.0) & (m > 0.0)
+            # classic LH ratio test: only coords with x > 0 bound the
+            # step -- an entering atom (x == 0) with non-positive z would
+            # freeze alpha at 0 and livelock the round on an add->prune
+            # cycle; excluded, it is pruned right below instead
+            neg = (z <= 0.0) & (m > 0.0) & (x > 0.0)
             ratio = jnp.where(neg, x / (x - z + 1e-30), big)
             alpha = jnp.clip(jnp.min(ratio, axis=0, keepdims=True), 0.0, 1.0)
             x = (x + alpha * (z - x)) * m
@@ -241,6 +251,16 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
             rows = jax.lax.broadcasted_iota(jnp.int32, (npad_l, M), 0)
             onehot = (rows == jstar).astype(jnp.float32)
             m_new = jnp.minimum(m + add * onehot, 1.0)
+            for _k in range(1, add_k):
+                # next most-violated atom (same tol gate); stability below
+                # keys on the FIRST add -- if even wmax fails the gate no
+                # later candidate can pass it
+                w_cand = jnp.where(rows == jstar, -big, w_cand)
+                wk = jnp.max(w_cand, axis=0, keepdims=True)
+                jstar = jnp.argmax(w_cand, axis=0)[None, :]
+                addk = (wk > tol * scale).astype(jnp.float32)
+                m_new = jnp.minimum(
+                    m_new + addk * (rows == jstar).astype(jnp.float32), 1.0)
             # tile-converged: no violated atoms added and no working-set
             # churn anywhere in the tile this round
             stable = jnp.logical_and(jnp.max(add) <= 0.0,
@@ -364,12 +384,12 @@ def _make_kernel(n: int, npad: int, M: int, lam1: float, lam2: float,
                  fista_iters: int, cd_sweeps: int, refine_rounds: int,
                  cg_iters, has_mask: bool, inner_passes: int = 2,
                  has_warm: bool = False, early_exit: bool = False,
-                 converge: bool = False):
+                 converge: bool = False, add_k: int = 1):
     sched = tuple(cg_iters) if isinstance(cg_iters, tuple) else None
     cg_cap = max(sched) if sched else cg_iters
     as_solve = _build_as_solve(M, fista_iters, refine_rounds, cg_cap,
                                inner_passes, early_exit, cg_schedule=sched,
-                               converge=converge)
+                               converge=converge, add_k=add_k)
 
     def kernel(*refs):
         refs = list(refs)
@@ -398,12 +418,14 @@ def _make_kernel(n: int, npad: int, M: int, lam1: float, lam2: float,
 @functools.partial(jax.jit, static_argnames=('lam1', 'lam2', 'fista_iters',
                                              'cd_sweeps', 'refine_rounds',
                                              'cg_iters', 'interpret',
-                                             'inner_passes', 'converge'))
+                                             'inner_passes', 'converge',
+                                             'add_k'))
 def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
                          fista_iters: int = 60, cd_sweeps: int = 4,
                          refine_rounds: int = 14, cg_iters: int = 24,
                          interpret: bool = False, inner_passes: int = 2,
-                         m0=None, x0=None, converge: bool = False):
+                         m0=None, x0=None, converge: bool = False,
+                         add_k: int = 1):
     """Per-tile QP solve: G (C, n, n), b (C, M, n), L (C,) -> x (C, M, n).
 
     Same problem and same math as ops.solvers.nneg_qp_batch with a per-tile
@@ -447,7 +469,7 @@ def nneg_qp_tiles_pallas(G, b, L, lam1=0.0, lam2=0.0, mask=None,
                           int(fista_iters), int(cd_sweeps),
                           int(refine_rounds), cg_iters, has_mask,
                           int(inner_passes), has_warm,
-                          converge=bool(converge))
+                          converge=converge, add_k=int(add_k))
 
     xT = pl.pallas_call(
         kernel,
@@ -496,21 +518,29 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
     element: ``converge`` (False | True | int CG budget) -- when set, the
     stage appends continuation rounds after the schedule until every
     lane's working set is stable, so the scheduled rounds tune the fast
-    path without capping the reachable support (see _build_as_solve)."""
+    path without capping the reachable support (see _build_as_solve) --
+    and optionally a second extra element ``add_k`` (top-k atom adds per
+    round, default 1)."""
     if stage_iters is None:
         stage_iters = ((fista_iters, refine_rounds, cg_iters, inner_passes),
                        (fista_iters, refine_rounds, cg_iters, inner_passes),
                        (refine_rounds, cg_iters, inner_passes))
     s1, s2, s3 = stage_iters
-    (f1_it, r1_it, cg1, i1), cvg1 = s1[:4], (s1[4] if len(s1) > 4 else False)
-    (f2_it, r2_it, cg2, i2), cvg2 = s2[:4], (s2[4] if len(s2) > 4 else False)
-    (r3_it, cg3, i3), cvg3 = s3[:3], (s3[3] if len(s3) > 3 else False)
+
+    def _opt(t, base_len):
+        cvg = t[base_len] if len(t) > base_len else False
+        akk = t[base_len + 1] if len(t) > base_len + 1 else 1
+        return cvg, akk
+
+    (f1_it, r1_it, cg1, i1), (cvg1, ak1) = s1[:4], _opt(s1, 4)
+    (f2_it, r2_it, cg2, i2), (cvg2, ak2) = s2[:4], _opt(s2, 4)
+    (r3_it, cg3, i3), (cvg3, ak3) = s3[:3], _opt(s3, 3)
 
     # per-stage precision: a 3-tuple applies one entry per stage (the
     # final debias decides the maps and is the precision-critical solve)
     precs = precision if isinstance(precision, tuple) else (precision,) * 3
 
-    def mk(fista, rounds, cg, inner, prec, cvg):
+    def mk(fista, rounds, cg, inner, prec, cvg, akk):
         sched = tuple(cg) if isinstance(cg, tuple) else None
         inns = tuple(inner) if isinstance(inner, tuple) else None
         if inns is not None and sched is None:
@@ -519,11 +549,12 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
         ip = max(inns) if inns else inner
         return _build_as_solve(M, fista, rounds, cg_cap, ip, early_exit,
                                cg_schedule=sched, precision=prec,
-                               inner_schedule=inns, converge=cvg)
+                               inner_schedule=inns, converge=cvg,
+                               add_k=int(akk))
 
-    solve1 = mk(f1_it, r1_it, cg1, i1, precs[0], cvg1)
-    solve2 = mk(f2_it, r2_it, cg2, i2, precs[1], cvg2)
-    solve3 = mk(0, r3_it, cg3, i3, precs[2], cvg3)
+    solve1 = mk(f1_it, r1_it, cg1, i1, precs[0], cvg1, ak1)
+    solve2 = mk(f2_it, r2_it, cg2, i2, precs[1], cvg2, ak2)
+    solve3 = mk(0, r3_it, cg3, i3, precs[2], cvg3, ak3)
 
     def kernel(G1_ref, G2_ref, B1_ref, Ydwi_ref, A2T_ref, isod_ref,
                icvf_ref, kappa_ref, *out_refs):

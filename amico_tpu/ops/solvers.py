@@ -105,7 +105,7 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
                   fista_iters: int = 200, cd_sweeps: int = 40, x0=None,
                   refine_rounds: int = 0, cg_iters: int = 32,
                   inner_passes: int = 2, m0=None, early_exit: bool = True,
-                  converge: bool = False):
+                  converge: bool = False, add_k: int = 1):
     """Solve min_x 0.5 x'Gx - b'x + lam1 1'x + 0.5 lam2 |x|^2,  x >= 0
     for a broadcastable batch of problems.
 
@@ -134,6 +134,10 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
         a *tuning* of the fast path, not a support-size cap.  Costs
         nothing when the batch is already stable (while_loop exits on
         entry).
+    add_k : top-k violated atoms added per active-set round (default 1 =
+        classic Lawson-Hanson).  k=2 halves the rounds a large support
+        needs; wrongly co-added atoms are removed by the same pruning
+        that serves the k=1 path.
     """
     b = jnp.asarray(b)
     G = jnp.asarray(G, b.dtype)
@@ -241,7 +245,13 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
         def inner_solve(carry, iters=cg_cap):
             x, m = carry
             z = _cg_masked(G, b_eff, m, x, lam2, iters)
-            neg = (z <= 0.0) & (m > 0.0)
+            # classic LH ratio test: only coords with x > 0 bound the step.
+            # An ENTERING atom (x == 0) whose subproblem value comes back
+            # non-positive would give ratio 0/(0 - z) = 0 and freeze the
+            # whole step (alpha = 0), livelocking the round on an
+            # add->prune cycle; excluding it lets the step proceed and the
+            # tol prune below remove that atom immediately instead
+            neg = (z <= 0.0) & (m > 0.0) & (x > 0.0)
             ratio = jnp.where(neg, x / (x - z + 1e-30), big)
             alpha = jnp.clip(jnp.min(ratio, axis=-1, keepdims=True), 0.0, 1.0)
             x = (x + alpha * (z - x)) * m
@@ -262,6 +272,15 @@ def nneg_qp_batch(G, b, lam1=0.0, lam2=0.0, mask=None, L=None,
             add = (wmax > tol * scale).astype(b.dtype)
             onehot = jax.nn.one_hot(jstar, b.shape[-1], dtype=b.dtype)
             m_new = jnp.minimum(m + add * onehot, 1.0)
+            for _k in range(1, add_k):
+                # next most-violated atom under the same tol gate;
+                # stability keys on the first add (wmax bounds the rest)
+                w_cand = jnp.where(onehot > 0.0, -big, w_cand)
+                jstar = jnp.argmax(w_cand, axis=-1)
+                wk = jnp.take_along_axis(w_cand, jstar[..., None], axis=-1)
+                addk = (wk > tol * scale).astype(b.dtype)
+                onehot = jax.nn.one_hot(jstar, b.shape[-1], dtype=b.dtype)
+                m_new = jnp.minimum(m_new + addk * onehot, 1.0)
             stable = jnp.logical_and(
                 jnp.max(add) <= 0.0,
                 jnp.max(jnp.abs(m_new - m_before)) <= 0.0)
