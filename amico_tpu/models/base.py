@@ -48,8 +48,19 @@ DEFAULT_CG_ITERS = 12
 # final polish on large supports), adopted only with both error
 # distributions unchanged: -12.5% solve time (608 -> 532 ms full brain,
 # 770k vox/s solver-only on v5e)
-DEFAULT_NODDI_STAGE_ITERS = ((0, 8, (4, 4, 6, 6, 8, 8, 8, 8), 1),
-                             (0, 10, (3, 3, 4, 4, 6, 8, 10, 10, 12, 12), 2),
+# round-3 retune: top-2 atom adds per round (trailing add_k=2 entries) --
+# the support a stage can reach grows 2 atoms/round, so stage 1 does in 5
+# rounds and stage 2 in 6 what took 8/10 single-add rounds, and the
+# map-error tail IMPROVES (the old 10-round stage 2 could not reach the
+# supports behind the p95 tail; diagnosed with tools/tail_audit.py:
+# stage-2 vertices one kappa-grid atom off the oracle's).  Stage 3 stays
+# single-add/6 rounds: trimming it to 5 doubled the max ODI error
+# (1.09e-1 vs 4.3e-2).  Measured on v5e at the production 1024-lane
+# width: 907k vox/s solver-only (vs 770k), oracle map err med 1.6e-5 /
+# p95 4.7e-3 / max 4.3e-2 (vs med 1.8e-5 / p95 5.2e-3).
+DEFAULT_NODDI_STAGE_ITERS = ((0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+                             (0, 6, (4, 6, 8, 10, 12, 14),
+                              (1, 1, 2, 2, 2, 2), False, 2),
                              (6, (16, 10, 8, 8, 8, 8), 2))
 # per-stage MXU precision for the fused NODDI kernel: stages 1-2 only pick
 # supports and tolerate bf16x3 (~21 mantissa bits, 3 one-pass dots instead

@@ -172,6 +172,78 @@ VARIANTS = {
     # on tiles that still churn)
     '10cvg16': dict(M=128, stage_iters=(
         S[0], S[1] + (16,), S[2])),
+    # top-2 atom adds per round: 12-atom supports reachable in 7 rounds
+    'k2a':     dict(M=128, stage_iters=(
+        S[0], (0, 7, (4, 6, 8, 10, 12, 12, 12), 2, False, 2), S[2])),
+    # + stage-1 top-2 in 5 rounds
+    'k2b':     dict(M=128, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 7, (4, 6, 8, 10, 12, 12, 12), 2, False, 2), S[2])),
+    # + single-inner early stage-2 rounds
+    'k2c':     dict(M=128, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 7, (4, 6, 8, 10, 12, 12, 12), (1, 1, 2, 2, 2, 2, 2), False, 2),
+        S[2])),
+    # k2c on 256-lane tiles
+    'k2c256':  dict(M=256, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 7, (4, 6, 8, 10, 12, 12, 12), (1, 1, 2, 2, 2, 2, 2), False, 2),
+        S[2])),
+    # k2c + only the LAST stage-3 round at HIGHEST
+    'k2cP':    dict(M=128, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 7, (4, 6, 8, 10, 12, 12, 12), (1, 1, 2, 2, 2, 2, 2), False, 2),
+        S[2]), precision=('split3', 'split3', ('split3', 'highest', 1))),
+    # k2c with 6 stage-2 rounds
+    'k2d':     dict(M=128, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        S[2])),
+    # k2c + bounded stage-2 continuation as a support-cap safety net
+    'k2cv':    dict(M=128, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 7, (4, 6, 8, 10, 12, 12, 12), (1, 1, 2, 2, 2, 2, 2), 16, 2),
+        S[2])),
+    # k2c + trimmed warm-seeded stage 3 (adds are rare there)
+    'k2e':     dict(M=128, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 7, (4, 6, 8, 10, 12, 12, 12), (1, 1, 2, 2, 2, 2, 2), False, 2),
+        (4, (16, 12, 10, 8), 2))),
+    # k2d on 256-lane tiles
+    'k2d256':  dict(M=256, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        S[2])),
+    # top-3 adds: 12-atom support reachable in 4 stage-2 rounds
+    'k3a':     dict(M=128, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 5, (4, 8, 12, 16, 16), (1, 2, 2, 2, 2), False, 3),
+        S[2])),
+    # k2d + 4-round top-2 stage 1
+    'k2f':     dict(M=128, stage_iters=(
+        (0, 4, (6, 8, 10, 12), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        S[2])),
+    # k2d + 5-round stage 3
+    'k2g':     dict(M=128, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        (5, (16, 12, 10, 8, 8), 2))),
+    # production lane width (auto_tile_size picks 1024 on the bench
+    # distribution -- full lanes amortize MXU weight-block reloads)
+    'base1024': dict(M=1024),
+    'k2c1024': dict(M=1024, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 7, (4, 6, 8, 10, 12, 12, 12), (1, 1, 2, 2, 2, 2, 2), False, 2),
+        S[2])),
+    'k2d1024': dict(M=1024, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        S[2])),
+    'k2g1024': dict(M=1024, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        (5, (16, 12, 10, 8, 8), 2))),
 }
 
 
