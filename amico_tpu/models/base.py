@@ -83,16 +83,17 @@ DEFAULT_NODDI_PRECISION = ('split3', 'split3', ('split3', 'highest', 2))
 # lambda2=4 ridge spreads weight over all 21 correlated cylinder atoms
 # -- verified 0.59 max-abs coefficient error vs the exact native oracle
 # at a hard 12-round cap).  Stable tiles pay nothing (while_loop exits
-# on entry).  ``add_k=2`` adds the top-2 violated atoms per round, so the
-# scheduled 7 rounds reach 14-atom supports (the continuation still
-# covers anything larger); oracle parity unchanged (tests/test_models*).
+# on entry).  NB: top-2 adds (add_k=2), a big win for NODDI's 144-atom
+# stage 2, are a 2x REGRESSION here (measured on v5e: FreeWater 794k ->
+# 359k, SANDI 776k -> 370k vox/s): on these small correlated
+# dictionaries the second add usually overshoots, and the add->prune
+# churn keeps working sets unstable into the converge continuation.
 DEFAULT_AS_SOLVER_KW = {
     'fista_iters': 0,
     'cd_sweeps': 0,
-    'refine_rounds': 7,
-    'cg_iters': (6, 8, 10, 12, 12, 12, 12),
+    'refine_rounds': 12,
+    'cg_iters': (6, 6, 6, 10, 10, 10, 12, 12, 12, 12, 12, 12),
     'converge': True,
-    'add_k': 2,
 }
 # dense-support single-solve default (CylinderZeppelinBall's lambda2=4):
 # the big ridge both spreads the optimal support over all 21 correlated
