@@ -116,3 +116,32 @@ def test_float32_accuracy_noddi_like():
         x_ref = native.lasso(A, Y[i], 0.5, 1e-3)
         denom = max(np.abs(x_ref).max(), 1e-6)
         assert np.abs(X32[i] - x_ref).max() / denom < 5e-3
+
+
+def test_add_k_oracle_parity_both_backends():
+    """Top-k atom adds (add_k=2,3) must reach the same oracle vertex as
+    classic single adds: wrongly co-added atoms are pruned by the
+    line-search (which excludes entering x==0 atoms from the ratio test --
+    the livelock regression this guards, see pallas_qp inner_solve)."""
+    from amico_tpu.ops.solvers import gram, nneg_qp_batch
+    from amico_tpu.ops.pallas_qp import nneg_qp_tiles_pallas
+
+    rng = np.random.RandomState(0)
+    m, n, B = 40, 20, 16
+    A = np.abs(rng.randn(m, n)).astype(np.float32)
+    Xt = (rng.rand(B, n) * (rng.rand(B, n) < 0.4)).astype(np.float32)
+    Y = Xt @ A.T + 0.01 * rng.randn(B, m).astype(np.float32)
+    G = np.asarray(gram(jnp.asarray(A)))
+    b = Y @ A
+    kw = dict(fista_iters=0, cd_sweeps=0, refine_rounds=6,
+              cg_iters=(4, 6, 8, 10, 12, 12), converge=True)
+    x_or = np.stack([native.nnls(A, Y[i])[0] for i in range(B)])
+    for k in (2, 3):
+        xk = np.asarray(nneg_qp_batch(jnp.asarray(G), jnp.asarray(b),
+                                      add_k=k, **kw))
+        assert np.abs(xk - x_or).max() < 5e-4, (k, np.abs(xk - x_or).max())
+    xp = np.asarray(nneg_qp_tiles_pallas(
+        jnp.asarray(np.broadcast_to(G, (2, n, n)).copy()),
+        jnp.asarray(b.reshape(2, 8, n).copy()), jnp.ones(2),
+        add_k=2, interpret=True, **kw))
+    assert np.abs(xp.reshape(B, n) - x_or).max() < 5e-4
