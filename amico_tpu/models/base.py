@@ -49,29 +49,35 @@ DEFAULT_CG_ITERS = 12
 # distributions unchanged: -12.5% solve time (608 -> 532 ms full brain,
 # 770k vox/s solver-only on v5e)
 # round-3 retune: top-2 atom adds per round (trailing add_k=2 entries) --
-# the support a stage can reach grows 2 atoms/round, so stage 1 does in 5
+# the support a stage can reach grows 2 atoms/round, so stage 1 does in 4
 # rounds and stage 2 in 6 what took 8/10 single-add rounds, and the
 # map-error tail IMPROVES (the old 10-round stage 2 could not reach the
 # supports behind the p95 tail; diagnosed with tools/tail_audit.py:
 # stage-2 vertices one kappa-grid atom off the oracle's).  Stage 3 stays
-# single-add/6 rounds: trimming it to 5 doubled the max ODI error
-# (1.09e-1 vs 4.3e-2).  Measured on v5e at the production 1024-lane
-# width: 907k vox/s solver-only (vs 770k), oracle map err med 1.6e-5 /
-# p95 4.7e-3 / max 4.3e-2 (vs med 1.8e-5 / p95 5.2e-3).
-DEFAULT_NODDI_STAGE_ITERS = ((0, 5, (6, 8, 8, 10, 10), 1, False, 2),
-                             (0, 6, (4, 6, 8, 10, 12, 14),
+# single-add/6 rounds with untouched budgets and inner passes: every
+# stage-3 trim tried (5 rounds / smaller tail budgets / single-pass late
+# inners / fewer HIGHEST rounds) blew up the max or p95 ODI error --
+# the debias prune cascade IS the accuracy-critical work.  Measured on
+# v5e at the production 1024-lane width: 980k vox/s solver-only (vs
+# 770k round 2), oracle map err med 1.5e-5 / p95 4.7e-3 / max 4.3e-2
+# (vs med 1.8e-5 / p95 5.2e-3 / max 4.3e-2).
+DEFAULT_NODDI_STAGE_ITERS = ((0, 4, (4, 6, 8, 10), 1, False, 2),
+                             (0, 6, (3, 5, 8, 10, 12, 14),
                               (1, 1, 2, 2, 2, 2), False, 2),
                              (6, (16, 10, 8, 8, 8, 8), 2))
 # per-stage MXU precision for the fused NODDI kernel: stages 1-2 only pick
 # supports and tolerate bf16x3 (~21 mantissa bits, 3 one-pass dots instead
-# of HIGHEST's ~6 passes).  The debias stage determines the maps, but its
-# early rounds also only grow the working set -- they run bf16x3 too; the
-# last 2 rounds (which settle the support) and the final masked-CG polish
-# (which sets the returned values) stay exact f32.  Validated vs the exact
-# oracle (med 1.3e-5, p95 3.7e-3 -- indistinguishable from all-HIGHEST
-# debias), +6.5% over the all-HIGHEST-stage-3 schedule on v5e
-# (tests/test_models_fullgrid.py)
-DEFAULT_NODDI_PRECISION = ('split3', 'split3', ('split3', 'highest', 2))
+# of HIGHEST's ~6 passes).  Stage 1 (which only feeds x_iso and the
+# stage-3 warm start) runs its early support-growing rounds at plain
+# 1-pass bf16, keeping only the last round + polish at bf16x3 -- map
+# error unchanged; the same trick on stage 2 is NOT safe (p95 5x worse:
+# its support IS the answer).  The debias stage determines the maps, but
+# its early rounds also only grow the working set -- they run bf16x3
+# too; the last 2 rounds (which settle the support) and the final
+# masked-CG polish (which sets the returned values) stay exact f32.
+# Validated vs the exact oracle every bench run (oracle_map_err_*).
+DEFAULT_NODDI_PRECISION = (('default', 'split3', 1), 'split3',
+                           ('split3', 'highest', 2))
 # single-solve models (FreeWater / CylinderZeppelinBall / SANDI): same
 # pure-Lawson-Hanson-from-empty recipe -- their dictionaries are small
 # (11-26 atoms) and supports usually sparse, so 12 progressive rounds

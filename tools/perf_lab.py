@@ -244,6 +244,69 @@ VARIANTS = {
         (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
         (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
         (5, (16, 12, 10, 8, 8), 2))),
+    # ---- stage-time breakdown at the adopted default (approximate: the
+    # silenced stages still run 1 round at budget 1)
+    'only1':  dict(M=1024, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 1, (1,), 1), (1, (1,), 1))),
+    'only12': dict(M=1024, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        (1, (1,), 1))),
+    # ---- trims on top of the adopted default
+    'k2h':    dict(M=1024, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        (6, (12, 10, 8, 8, 6, 6), 2))),
+    'k2i':    dict(M=1024, stage_iters=(
+        (0, 5, (6, 8, 8, 10, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        (6, (16, 10, 8, 8, 8, 8), (2, 2, 2, 1, 1, 1)))),
+    'k2j':    dict(M=1024, stage_iters=(
+        (0, 5, (4, 6, 8, 8, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        S[2])),
+    # stage-1 early rounds at 1-pass bf16 (stage 1 only feeds x_iso)
+    'p1d':    dict(M=1024, precision=(('default', 'split3', 2), 'split3',
+                                      ('split3', 'highest', 2))),
+    # safe combo: trimmed stage-1 budgets + 1-pass-bf16 early stage 1
+    'k2jp':   dict(M=1024, stage_iters=(
+        (0, 5, (4, 6, 8, 8, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        S[2]), precision=(('default', 'split3', 2), 'split3',
+                          ('split3', 'highest', 2))),
+    # + milder stage-3 inner trim than k2i (last 2 rounds single-pass)
+    'k2m':    dict(M=1024, stage_iters=(
+        (0, 5, (4, 6, 8, 8, 10), 1, False, 2),
+        (0, 6, (4, 6, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        (6, (16, 10, 8, 8, 8, 8), (2, 2, 2, 2, 1, 1))),
+              precision=(('default', 'split3', 2), 'split3',
+                         ('split3', 'highest', 2))),
+    # + trimmed early stage-2 budgets
+    'k2q':    dict(M=1024, stage_iters=(
+        (0, 5, (4, 6, 8, 8, 10), 1, False, 2),
+        (0, 6, (3, 5, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        S[2]), precision=(('default', 'split3', 2), 'split3',
+                          ('split3', 'highest', 2))),
+    # k2q + stage-2 early rounds at 1-pass bf16
+    'k2s':    dict(M=1024, stage_iters=(
+        (0, 5, (4, 6, 8, 8, 10), 1, False, 2),
+        (0, 6, (3, 5, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        S[2]), precision=(('default', 'split3', 2), ('default', 'split3', 3),
+                          ('split3', 'highest', 2))),
+    # k2q + mild stage-3 tail-budget trim
+    'k2t':    dict(M=1024, stage_iters=(
+        (0, 5, (4, 6, 8, 8, 10), 1, False, 2),
+        (0, 6, (3, 5, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        (6, (16, 10, 8, 8, 8, 6), 2)),
+              precision=(('default', 'split3', 2), 'split3',
+                         ('split3', 'highest', 2))),
+    # k2q + 4-round stage 1
+    'k2u':    dict(M=1024, stage_iters=(
+        (0, 4, (4, 6, 8, 10), 1, False, 2),
+        (0, 6, (3, 5, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+        S[2]), precision=(('default', 'split3', 1), 'split3',
+                          ('split3', 'highest', 2))),
 }
 
 
