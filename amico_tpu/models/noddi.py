@@ -66,12 +66,18 @@ class NODDI(BaseModel):
                    backend=None, stage_iters=None, precision=None):
         """Defaults per reference models.pyx:721-724.  ``stage_iters``
         overrides the per-stage solver schedule
-        ((fista, rounds, cg, inner) x2, (rounds, cg, inner)); the default
-        (base.DEFAULT_NODDI_STAGE_ITERS) is a pure active-set schedule
-        validated against the exact oracle on the full dictionary.
-        ``precision`` overrides the per-stage MXU precision of the fused
-        kernel ('highest' | 'split3', or a 3-tuple; default
-        base.DEFAULT_NODDI_PRECISION)."""
+        ((fista, rounds, cg, inner) x2, (rounds, cg, inner)); a ``cg``
+        entry may be a per-round tuple (rounds unroll), an ``inner``
+        entry may be a per-round tuple, and each stage tuple may carry up
+        to two trailing entries: ``converge`` (False | True | int
+        continuation-CG budget -- stability continuation rounds after the
+        schedule) and ``add_k`` (top-k violated-atom adds per round).
+        The default (base.DEFAULT_NODDI_STAGE_ITERS) is a pure active-set
+        schedule validated against the exact oracle on the full
+        dictionary.  ``precision`` overrides the per-stage MXU precision
+        of the fused kernel ('highest' | 'split3' | 'default', a
+        (iter, polish) / (iter, late, n_late) pair, or a 3-tuple of
+        per-stage entries; default base.DEFAULT_NODDI_PRECISION)."""
         self._set_solver_common(lambda1, lambda2, fista_iters, cd_sweeps,
                                 refine_rounds, cg_iters, backend)
         if stage_iters is not None:

@@ -65,7 +65,7 @@ def main():
                 [sys.executable, os.path.abspath(__file__)],
                 env={**os.environ, 'BENCH_WARM_PROBE': '1'},
                 capture_output=True, text=True,
-                timeout=float(os.environ.get('BENCH_PROBE_TIMEOUT', 900)))
+                timeout=float(os.environ.get('BENCH_PROBE_TIMEOUT', 540)))
             sys.stderr.write(r.stderr)
             probe_line = r.stdout.strip().splitlines()[-1]
             p = json.loads(probe_line)
@@ -304,11 +304,65 @@ def main():
     cpu_voxps = cpu_voxps_1t * (os.cpu_count() or 1)
     map_err = np.abs(np.asarray(est[:sample, :3], np.float64) - est_oracle)
 
+    def emit(extra):
+        out = {
+            'metric': 'voxels/sec NODDI full-dictionary 3-stage fit',
+            'value': round(voxps, 1),
+            'unit': 'voxels/sec',
+            'vs_baseline': round(voxps / cpu_voxps, 2),
+            'detail': {
+                'n_voxels': n_vox,
+                'n_atoms': n_wm + 1,
+                'nS': scheme.nS,
+                'fit_seconds': round(t_fit, 2),
+                'staged_fit_seconds': round(t_staged, 2),
+                'staged_voxps': round(staged_voxps, 1),
+                'upload_seconds_clean': round(t_upload, 3),
+                'reupload_fit_seconds_degraded_tunnel': round(t_reup, 2),
+                'solver_only_voxps': round(solver_voxps, 1),
+                'solver_only_ms': round(t_sol * 1000, 1),
+                # compile_seconds/cold_start_seconds: THIS process's first
+                # fit.  The probe subprocess above already populated the
+                # persistent cache on these exact shapes, so these are
+                # cross-process WARM numbers (the judged claim); probe_*
+                # carries whatever the environment's prior cache state
+                # cost.
+                'compile_seconds': round(t_compile, 1) if compile_known
+                else None,
+                'warm_compile_seconds': round(t_compile, 1) if compile_known
+                else None,
+                'cold_start_seconds': round(t_cold, 1),
+                'tunnel_setup_seconds': round(t_tunnel, 1),
+                'kernel_gen_seconds': round(t_kernels, 1),
+                **probe,
+                'cpu_baseline_voxps_per_core': round(cpu_voxps_1t, 1),
+                'cpu_baseline_voxps_allcores': round(cpu_voxps, 1),
+                'cpu_cores': os.cpu_count(),
+                'oracle_map_err_med': float(np.median(map_err)),
+                'oracle_map_err_p95': float(np.percentile(map_err, 95)),
+                'oracle_map_err_max': float(map_err.max()),
+                # per-map maxima back the per-map bounds documented in
+                # PARITY.md (the tail is ODI: adjacent kappa-grid vertices)
+                'oracle_err_max_ndi': float(map_err[:, 0].max()),
+                'oracle_err_max_odi': float(map_err[:, 1].max()),
+                'oracle_err_max_fwf': float(map_err[:, 2].max()),
+                'oracle_sample_voxels': sample,
+                'device': str(jax.devices()[0]),
+                **extra,
+            },
+        }
+        print(json.dumps(out), flush=True)
+
     extra = {}
     # BASELINE.md configs 2-4 are part of the default output (driver-visible
     # regression tracking, VERDICT r2 item 5); BENCH_ALL=0 or BENCH_SMALL
-    # skips them
+    # skips them.  The headline is emitted BEFORE them and re-emitted (one
+    # line, superseding) after: the driver takes the LAST stdout line, so
+    # an environment stall that kills the run mid-extras still leaves a
+    # complete parseable result instead of nothing (tunnel stalls of
+    # 250s..1200s were observed on this environment within one session).
     if os.environ.get('BENCH_ALL', '0' if small else '1') == '1':
+        emit({'multi_model_benches': 'pending'})
         import jax.numpy as jnp
         from amico_tpu import lut as _lut
         from amico_tpu.models import CylinderZeppelinBall, FreeWater, SANDI
@@ -372,51 +426,7 @@ def main():
         extra['sandi_voxps'] = bench_model('sandi', SANDI(), scheme_sa)
         _trace(f'sandi bench done ({extra["sandi_voxps"]:,.0f})')
 
-    out = {
-        'metric': 'voxels/sec NODDI full-dictionary 3-stage fit',
-        'value': round(voxps, 1),
-        'unit': 'voxels/sec',
-        'vs_baseline': round(voxps / cpu_voxps, 2),
-        'detail': {
-            'n_voxels': n_vox,
-            'n_atoms': n_wm + 1,
-            'nS': scheme.nS,
-            'fit_seconds': round(t_fit, 2),
-            'staged_fit_seconds': round(t_staged, 2),
-            'staged_voxps': round(staged_voxps, 1),
-            'upload_seconds_clean': round(t_upload, 3),
-            'reupload_fit_seconds_degraded_tunnel': round(t_reup, 2),
-            'solver_only_voxps': round(solver_voxps, 1),
-            'solver_only_ms': round(t_sol * 1000, 1),
-            # compile_seconds/cold_start_seconds: THIS process's first fit.
-            # The probe subprocess above already populated the persistent
-            # cache on these exact shapes, so these are cross-process WARM
-            # numbers (the judged claim); probe_* carries whatever the
-            # environment's prior cache state cost.
-            'compile_seconds': round(t_compile, 1) if compile_known else None,
-            'warm_compile_seconds': round(t_compile, 1) if compile_known
-            else None,
-            'cold_start_seconds': round(t_cold, 1),
-            'tunnel_setup_seconds': round(t_tunnel, 1),
-            'kernel_gen_seconds': round(t_kernels, 1),
-            **probe,
-            'cpu_baseline_voxps_per_core': round(cpu_voxps_1t, 1),
-            'cpu_baseline_voxps_allcores': round(cpu_voxps, 1),
-            'cpu_cores': os.cpu_count(),
-            'oracle_map_err_med': float(np.median(map_err)),
-            'oracle_map_err_p95': float(np.percentile(map_err, 95)),
-            'oracle_map_err_max': float(map_err.max()),
-            # per-map maxima back the per-map bounds documented in
-            # PARITY.md (the tail is ODI: adjacent kappa-grid vertices)
-            'oracle_err_max_ndi': float(map_err[:, 0].max()),
-            'oracle_err_max_odi': float(map_err[:, 1].max()),
-            'oracle_err_max_fwf': float(map_err[:, 2].max()),
-            'oracle_sample_voxels': sample,
-            'device': str(jax.devices()[0]),
-            **extra,
-        },
-    }
-    print(json.dumps(out))
+    emit(extra)
 
 
 if __name__ == '__main__':
