@@ -73,6 +73,12 @@ def _load_uncached():
     lib.amico_lasso.argtypes = [dptr, dptr, ctypes.c_int, ctypes.c_int, dptr,
                                 ctypes.c_double, ctypes.c_double]
     lib.amico_lasso.restype = ctypes.c_int
+    lib.amico_lasso_lars.argtypes = [dptr, dptr, ctypes.c_int, ctypes.c_int,
+                                     dptr, ctypes.c_double, ctypes.c_double]
+    lib.amico_lasso_lars.restype = ctypes.c_int
+    lib.amico_qp_lars_nonneg.argtypes = [dptr, dptr, ctypes.c_int,
+                                         ctypes.c_double, dptr]
+    lib.amico_qp_lars_nonneg.restype = ctypes.c_int
     return lib
 
 
@@ -139,6 +145,68 @@ def _lasso_py(A, y, lambda1, lambda2):
     return _qp_nonneg_py(G, A.T @ y - lambda1)
 
 
+def _qp_lars_nonneg_py(G: np.ndarray, b: np.ndarray,
+                       lambda1: float) -> np.ndarray:
+    """NumPy mirror of amico_qp_lars_nonneg (LARS/homotopy path for the
+    non-negative elastic net on ridge-folded normal equations; the
+    algorithm SPAMS runs for the reference lasso calls,
+    /root/reference/amico/models.pyx:615,926,1238,1569)."""
+    n = b.shape[0]
+    x = np.zeros(n)
+    lam = float(b.max(initial=0.0))
+    tol = 1e-12 * max(1.0, lam)
+    if lam <= lambda1 + tol:
+        return x
+    in_P = np.zeros(n, bool)
+    in_P[int(np.argmax(b))] = True
+    ridge_eye = 1e-13
+    for _ in range(8 * n + 50):
+        P = np.where(in_P)[0]
+        Gpp = G[np.ix_(P, P)]
+        Gpp = Gpp + ridge_eye * (np.diag(np.diag(Gpp)) + np.eye(P.size))
+        u = np.linalg.solve(Gpp, np.ones(P.size))
+        v = np.linalg.solve(Gpp, b[P])
+        # entering: c_i(lam') = lam'  =>  lam' = (b_i - q_i) / (1 - p_i)
+        Gip = G[:, P]
+        p = Gip @ u
+        q = Gip @ v
+        denom = 1.0 - p
+        li = np.where((~in_P) & (denom > 1e-12),
+                      (b - q) / np.where(denom > 1e-12, denom, 1.0), -1.0)
+        li[li >= lam - tol] = -1.0
+        j_in = int(np.argmax(li))
+        lam_in = float(li[j_in])
+        # leaving: x_a(lam') = v_a - lam' u_a = 0, only u_a < 0 can cross
+        la = np.where(u < 0.0, v / np.where(u < 0.0, u, 1.0), -1.0)
+        la[la >= lam - tol] = -1.0
+        a_out = int(np.argmax(la))
+        lam_out = float(la[a_out])
+        lam_next = max(lam_in, lam_out)
+        if lam_next <= lambda1:
+            x[:] = 0.0
+            x[P] = np.maximum(v - lambda1 * u, 0.0)
+            return x
+        x[:] = 0.0
+        x[P] = v - lam_next * u
+        if lam_out >= lam_in:
+            drop = P[a_out]
+            x[drop] = 0.0
+            in_P[drop] = False
+            if not in_P.any():
+                if b.max(initial=0.0) <= lam_next:
+                    return x
+                in_P[int(np.argmax(b))] = True
+        else:
+            in_P[j_in] = True
+        lam = lam_next
+    raise RuntimeError('LARS homotopy (NumPy fallback) exceeded event cap')
+
+
+def _lasso_lars_py(A, y, lambda1, lambda2):
+    G = A.T @ A + lambda2 * np.eye(A.shape[1])
+    return _qp_lars_nonneg_py(G, A.T @ y, lambda1)
+
+
 def _dp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
@@ -175,17 +243,31 @@ def nnls(A: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, float]:
     return x, r.value
 
 
-def lasso(A: np.ndarray, y: np.ndarray, lambda1: float, lambda2: float) -> np.ndarray:
+def lasso(A: np.ndarray, y: np.ndarray, lambda1: float, lambda2: float,
+          algorithm: str = 'lars') -> np.ndarray:
     """Exact non-negative elastic net, SPAMS mode=2/pos semantics
-    (reference models.pyx:615,926,1238,1569)."""
+    (reference models.pyx:615,926,1238,1569).
+
+    ``algorithm='lars'`` (default) runs the LARS/homotopy path -- the
+    algorithm SPAMS itself uses for these calls, so the oracle pins down
+    the same vertex the reference reports on near-degenerate
+    dictionaries.  ``algorithm='activeset'`` runs Lawson-Hanson
+    most-violated-first pivoting on the same objective (identical
+    minimizer when the problem is strictly convex and well-conditioned;
+    kept for cross-checking the two pivot orders)."""
+    if algorithm not in ('lars', 'activeset'):
+        raise ValueError(f'unknown lasso algorithm: {algorithm!r}')
     A = np.asfortranarray(A, np.float64)
     y = np.ascontiguousarray(y, np.float64)
     if not available():
+        if algorithm == 'lars':
+            return _lasso_lars_py(A, y, lambda1, lambda2)
         return _lasso_py(A, y, lambda1, lambda2)
     lib = _load()
     m, n = A.shape
     x = np.zeros(n)
-    rc = lib.amico_lasso(_dp(A), _dp(y), m, n, _dp(x), lambda1, lambda2)
+    fn = lib.amico_lasso_lars if algorithm == 'lars' else lib.amico_lasso
+    rc = fn(_dp(A), _dp(y), m, n, _dp(x), lambda1, lambda2)
     if rc < 0:
-        raise RuntimeError('amico_lasso did not converge')
+        raise RuntimeError(f'amico_lasso ({algorithm}) did not converge')
     return x

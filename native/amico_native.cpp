@@ -22,11 +22,9 @@
 
 namespace {
 
-// Solve the symmetric positive-definite system M z = r for the active set
-// via Cholesky (sizes are tiny: n <= ~200).
-// Returns false if the factorization breaks down (singular submatrix).
-bool chol_solve(std::vector<double>& M, std::vector<double>& z, int k) {
-  // in-place Cholesky of the k x k matrix M (row-major)
+// In-place Cholesky of the k x k row-major matrix M.  Returns false if the
+// factorization breaks down (singular submatrix).  Sizes are tiny (<= ~200).
+bool chol_factor(std::vector<double>& M, int k) {
   for (int i = 0; i < k; ++i) {
     for (int j = 0; j <= i; ++j) {
       double s = M[i * k + j];
@@ -39,18 +37,27 @@ bool chol_solve(std::vector<double>& M, std::vector<double>& z, int k) {
       }
     }
   }
-  // forward substitution: L u = z
+  return true;
+}
+
+// Solve (L L') z = z in place given the factored M from chol_factor.
+void chol_apply(const std::vector<double>& M, std::vector<double>& z, int k) {
   for (int i = 0; i < k; ++i) {
     double s = z[i];
     for (int p = 0; p < i; ++p) s -= M[i * k + p] * z[p];
     z[i] = s / M[i * k + i];
   }
-  // backward substitution: L' z = u
   for (int i = k - 1; i >= 0; --i) {
     double s = z[i];
     for (int p = i + 1; p < k; ++p) s -= M[p * k + i] * z[p];
     z[i] = s / M[i * k + i];
   }
+}
+
+// Solve the symmetric positive-definite system M z = r via Cholesky.
+bool chol_solve(std::vector<double>& M, std::vector<double>& z, int k) {
+  if (!chol_factor(M, k)) return false;
+  chol_apply(M, z, k);
   return true;
 }
 
@@ -168,7 +175,8 @@ int amico_nnls(const double* A, const double* y, int m, int n, double* x,
 
 // Non-negative elastic net with SPAMS mode=2/pos semantics
 // (models.pyx:615,926):  min 0.5||y - Ax||^2 + l1 1'x + 0.5 l2 ||x||^2, x>=0.
-// A is m x n column-major.
+// A is m x n column-major.  Solved by Lawson-Hanson active set on the
+// normal equations (most-violated-first pivoting).
 int amico_lasso(const double* A, const double* y, int m, int n, double* x,
                 double lambda1, double lambda2) {
   std::vector<double> G(n * n), b(n);
@@ -185,6 +193,153 @@ int amico_lasso(const double* A, const double* y, int m, int n, double* x,
     b[i] = s - lambda1;
   }
   return amico_qp_nonneg(G.data(), b.data(), n, x);
+}
+
+// LARS/homotopy solver for the same non-negative elastic net, replicating
+// the algorithm the reference actually runs: SPAMS' lasso is LARS-homotopy
+// (coreLARS2, mode=2 penalty formulation, pos=true) -- see the call sites
+// at /root/reference/amico/models.pyx:615,926,1238,1569 via cyspams.
+//
+// Inputs are the ridge-folded normal equations: G = A'A + l2 I, b = A'y
+// (NOT shifted by l1 -- the homotopy runs the l1 path itself).
+//
+// Path semantics.  KKT for  min 0.5 x'Gx - b'x + lam * 1'x, x >= 0:
+//   active i (x_i > 0):   c_i := b_i - (Gx)_i = lam
+//   inactive i (x_i = 0): c_i <= lam
+// Start at lam = max_i b_i with x = 0 (KKT-satisfying); decrease lam.  On
+// the segment with active set P:  x_P(lam) = G_PP^{-1} (b_P - lam 1), a
+// linear path.  The next event as lam decreases is the largest lam' < lam
+// at which either (a) an inactive correlation catches up, c_i(lam') = lam'
+//   => lam'_i = (b_i - q_i) / (1 - p_i), with p = G_{.,P} u, q = G_{.,P} v,
+//      u = G_PP^{-1} 1, v = G_PP^{-1} b_P  (only p_i < 1 can cross), or
+// (b) an active coefficient hits zero: lam'_a = v_a / u_a.
+// Stop when lam reaches lambda1 (the requested penalty) and return
+// x_P(lambda1).  With l2 > 0 the objective is strictly convex, so the
+// path endpoint is the unique optimum; what LARS pins down -- and what
+// most-violated-first active-set pivoting does not -- is WHICH vertex is
+// reported on near-degenerate dictionaries (duplicate atoms), where the
+// optimizer is numerically flat across neighboring supports.
+// Returns the number of path events, or -1 if the event cap is exceeded.
+int amico_qp_lars_nonneg(const double* G, const double* b, int n,
+                         double lambda1, double* x) {
+  std::fill(x, x + n, 0.0);
+  double lam = 0.0;
+  int j0 = -1;
+  for (int i = 0; i < n; ++i) {
+    if (b[i] > lam) { lam = b[i]; j0 = i; }
+  }
+  const double scale = std::max(1.0, lam);
+  const double tol = 1e-12 * scale;
+  if (j0 < 0 || lam <= lambda1 + tol) return 0;  // x = 0 is optimal
+
+  std::vector<char> in_P(n, 0);
+  std::vector<int> P;
+  P.reserve(n);
+  P.push_back(j0);
+  in_P[j0] = 1;
+
+  std::vector<double> M, u, v, lam_enter(n);
+  const int max_events = 8 * n + 50;
+  for (int ev = 0; ev < max_events; ++ev) {
+    const int k = static_cast<int>(P.size());
+    // factor G_PP once, solve for u (rhs = 1) and v (rhs = b_P)
+    M.assign(k * k, 0.0);
+    u.assign(k, 1.0);
+    v.assign(k, 0.0);
+    for (int a = 0; a < k; ++a) {
+      v[a] = b[P[a]];
+      for (int c = 0; c < k; ++c) M[a * k + c] = G[P[a] * n + P[c]];
+      M[a * k + a] += 1e-13 * (M[a * k + a] + 1.0);
+    }
+    if (!chol_factor(M, k)) return -1;
+    chol_apply(M, u, k);
+    chol_apply(M, v, k);
+
+    // entering events: lam'_i = (b_i - q_i) / (1 - p_i), p_i < 1
+    double lam_in = -1.0;
+    int j_in = -1;
+    for (int i = 0; i < n; ++i) {
+      if (in_P[i]) continue;
+      double p = 0.0, q = 0.0;
+      for (int a = 0; a < k; ++a) {
+        const double g = G[i * n + P[a]];
+        p += g * u[a];
+        q += g * v[a];
+      }
+      const double denom = 1.0 - p;
+      if (denom <= 1e-12) continue;  // correlation can't catch the path
+      const double li = (b[i] - q) / denom;
+      // strict decrease guards against an atom dropped at this lam
+      // re-entering forever (degenerate-dictionary cycling)
+      if (li < lam - tol && li > lam_in) { lam_in = li; j_in = i; }
+    }
+    // leaving events: lam'_a = v_a / u_a crossing zero from above
+    double lam_out = -1.0;
+    int a_out = -1;
+    for (int a = 0; a < k; ++a) {
+      // x_a(lam) = v_a - lam u_a >= 0 now; with u_a > 0 the crossing
+      // v_a/u_a sits at or above lam, and x_a grows as lam decreases --
+      // only u_a < 0 can zero a coefficient further down the path.
+      if (u[a] >= 0.0) continue;
+      const double la = v[a] / u[a];
+      if (la < lam - tol && la > lam_out) { lam_out = la; a_out = a; }
+    }
+
+    const double lam_next = std::max(lam_in, lam_out);
+    if (lam_next <= lambda1) {
+      // path endpoint: x_P(lambda1)
+      for (int a = 0; a < k; ++a) {
+        const double xa = v[a] - lambda1 * u[a];
+        x[P[a]] = xa > 0.0 ? xa : 0.0;
+      }
+      return ev + 1;
+    }
+    if (lam_out >= lam_in) {
+      // drop the zeroed coordinate, keep the rest on-path at lam_next
+      for (int a = 0; a < k; ++a) x[P[a]] = v[a] - lam_next * u[a];
+      const int drop = P[a_out];
+      x[drop] = 0.0;
+      in_P[drop] = 0;
+      P.erase(P.begin() + a_out);
+      if (P.empty()) {
+        // restart: pick the most correlated atom at lam_next (x = 0 here)
+        int jr = -1;
+        double br = lam_next;
+        for (int i = 0; i < n; ++i) {
+          if (b[i] > br) { br = b[i]; jr = i; }
+        }
+        if (jr < 0) return ev + 1;  // KKT holds at x = 0 below lam_next
+        P.push_back(jr);
+        in_P[jr] = 1;
+      }
+    } else {
+      for (int a = 0; a < k; ++a) x[P[a]] = v[a] - lam_next * u[a];
+      P.push_back(j_in);
+      in_P[j_in] = 1;
+    }
+    lam = lam_next;
+  }
+  return -1;  // event cap exceeded (pathological degeneracy)
+}
+
+// Non-negative elastic net via the LARS/homotopy path -- the algorithm
+// SPAMS runs for the reference's lasso calls.  A is m x n column-major.
+int amico_lasso_lars(const double* A, const double* y, int m, int n,
+                     double* x, double lambda1, double lambda2) {
+  std::vector<double> G(n * n), b(n);
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      double s = 0.0;
+      for (int k = 0; k < m; ++k) s += A[i * m + k] * A[j * m + k];
+      G[i * n + j] = s;
+      G[j * n + i] = s;
+    }
+    G[i * n + i] += lambda2;
+    double s = 0.0;
+    for (int k = 0; k < m; ++k) s += A[i * m + k] * y[k];
+    b[i] = s;
+  }
+  return amico_qp_lars_nonneg(G.data(), b.data(), n, lambda1, x);
 }
 
 }  // extern "C"

@@ -51,6 +51,74 @@ def test_fallback_vs_scipy_nnls():
         assert abs(r_p - r_s) < 1e-7
 
 
+@pytest.mark.skipif(not native.available(), reason='no native lib')
+def test_lars_matches_activeset_on_strictly_convex():
+    """LARS homotopy and Lawson-Hanson reach the SAME point when the
+    elastic net is strictly convex (lambda2 > 0 => unique minimizer).
+    This is the cross-check demanded by the round-3 review: the oracle
+    now runs the reference's actual algorithm (SPAMS LARS, reference
+    models.pyx:615,926,1238,1569)."""
+    rng = np.random.RandomState(4)
+    for lam1, lam2 in [(0.0, 1e-3), (0.5, 1e-3), (0.0, 4.0), (0.0, 5e-3),
+                       (2.0, 1e-3)]:
+        for _ in range(10):
+            A, y = _rand_problem(rng)
+            x_lars = native.lasso(A, y, lam1, lam2, algorithm='lars')
+            x_as = native.lasso(A, y, lam1, lam2, algorithm='activeset')
+            np.testing.assert_allclose(x_lars, x_as, atol=1e-8)
+
+
+@pytest.mark.skipif(not native.available(), reason='no native lib')
+def test_lars_fallback_matches_native():
+    rng = np.random.RandomState(5)
+    for lam1, lam2 in [(0.0, 1e-3), (0.5, 1e-3), (0.0, 4.0)]:
+        for _ in range(8):
+            A, y = _rand_problem(rng)
+            x_c = native.lasso(A, y, lam1, lam2, algorithm='lars')
+            x_p = native._lasso_lars_py(np.asfortranarray(A, np.float64),
+                                        np.ascontiguousarray(y, np.float64),
+                                        lam1, lam2)
+            np.testing.assert_allclose(x_p, x_c, atol=1e-8)
+
+
+def _kkt_gap(A, y, x, lam1, lam2):
+    """Max KKT violation of the non-negative elastic net at x."""
+    g = A.T @ (A @ x - y) + lam1 + lam2 * x   # gradient of the objective
+    active = x > 1e-12
+    return max(np.abs(g[active]).max(initial=0.0),   # stationarity
+               (-g[~active]).max(initial=0.0))       # dual feasibility
+
+
+@pytest.mark.skipif(not native.available(), reason='no native lib')
+def test_lars_kkt_on_degenerate_dictionaries():
+    """Near-duplicate atoms (the NODDI-grid failure mode behind the ODI
+    tail): LARS must still terminate at a KKT point of the elastic net."""
+    rng = np.random.RandomState(6)
+    for _ in range(10):
+        base = np.abs(rng.randn(60, 12))
+        idx = rng.randint(0, 12, 80)
+        A = base[:, idx] + 1e-6 * np.abs(rng.randn(60, 80))
+        A /= np.linalg.norm(A, axis=0, keepdims=True)
+        xt = np.abs(rng.randn(80)) * (rng.rand(80) < 0.1)
+        y = A @ xt + 0.02 * rng.randn(60)
+        for lam1, lam2 in [(0.5, 1e-3), (0.0, 1e-3)]:
+            x = native.lasso(A, y, lam1, lam2, algorithm='lars')
+            assert (x >= 0).all()
+            scale = np.abs(A.T @ y).max() + 1.0
+            assert _kkt_gap(A, y, x, lam1, lam2) < 1e-7 * scale
+
+
+def test_lars_zero_solution_and_unknown_algorithm():
+    rng = np.random.RandomState(7)
+    A, y = _rand_problem(rng)
+    # lambda1 above the max correlation: x = 0 is optimal on the whole path
+    lam_max = (A.T @ y).max()
+    x = native.lasso(A, y, lam_max * 1.01 + 1.0, 1e-3)
+    assert (x == 0).all()
+    with pytest.raises(ValueError):
+        native.lasso(A, y, 0.1, 1e-3, algorithm='homotopy2')
+
+
 def test_entry_points_work_with_native_disabled(monkeypatch):
     """AMICO_TPU_NO_NATIVE=1 must route every public entry point through
     the fallback (simulates a toolchain-free install)."""
