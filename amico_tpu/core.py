@@ -95,6 +95,19 @@ def _default_config(study_path, subject, output_path) -> dict:
         # directory for a full jax.profiler capture of the fit
         # (TensorBoard/Perfetto trace); None disables
         profile_dir=None,
+        # explicit jax.sharding.Mesh for the tiled fit; None = the fit
+        # driver builds a 1-axis ('data',) mesh over jax.devices()
+        # (models/base.py mesh resolution)
+        mesh=None,
+        # mid-fit chunk checkpointing: path of the checkpoint file (None
+        # disables) + flush cadence in chunks (models/base.py; resumes a
+        # killed full-brain fit at the last completed chunk)
+        fit_checkpoint=None,
+        checkpoint_every=4,
+        # cap on bytes the fit stages on the device at once; above it the
+        # driver streams host-tiled chunks instead of device-gathering
+        # the whole volume.  None = 4 GiB (models/base.py)
+        max_device_bytes=None,
     )
     cfg['DWI-SNR'] = None
     return cfg

@@ -75,9 +75,13 @@ class NODDI(BaseModel):
         The default (base.DEFAULT_NODDI_STAGE_ITERS) is a pure active-set
         schedule validated against the exact oracle on the full
         dictionary.  ``precision`` overrides the per-stage MXU precision
-        of the fused kernel ('highest' | 'split3' | 'default', a
-        (iter, polish) / (iter, late, n_late) pair, or a 3-tuple of
-        per-stage entries; default base.DEFAULT_NODDI_PRECISION)."""
+        of the fused kernel: a single string ('highest' | 'split3' |
+        'default') applied to all three stages, or a 3-tuple with one
+        entry per stage.  Each per-stage ENTRY may itself be a
+        (iter, polish) or (iter, late, n_late) pair -- pair forms are
+        only valid nested inside the 3-tuple, never at top level (a
+        top-level tuple is always read as per-stage entries; passing a
+        bare pair would silently assign its elements to stages 1..2)."""
         self._set_solver_common(lambda1, lambda2, fista_iters, cd_sweeps,
                                 refine_rounds, cg_iters, backend)
         if stage_iters is not None:
@@ -85,6 +89,13 @@ class NODDI(BaseModel):
         self.solver_params['stage_iters'] = stage_iters
         if precision is not None and not isinstance(precision, str):
             precision = tuple(precision)
+            if len(precision) != 3 or not all(
+                    isinstance(e, (str, tuple, list)) for e in precision):
+                raise ValueError(
+                    'precision must be a string or a 3-tuple of per-stage '
+                    f'entries, got {precision!r} (pair forms like '
+                    "('split3', 'highest', 2) are only valid nested inside "
+                    'the 3-tuple)')
         self.solver_params['precision'] = precision
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
@@ -175,6 +186,12 @@ class NODDI(BaseModel):
                 from .base import DEFAULT_NODDI_STAGE_ITERS
                 stage_iters = DEFAULT_NODDI_STAGE_ITERS
         _s1, _s2, _s3 = stage_iters
+        for _t, _base in ((_s1, 4), (_s2, 4), (_s3, 3)):
+            if len(_t) > _base + 2:
+                raise ValueError(
+                    f'stage tuple {_t} has {len(_t)} entries; at most '
+                    f'{_base + 2} are meaningful (base {_base} + converge '
+                    f'+ add_k)')
         (s1f, s1r, s1cg, s1i) = _s1[:4]
         (s2f, s2r, s2cg, s2i) = _s2[:4]
         (s3r, s3cg, s3i) = _s3[:3]

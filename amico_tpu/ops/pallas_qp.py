@@ -296,6 +296,7 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                     runs[-1][0] += 1
                 else:
                     runs.append([1, (it, pr, inn)])
+            prev_pr = None
             for count, (it, pr, inn) in runs:
                 mvf = _mk_mv(pr)
                 if early_exit:
@@ -310,12 +311,19 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                     # nearly dead: single-round segments ran
                     # unconditionally and each multi-round segment paid at
                     # least one full round to rediscover stability.
+                    # EXCEPT across a precision change (advisor r3): a
+                    # stability certificate from bf16-gradient wmax tests
+                    # must not skip the scheduled higher-precision rounds
+                    # whose whole purpose is to settle marginal support
+                    # decisions -- re-earn the flag at the new precision.
+                    stable_in = carry[3] if pr == prev_pr or prev_pr is None \
+                        else jnp.asarray(False)
                     carry = jax.lax.while_loop(
                         lambda c: jnp.logical_and(
                             c[2] < count, jnp.logical_not(c[3])),
                         lambda c, _it=it, _mv=mvf, _in=inn:
                             as_round(c, _it, _mv, _in),
-                        (carry[0], carry[1], 0, carry[3]))
+                        (carry[0], carry[1], 0, stable_in))
                 elif count == 1:
                     carry = as_round(carry, it, mvf, inn)
                 else:
@@ -324,6 +332,7 @@ def _build_as_solve(M: int, fista_iters: int, refine_rounds: int,
                         lambda _, c, _it=it, _mv=mvf, _in=inn:
                             as_round(c, _it, _mv, _in),
                         carry)
+                prev_pr = pr
             x, m, stable0 = carry[0], carry[1], carry[3]
         elif early_exit:
             x, m, _, stable0 = jax.lax.while_loop(
@@ -528,6 +537,14 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
     s1, s2, s3 = stage_iters
 
     def _opt(t, base_len):
+        # hard error on overlong tuples: silently ignoring a trailing
+        # entry turned a converge-continuation experiment into a no-op
+        # (advisor r3, tools/perf_lab.py cvg* variants)
+        if len(t) > base_len + 2:
+            raise ValueError(
+                f'stage tuple {t} has {len(t)} entries; at most '
+                f'{base_len + 2} are meaningful (base {base_len} + '
+                f'converge + add_k)')
         cvg = t[base_len] if len(t) > base_len else False
         akk = t[base_len + 1] if len(t) > base_len + 1 else 1
         return cvg, akk

@@ -346,3 +346,32 @@ def test_odd_lmax_rejected_up_front(tmp_path):
     with pytest.raises(ValueError, match='even'):
         num_sh_coeff(5)
     assert num_sh_coeff(12) == 91
+
+
+def test_every_get_config_key_is_declared_or_stage_set():
+    """Every key the package reads via get_config must either be a
+    declared default (_default_config) or be set by a pipeline stage via
+    set_config -- otherwise a typo'd set_config('fit_checkpont', ...)
+    fails silently (round-3 review: mesh / fit_checkpoint /
+    checkpoint_every / max_device_bytes were read but undeclared)."""
+    import re
+    import amico_tpu
+    from amico_tpu.core import _default_config
+
+    pkg = os.path.dirname(os.path.abspath(amico_tpu.__file__))
+    reads, writes = set(), set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith('.py'):
+                continue
+            src = open(os.path.join(root, fn)).read()
+            reads |= set(re.findall(r"get_config\(['\"]([^'\"]+)['\"]", src))
+            writes |= set(re.findall(r"set_config\(['\"]([^'\"]+)['\"]", src))
+    declared = set(_default_config('.', '.', None))
+    undeclared = reads - declared - writes
+    assert not undeclared, (
+        f'config keys read but neither declared in _default_config nor '
+        f'set by any stage: {sorted(undeclared)}')
+    # the four round-3 offenders stay declared
+    assert {'mesh', 'fit_checkpoint', 'checkpoint_every',
+            'max_device_bytes'} <= declared

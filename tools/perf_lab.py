@@ -115,6 +115,16 @@ def oracle_maps(scheme, kernels, y, lut_idx, sample):
 
 S = DEFAULT_NODDI_STAGE_ITERS
 
+
+def _cvg(stage, slot, budget):
+    """Return ``stage`` with its converge slot (index ``slot``) set to
+    ``budget``, padding the optional trailing entries if absent."""
+    s = list(stage)
+    while len(s) < slot + 2:
+        s.append(False if len(s) == slot else 1)
+    s[slot] = budget
+    return tuple(s)
+
 VARIANTS = {
     'base':    dict(M=128),
     'ee':      dict(M=128, early_exit=True),
@@ -135,13 +145,18 @@ VARIANTS = {
     'inner2':  dict(M=128, stage_iters=(
         S[0], (0, 10, S[1][2], (1, 1, 1, 1, 2, 2, 2, 2, 2, 2)), S[2])),
     # converge continuation on stage 2 (the tail-audit culprit: stage-2
-    # lands on slightly suboptimal vertices) -- cont CG budget 24
-    'cvg2':    dict(M=128, stage_iters=(S[0], S[1] + (24,), S[2])),
+    # lands on slightly suboptimal vertices) -- cont CG budget 24.
+    # _cvg sets the converge SLOT (index 4 for stages 1/2, 3 for stage 3)
+    # rather than appending: the default stage tuples already carry
+    # converge+add_k, and an appended entry lands past add_k (the parser
+    # now raises on that -- advisor r3 finding).
+    'cvg2':    dict(M=128, stage_iters=(S[0], _cvg(S[1], 4, 24), S[2])),
     # converge on stages 2+3
-    'cvg23':   dict(M=128, stage_iters=(S[0], S[1] + (24,), S[2] + (24,))),
+    'cvg23':   dict(M=128, stage_iters=(S[0], _cvg(S[1], 4, 24),
+                                        _cvg(S[2], 3, 24))),
     # converge everywhere incl. stage 1
-    'cvg123':  dict(M=128, stage_iters=(S[0] + (24,), S[1] + (24,),
-                                        S[2] + (24,))),
+    'cvg123':  dict(M=128, stage_iters=(_cvg(S[0], 4, 24), _cvg(S[1], 4, 24),
+                                        _cvg(S[2], 3, 24))),
     # bigger stage-2 CG budgets, no continuation
     'acc2':    dict(M=128, stage_iters=(
         S[0], (0, 12, (4, 4, 6, 6, 8, 10, 12, 12, 14, 14, 16, 16), 2),
@@ -171,7 +186,7 @@ VARIANTS = {
     # 10 rounds + cheap bounded continuation (adaptive extra rounds only
     # on tiles that still churn)
     '10cvg16': dict(M=128, stage_iters=(
-        S[0], S[1] + (16,), S[2])),
+        S[0], _cvg(S[1], 4, 16), S[2])),
     # top-2 atom adds per round: 12-atom supports reachable in 7 rounds
     'k2a':     dict(M=128, stage_iters=(
         S[0], (0, 7, (4, 6, 8, 10, 12, 12, 12), 2, False, 2), S[2])),
