@@ -280,6 +280,8 @@ class BaseModel(ABC):
         """
         import jax
         import jax.numpy as jnp
+        import time as _time
+        _t_enter = _time.time()
 
         y = np.asarray(evaluation.y, np.float32)
         # direction quantization + tile plan are DIRs-only derived: cache
@@ -461,6 +463,16 @@ class BaseModel(ABC):
         # interleaved between uploads -- downloads only start once every
         # chunk is in flight.  Outputs are a few MB total, so holding them
         # on device until the end costs nothing.
+        # Phase timers (stored as self._last_fit_timers): where a fit's
+        # wall clock goes -- dispatch (host async-enqueue incl. any cold
+        # per-chunk staging), device (dispatch end -> last chunk ready),
+        # pull (device->host result transfers), untile (host scatter).
+        # ~20 time.time() calls per fit; drives the bench's
+        # fit_breakdown field (round-3 review: the staged-vs-solver gap
+        # was unattributed).
+        timers = {'n_chunks': 0}
+        _t_loop0 = _time.time()
+        timers['setup_s'] = _t_loop0 - _t_enter
         pending = []
         n_dispatched = 0
         ckpt_every = int(evaluation.get_config('checkpoint_every') or 4)
@@ -536,10 +548,24 @@ class BaseModel(ABC):
                 os.replace(ckpt_path + '.tmp.npz', ckpt_path)
                 pending = []
 
+        timers['dispatch_s'] = _time.time() - _t_loop0
+        timers['n_chunks'] = n_dispatched
+        if pending:
+            # wall until the device finishes the last chunk (block, not a
+            # transfer: does not trigger the tunnel's first-download cost)
+            for arr in pending[-1][2].values():
+                arr.block_until_ready()
+        timers['device_s'] = _time.time() - _t_loop0 - timers['dispatch_s']
+        _t_pull0 = _time.time()
         for s0, s1, r0 in pending:
             for k, arr in r0.items():
                 out_tiles[k][s0:s1] = np.asarray(arr, np.float32)[:s1 - s0]
+        timers['pull_s'] = _time.time() - _t_pull0
 
         if ckpt_path and os.path.isfile(ckpt_path):
             os.remove(ckpt_path)
-        return {k: untile_voxels(plan, v) for k, v in out_tiles.items()}
+        _t_unt0 = _time.time()
+        out = {k: untile_voxels(plan, v) for k, v in out_tiles.items()}
+        timers['untile_s'] = _time.time() - _t_unt0
+        self._last_fit_timers = timers
+        return out
