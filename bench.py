@@ -423,6 +423,11 @@ def main():
                 t1 = time.time()
                 model.fit(c2)
                 best = min(best, time.time() - t1)
+            # per-model phase breakdown (the round-3 "small-model floor"
+            # question: launch latency vs prep vs solve vs transfer)
+            extra[f'{name}_breakdown'] = {
+                k: round(v, 4) if isinstance(v, float) else v
+                for k, v in getattr(model, '_last_fit_timers', {}).items()}
             return round(n / best, 1)
 
         extra['freewater_voxps'] = bench_model('fw', FreeWater(), scheme)
@@ -450,7 +455,99 @@ def main():
         extra['sandi_voxps'] = bench_model('sandi', SANDI(), scheme_sa)
         _trace(f'sandi bench done ({extra["sandi_voxps"]:,.0f})')
 
+    if os.environ.get('BENCH_PIPELINE', '0' if small else '1') == '1':
+        emit({**extra, 'pipeline_bench': 'pending'})
+        extra.update(bench_pipeline(n_vox, y, np.vstack(rows), _trace))
+        _trace(f'pipeline bench done ({extra.get("pipeline_voxps", 0):,.0f})')
+
     emit(extra)
+
+
+def bench_pipeline(n_vox, y, scheme_tab, trace):
+    """The reference's de-facto workload end-to-end (core.py:107-648):
+    NIfTI load -> preprocessing -> DTI directions -> NODDI fit ->
+    NIfTI map save, through the production ``Evaluation`` facade.
+
+    The synthetic study (DWI volume + mask + scheme on disk) is built
+    once and reused across rounds; its synthesis/write time is not a
+    user-workload stage and is excluded.  ``pipeline_voxps`` counts
+    every stage a user pays per subject with a warm kernel LUT:
+    load_data + load_kernels + fit (incl. direction estimation) +
+    save_results.  Kernel *generation* is the reference's one-time
+    per-study cache (core.py:357-360, regenerate=False default) and is
+    reported separately."""
+    from amico_tpu import Evaluation
+    from amico_tpu.io import nifti
+
+    study = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_study')
+    os.makedirs(study, exist_ok=True)
+    nS = y.shape[1]
+    nx = ny = 64
+    nz = -(-n_vox // (nx * ny))
+    dwi_path = os.path.join(study, 'DWI.nii')
+    mask_path = os.path.join(study, 'mask.nii')
+    scheme_path = os.path.join(study, 'DWI.scheme')
+    marker = os.path.join(study, f'.shape_{nx}x{ny}x{nz}x{nS}_{n_vox}')
+    if not (os.path.isfile(marker) and os.path.isfile(dwi_path)):
+        vol = np.zeros((nx * ny * nz, nS), np.float32)
+        vol[:n_vox] = y
+        nifti.save(nifti.Nifti1Image(vol.reshape(nx, ny, nz, nS),
+                                     np.eye(4)), dwi_path)
+        mask = np.zeros(nx * ny * nz, np.uint8)
+        mask[:n_vox] = 1
+        nifti.save(nifti.Nifti1Image(mask.reshape(nx, ny, nz),
+                                     np.eye(4)), mask_path)
+        with open(scheme_path, 'w') as f:
+            f.write('VERSION: BVECTOR\n')
+            np.savetxt(f, scheme_tab, fmt='%.9f')
+        open(marker, 'w').close()
+        trace('pipeline study written')
+
+    ev = Evaluation(study, '.')
+    t0 = time.time()
+    ev.load_data(dwi_path, scheme_path, mask_filename=mask_path)
+    t_load = time.time() - t0
+    ev.set_model('NODDI')
+    t0 = time.time()
+    ev.generate_kernels()          # no-op when the study LUT is warm
+    t_gen = time.time() - t0
+    t0 = time.time()
+    ev.load_kernels()
+    t_resample = time.time() - t0
+    trace(f'pipeline load/kernels done (load {t_load:.2f}s, '
+          f'gen {t_gen:.2f}s, resample {t_resample:.2f}s)')
+    # first fit pays this plan's chunk-shape compiles (cross-process warm
+    # via the persistent cache); the steady-state rep is the per-subject
+    # cost in a sweep and includes re-estimating DTI directions
+    t0 = time.time()
+    ev.fit()
+    t_fit_first = time.time() - t0
+    t0 = time.time()
+    ev.fit()
+    t_fit = time.time() - t0
+    t0 = time.time()
+    ev.save_results()
+    t_save = time.time() - t0
+    out_dir = os.path.join(study, 'AMICO', 'NODDI')
+    maps = [f for f in os.listdir(out_dir) if f.endswith('.nii.gz')]
+    assert maps, 'pipeline bench produced no maps'
+    for f in maps:
+        img = nifti.load(os.path.join(out_dir, f))
+        assert np.isfinite(np.asarray(img._data)).all(), f
+    t_total = t_load + t_resample + t_fit + t_save
+    return {
+        'pipeline_voxps': round(n_vox / t_total, 1),
+        'pipeline_total_seconds': round(t_total, 2),
+        'pipeline_load_seconds': round(t_load, 2),
+        'pipeline_kernel_gen_seconds': round(t_gen, 2),
+        'pipeline_resample_seconds': round(t_resample, 2),
+        'pipeline_fit_first_seconds': round(t_fit_first, 2),
+        'pipeline_fit_seconds': round(t_fit, 2),
+        'pipeline_dirs_seconds': round(
+            float(ev.get_config('dirs_precomputing_time') or 0), 2),
+        'pipeline_save_seconds': round(t_save, 2),
+        'pipeline_maps': len(maps),
+    }
 
 
 if __name__ == '__main__':
