@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Decompose the staged-fit device time (VERDICT r3 item 4).
+
+BENCH_r04's fit_breakdown shows the staged-vs-solver-only gap lives in
+device execution (device_s ~0.70s vs solver_only ~0.42s).  This probe
+splits that device time into:
+
+* prep-only: the per-chunk dictionary gather + b1/A2T einsums exactly as
+  fit_chunk_fused computes them (Pallas solve omitted);
+* solve-only per chunk: the fused kernel on pre-staged per-chunk args;
+* full chunk (prep + solve fused in one dispatch, the production path);
+* 1-chunk vs 8-chunk full dispatch (per-dispatch overhead).
+
+Run on the TPU.  Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+
+import jax
+import jax.numpy as jnp
+
+from amico_tpu.testing import demo_noddi, demo_voxels
+from amico_tpu.io.scheme import Scheme
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from amico_tpu.models.engine import (auto_tile_size, build_tile_plan,
+                                     iter_tile_chunks)
+from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
+from amico_tpu.ops.solvers import gram, power_iteration_L
+from amico_tpu.models.base import (DEFAULT_NODDI_PRECISION,
+                                   DEFAULT_NODDI_STAGE_ITERS)
+
+N_VOX = int(os.environ.get('GAP_VOXELS', 409600))
+
+
+def timeit(fn, reps=3):
+    fn()  # warm/compile
+    best = float('inf')
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    rows = [np.zeros((9, 4)),
+            np.c_[fibonacci_hemisphere(30), np.full(30, 700.0)],
+            np.c_[fibonacci_hemisphere(60), np.full(60, 2000.0)]]
+    scheme = Scheme(np.vstack(rows))
+    kdir = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_kernels')
+    model, kernels, htable = demo_noddi(scheme, small=False, kernels_dir=kdir)
+    y, DIRs, lut_idx = demo_voxels(N_VOX, kernels, htable, seed=0)
+    print(f'[gap] workload ready, device={jax.devices()[0]}', file=sys.stderr,
+          flush=True)
+
+    n_wm = kernels['wm'].shape[0]
+    nS = scheme.nS
+    rows_dwi = jnp.asarray(scheme.dwi_idx, jnp.int32)
+    _, counts = np.unique(lut_idx, return_counts=True)
+    M = auto_tile_size(counts)
+    plan = build_tile_plan(lut_idx, M)
+
+    # ---- device-side constants exactly as the production prep cache
+    K_wm = jnp.asarray(np.ascontiguousarray(
+        np.transpose(kernels['wm'], (1, 2, 0))), jnp.float32)
+    K_iso = jnp.asarray(kernels['iso'], jnp.float32)
+    norms = jnp.asarray(kernels['norms'], jnp.float32)
+    icvf = jnp.asarray(kernels['icvf'], jnp.float32)
+    kappa = jnp.asarray(kernels['kappa'], jnp.float32)
+
+    @jax.jit
+    def _prep_all(K_wm, K_iso, norms, rows_dwi):
+        A_all = jnp.concatenate(
+            [K_wm, jnp.broadcast_to(K_iso[None, :, None],
+                                    (K_wm.shape[0], nS, 1))], -1)
+        G1_all = gram(A_all)
+        L1_all = power_iteration_L(G1_all)
+        A2_all = A_all[:, rows_dwi, :n_wm] * norms[None, None, :]
+        G2_all = gram(A2_all)
+        L2_all = power_iteration_L(G2_all)
+        return A_all, G1_all, L1_all, G2_all, L2_all
+
+    A_all, G1_all, L1_all, G2_all, L2_all = _prep_all(
+        K_wm, K_iso, norms, rows_dwi)
+
+    y_ext = np.concatenate([y.astype(np.float32),
+                            np.zeros((1, y.shape[1]), np.float32)])
+    y_ext_dev = jnp.asarray(y_ext)
+
+    # per-chunk host index args (as the production driver caches them)
+    chunk_tiles_all = []
+    target = max(1, 51200 // M)
+    nchunks = max(1, min(8, -(-plan.n_tiles // target)))
+    per_chunk = -(-plan.n_tiles // nchunks)
+    chunk_tiles = -(-per_chunk // 4) * 4
+    chunks = []
+    for start, stop, pad in iter_tile_chunks(plan.n_tiles, chunk_tiles):
+        idx = plan.perm[start * M:stop * M]
+        dc = plan.tile_dirs[start:stop]
+        vc = plan.valid[start:stop]
+        if pad:
+            idx = np.concatenate(
+                [idx, np.full(pad * M, plan.n_voxels, idx.dtype)])
+            dc = np.concatenate([dc, np.zeros(pad, dc.dtype)])
+            vc = np.concatenate([vc, np.zeros((pad,) + vc.shape[1:], bool)])
+        chunks.append((jnp.asarray(idx), jnp.asarray(dc), jnp.asarray(vc)))
+
+    stage_iters = DEFAULT_NODDI_STAGE_ITERS
+    precision = DEFAULT_NODDI_PRECISION
+    interp = jax.default_backend() != 'tpu'
+
+    def prep_body(y_ext, idx, dc, vc):
+        Yc = jnp.take(y_ext, idx, axis=0).reshape(
+            dc.shape[0], vc.shape[1], y_ext.shape[1])
+        A_full = A_all[dc]
+        b1 = jnp.einsum('csa,cms->cma', A_full, Yc,
+                        precision=jax.lax.Precision.HIGHEST)
+        Y_dwi = Yc[..., rows_dwi]
+        A2T = jnp.swapaxes(
+            A_full[:, rows_dwi, :n_wm] * norms[None, None, :], 1, 2)
+        return G1_all[dc], G2_all[dc], b1, Y_dwi, A2T
+
+    prep_jit = jax.jit(prep_body)
+
+    def full_body(y_ext, idx, dc, vc):
+        G1c, G2c, b1, Y_dwi, A2T = prep_body(y_ext, idx, dc, vc)
+        return noddi_fused_tiles_pallas(
+            G1c, G2c, b1, Y_dwi, A2T, K_iso[rows_dwi], icvf, kappa,
+            lam1=0.5, lam2=1e-3, stage_iters=stage_iters,
+            precision=precision, interpret=interp)
+
+    full_jit = jax.jit(full_body)
+
+    # ---- A: prep-only over all chunks
+    def run_prep():
+        outs = [prep_jit(y_ext_dev, *c) for c in chunks]
+        jax.block_until_ready(outs)
+    t_prep = timeit(run_prep)
+    print(f'[gap] prep-only {t_prep:.3f}s over {len(chunks)} chunks',
+          file=sys.stderr, flush=True)
+
+    # ---- B: solve-only over the same chunks on pre-staged args
+    staged_args = [tuple(jax.block_until_ready(prep_jit(y_ext_dev, *c)))
+                   for c in chunks]
+    solve_jit = jax.jit(lambda G1c, G2c, b1, Yd, A2T: noddi_fused_tiles_pallas(
+        G1c, G2c, b1, Yd, A2T, K_iso[rows_dwi], icvf, kappa,
+        lam1=0.5, lam2=1e-3, stage_iters=stage_iters,
+        precision=precision, interpret=interp))
+
+    def run_solve():
+        outs = [solve_jit(*a) for a in staged_args]
+        jax.block_until_ready(outs)
+    t_solve = timeit(run_solve)
+    print(f'[gap] solve-only(chunks) {t_solve:.3f}s', file=sys.stderr,
+          flush=True)
+
+    # ---- C: full production chunk (prep+solve one dispatch)
+    def run_full():
+        outs = [full_jit(y_ext_dev, *c) for c in chunks]
+        jax.block_until_ready(outs)
+    t_full = timeit(run_full)
+    print(f'[gap] full(chunks) {t_full:.3f}s', file=sys.stderr, flush=True)
+
+    # ---- D: single whole-volume dispatch of the same full body
+    idx1 = plan.perm
+    dc1 = plan.tile_dirs
+    vc1 = plan.valid
+    one = (jnp.asarray(idx1), jnp.asarray(dc1), jnp.asarray(vc1))
+    t_full1 = timeit(lambda: jax.block_until_ready(full_jit(y_ext_dev, *one)))
+    print(f'[gap] full(1 dispatch) {t_full1:.3f}s', file=sys.stderr,
+          flush=True)
+
+    # ---- E: solver-only single dispatch (the bench's solver_only number)
+    a1 = tuple(jax.block_until_ready(prep_jit(y_ext_dev, *one)))
+    t_sol1 = timeit(lambda: jax.block_until_ready(solve_jit(*a1)))
+    print(f'[gap] solve(1 dispatch) {t_sol1:.3f}s', file=sys.stderr,
+          flush=True)
+
+    out = {
+        'n_vox': N_VOX, 'tile': int(M), 'n_tiles': int(plan.n_tiles),
+        'n_chunks': len(chunks),
+        'prep_chunks_s': round(t_prep, 4),
+        'solve_chunks_s': round(t_solve, 4),
+        'full_chunks_s': round(t_full, 4),
+        'full_1dispatch_s': round(t_full1, 4),
+        'solve_1dispatch_s': round(t_sol1, 4),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == '__main__':
+    main()
