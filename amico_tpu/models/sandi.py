@@ -233,6 +233,9 @@ class SANDI(BaseModel):
         else:
             chunks_dev = {}
             self._stage_cache = (stage_key, chunks_dev)
+        import time as _time
+        timers = {}
+        _t0 = _time.time()
         pending = []
         for start in range(0, N, chunk):
             Yc_dev = chunks_dev.get(start)
@@ -250,8 +253,20 @@ class SANDI(BaseModel):
                 Yc_dev = chunks_dev[start] = jnp.asarray(Yc)
             res = fit_jit(Yc_dev, A, G, Lc, norms, Rs, d_in, d_isos)
             pending.append((min(chunk, N - start), res))
+        # phase timers, same contract as base._run_tiled_fit (the bench's
+        # per-model fit_breakdown)
+        timers['n_chunks'] = len(pending)
+        timers['dispatch_s'] = _time.time() - _t0
+        if pending:
+            for arr in pending[-1][1].values():
+                arr.block_until_ready()
+        timers['device_s'] = _time.time() - _t0 - timers['dispatch_s']
+        _t1 = _time.time()
         outs: dict[str, list] = {}
         for take, res in pending:
             for k, v in res.items():
                 outs.setdefault(k, []).append(np.asarray(v, np.float32)[:take])
-        return {k: np.concatenate(v) for k, v in outs.items()}
+        out = {k: np.concatenate(v) for k, v in outs.items()}
+        timers['pull_s'] = _time.time() - _t1
+        self._last_fit_timers = timers
+        return out
