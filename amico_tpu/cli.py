@@ -112,6 +112,61 @@ def _cmd_sweep(args):
     return 1 if failed else 0
 
 
+def _cmd_warmup(args):
+    """Precompile the production fit executables into the persistent
+    compilation cache so the FIRST subject fit on this machine starts
+    warm (the reference starts fitting instantly, core.py:407; our cold
+    start otherwise pays the one-time XLA/Mosaic compile of the fused
+    kernel -- ~1 min on a tunneled TPU).  Run once after install, or in
+    an image build."""
+    import os
+    import time
+
+    import numpy as np
+
+    from . import set_verbose
+    from .io.scheme import Scheme
+    from .ops.sphere import amico_home, fibonacci_hemisphere
+    from .testing import demo_noddi, demo_voxels
+    set_verbose(args.verbose)
+
+    if args.scheme:
+        scheme = Scheme(args.scheme, b0_thr=args.b0_thr)
+    else:
+        # the flagship 2-shell NODDI protocol (the bench workload)
+        rows = [np.zeros((9, 4)),
+                np.c_[fibonacci_hemisphere(30), np.full(30, 700.0)],
+                np.c_[fibonacci_hemisphere(60), np.full(60, 2000.0)]]
+        scheme = Scheme(np.vstack(rows))
+
+    kdir = os.path.join(amico_home(), 'warmup_kernels')
+    os.makedirs(kdir, exist_ok=True)
+    model, kernels, htable = demo_noddi(scheme, small=False,
+                                        kernels_dir=kdir)
+    y, DIRs, _ = demo_voxels(args.voxels, kernels, htable, seed=0)
+
+    class _Ctx:
+        def __init__(self):
+            self.y, self.DIRs, self.htable, self.KERNELS = \
+                y, DIRs, htable, kernels
+
+        def get_config(self, k):
+            return {'tile_size': 'auto', 'voxels_per_chunk': 'auto'}.get(k)
+
+    t0 = time.time()
+    model.fit(_Ctx())
+    t_first = time.time() - t0
+    t0 = time.time()
+    model.fit(_Ctx())
+    t_warm = time.time() - t0
+    import jax
+    print(f'warmup: compiled the {args.voxels}-voxel NODDI fit on '
+          f'{jax.devices()[0].device_kind} in {t_first:.1f}s '
+          f'(warm re-fit {t_warm:.2f}s); persistent cache at '
+          f'{jax.config.jax_compilation_cache_dir}')
+    return 0
+
+
 def _cmd_fsl2scheme(args):
     from .io.scheme import fsl2scheme
     out = fsl2scheme(args.bvals, args.bvecs, schemeFilename=args.output,
@@ -139,6 +194,19 @@ def build_parser() -> argparse.ArgumentParser:
     ps = sub.add_parser('setup', help='precompute SH rotation matrices')
     ps.add_argument('--lmax', type=int, default=12)
     ps.set_defaults(func=_cmd_setup)
+
+    pwu = sub.add_parser(
+        'warmup', help='precompile the fit executables into the persistent '
+        'compilation cache (one-time; makes the first real fit start warm)')
+    pwu.add_argument('--scheme', default=None,
+                     help='protocol to warm up for (default: the standard '
+                     '2-shell NODDI protocol)')
+    pwu.add_argument('--voxels', type=int, default=409600,
+                     help='masked voxel count to size the chunk shapes for '
+                     '(default: full brain, 409600)')
+    pwu.add_argument('--b0-thr', type=float, default=0)
+    pwu.add_argument('-v', '--verbose', type=int, default=2)
+    pwu.set_defaults(func=_cmd_warmup)
 
     pf = sub.add_parser('fit', help='run the full single-subject pipeline')
     pf.add_argument('study', help='study directory')

@@ -325,24 +325,6 @@ class BaseModel(ABC):
         plan = pc[2].get(tile_size)
         if plan is None:
             plan = pc[2][tile_size] = build_tile_plan(lut_idx, tile_size)
-        if vpc == 'auto':
-            # equal-split chunking: enough chunks that result downloads
-            # overlap later solves, few enough that per-dispatch latency
-            # stays negligible (~51k voxels/chunk measured optimal on a
-            # v5e, and splitting evenly avoids padding a 25%-oversized
-            # final chunk).  chunk_tiles is quantized to 4 so nearby
-            # volume sizes share a compiled chunk shape.
-            target = max(1, 51200 // tile_size)
-            nchunks = max(1, min(8, -(-plan.n_tiles // target)))
-            per_chunk = -(-plan.n_tiles // nchunks)
-            chunk_tiles = -(-per_chunk // 4) * 4
-        else:
-            chunk_tiles = max(1, int(vpc) // tile_size)
-        if mesh is not None:
-            ndev = mesh.devices.size
-            chunk_tiles = max(1, -(-chunk_tiles // ndev) * ndev)
-        dirs_t = plan.tile_dirs
-        valid_t = plan.valid
         # tiling strategy: on a single device the (n_tiles, M, nS) tiled
         # signal is never materialized on the host -- the flat (N+1, nS)
         # signal is staged once and each chunk's rows are gathered on
@@ -351,6 +333,36 @@ class BaseModel(ABC):
         # beyond the device budget stream host-tiled chunks instead.
         budget = int(evaluation.get_config('max_device_bytes') or (4 << 30))
         device_gather = sharding is None and y.nbytes <= budget
+        if vpc == 'auto':
+            # equal-split chunking.  In device-gather mode nothing streams
+            # per chunk (signal staged once, outputs a few MB), so chunk
+            # division only buys mid-fit checkpoint granularity while
+            # costing per-dispatch latency -- measured 45ms over 8 chunks
+            # on a full brain (gap_probe r4: 0.473s chunked vs 0.428s one
+            # dispatch); default to ONE dispatch.  Streaming/mesh paths
+            # keep ~51k-voxel chunks so uploads overlap solves.
+            # chunk_tiles is quantized to 4 so nearby volume sizes share
+            # a compiled chunk shape.
+            if device_gather and not (evaluation.get_config('fit_checkpoint')):
+                # one dispatch: quantize the tile count coarsely (32) so
+                # subjects with nearby masked-voxel counts reuse one
+                # compiled shape; padded tiles carry zero voxels and their
+                # lanes settle immediately (<=6% pad at 500 tiles)
+                nchunks = 1
+                per_chunk = plan.n_tiles
+                chunk_tiles = -(-per_chunk // 32) * 32
+            else:
+                target = max(1, 51200 // tile_size)
+                nchunks = max(1, min(8, -(-plan.n_tiles // target)))
+                per_chunk = -(-plan.n_tiles // nchunks)
+                chunk_tiles = -(-per_chunk // 4) * 4
+        else:
+            chunk_tiles = max(1, int(vpc) // tile_size)
+        if mesh is not None:
+            ndev = mesh.devices.size
+            chunk_tiles = max(1, -(-chunk_tiles // ndev) * ndev)
+        dirs_t = plan.tile_dirs
+        valid_t = plan.valid
         Y = None if device_gather else tile_voxels(plan, y)
 
         # memoize the jitted fit across fit() calls: a fresh closure per call

@@ -248,8 +248,8 @@ class NODDI(BaseModel):
         cached = getattr(self, '_prep_cache', None)
         if cached is not None and cached[0][0] is prep_key[0] \
                 and cached[0][1:] == prep_key[1:]:
-            (A_all, G1_all, L1_all, G2_all, L2_all,
-             K_iso, norms, icvf, kappa, rows_dwi_j) = cached[1]
+            (A_all, G1_all, L1_all, G2_all, L2_all, A2_all, A2T_all,
+             iso_dwi, K_iso, norms, icvf, kappa) = cached[1]
         else:
             K_wm = jnp.asarray(np.ascontiguousarray(
                 np.transpose(kernels['wm'], (1, 2, 0))), jnp.float32)
@@ -257,10 +257,15 @@ class NODDI(BaseModel):
             norms = jnp.asarray(kernels['norms'], jnp.float32)
             icvf = jnp.asarray(kernels['icvf'], jnp.float32)
             kappa = jnp.asarray(kernels['kappa'], jnp.float32)
-            rows_dwi_j = jnp.asarray(rows_dwi, jnp.int32)
+            # rows_dwi enters _prep as a CLOSED-OVER numpy constant, not a
+            # traced argument: a traced index array turns every axis-1
+            # slice into a dynamic gather in the per-chunk program --
+            # measured +0.22s per full-brain fit (gap_probe r4) vs the
+            # constant-index form XLA folds into static slices
+            rows_c = np.asarray(rows_dwi, np.int32)
 
             @jax.jit
-            def _prep(K_wm, K_iso, norms, rows_dwi_j):
+            def _prep(K_wm, K_iso, norms):
                 cols = [K_wm]
                 if is_exvivo:
                     cols.append(jnp.ones((ndirs, nS, 1), jnp.float32))
@@ -269,22 +274,30 @@ class NODDI(BaseModel):
                 A_all = jnp.concatenate(cols, axis=-1)  # (ndirs, nS, na)
                 G1_all = gram(A_all)
                 L1_all = power_iteration_L(G1_all)
-                A2_all = A_all[:, rows_dwi_j, :n_wm] * norms[None, None, :]
+                A2_all = A_all[:, rows_c, :n_wm] * norms[None, None, :]
                 G2_all = gram(A2_all)
                 L2_all = power_iteration_L(G2_all)
-                return A_all, G1_all, L1_all, G2_all, L2_all
+                # per-direction transposed DWI dictionary: gathered whole
+                # per chunk so the chunk program never re-slices /
+                # re-transposes (direction-only dependent, 1 copy in HBM)
+                A2T_all = jnp.swapaxes(A2_all, 1, 2)
+                return (A_all, G1_all, L1_all, G2_all, L2_all, A2_all,
+                        A2T_all, K_iso[rows_c])
 
-            A_all, G1_all, L1_all, G2_all, L2_all = _prep(
-                K_wm, K_iso, norms, rows_dwi_j)
+            (A_all, G1_all, L1_all, G2_all, L2_all, A2_all, A2T_all,
+             iso_dwi) = _prep(K_wm, K_iso, norms)
             self._prep_cache = (prep_key,
                                 (A_all, G1_all, L1_all, G2_all, L2_all,
-                                 K_iso, norms, icvf, kappa, rows_dwi_j))
+                                 A2_all, A2T_all, iso_dwi,
+                                 K_iso, norms, icvf, kappa))
 
         use_fused = (backend == 'pallas')
         want_x = configs['compute_rmse'] or configs['compute_nrmse']
+        # static DWI-row index for the chunk programs (see _prep note)
+        rows_c = np.asarray(rows_dwi, np.int32)
 
-        def fit_chunk_fused(Y, dirs, valid, A_all, G1_all, L1_all, G2_all,
-                            L2_all, K_iso, norms, icvf, kappa, rows_dwi_j):
+        def fit_chunk_fused(Y, dirs, valid, A_all, G1_all, G2_all, A2T_all,
+                            iso_dwi, icvf, kappa):
             """All three stages in one Pallas kernel invocation per tile
             (ops.pallas_qp.noddi_fused_tiles_pallas)."""
             import jax
@@ -292,12 +305,10 @@ class NODDI(BaseModel):
 
             A_full = A_all[dirs]                        # (C, nS, na)
             b1 = project(A_full, Y)
-            Y_dwi = Y[..., rows_dwi_j]
-            A2T = jnp.swapaxes(
-                A_full[:, rows_dwi_j, :n_wm] * norms[None, None, :], 1, 2)
+            Y_dwi = Y[..., rows_c]
             out = noddi_fused_tiles_pallas(
-                G1_all[dirs], G2_all[dirs], b1, Y_dwi, A2T,
-                K_iso[rows_dwi_j], icvf, kappa,
+                G1_all[dirs], G2_all[dirs], b1, Y_dwi, A2T_all[dirs],
+                iso_dwi, icvf, kappa,
                 lam1=lam1, lam2=lam2, stage_iters=stage_iters,
                 want_x=want_x, is_exvivo=is_exvivo, precision=precision,
                 interpret=jax.default_backend() != 'tpu')
@@ -315,7 +326,7 @@ class NODDI(BaseModel):
             return res
 
         def fit_chunk(Y, dirs, valid, A_all, G1_all, L1_all, G2_all, L2_all,
-                      K_iso, norms, icvf, kappa, rows_dwi_j):
+                      A2_all, iso_dwi, icvf, kappa):
             A_full = A_all[dirs]                        # (C, nS, na)
             G1 = G1_all[dirs]
             L1 = L1_all[dirs]
@@ -330,11 +341,11 @@ class NODDI(BaseModel):
             x_iso1 = x1[..., -1]
 
             # ---- stage 2: scaled DWI-only lasso (models.pyx:914-926)
-            Y2 = Y[..., rows_dwi_j] - x_iso1[..., None] * K_iso[rows_dwi_j]
+            Y2 = Y[..., rows_c] - x_iso1[..., None] * iso_dwi
             if is_exvivo:
                 Y2 = Y2 - x1[..., n_atoms - 2][..., None]
             Y2 = jnp.maximum(Y2, 0.0)
-            A2 = A_full[:, rows_dwi_j, :n_wm] * norms[None, None, :]
+            A2 = A2_all[dirs]
             b2 = project(A2, Y2)
             x2 = solve_tiles(G2_all[dirs], b2, L2_all[dirs], lam1, lam2,
                              backend=backend,
@@ -390,8 +401,9 @@ class NODDI(BaseModel):
         cache_key = ('noddi', backend, use_fused, stage_iters, precision,
                      lam1, lam2, is_exvivo, single_b0, n_wm, nS,
                      tuple(sorted(configs.items())))
+        consts = (A_all, G1_all, G2_all, A2T_all, iso_dwi, icvf, kappa) \
+            if use_fused else (A_all, G1_all, L1_all, G2_all, L2_all,
+                               A2_all, iso_dwi, icvf, kappa)
         return self._run_tiled_fit(
             evaluation, fit_chunk_fused if use_fused else fit_chunk,
-            shapes, backend=backend, cache_key=cache_key,
-            consts=(A_all, G1_all, L1_all, G2_all, L2_all,
-                    K_iso, norms, icvf, kappa, rows_dwi_j))
+            shapes, backend=backend, cache_key=cache_key, consts=consts)
