@@ -239,17 +239,24 @@ class BaseModel(ABC):
             backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
         return backend
 
-    def _ckpt_fingerprint(self, plan, tile_size: int,
-                          y: np.ndarray) -> np.ndarray:
+    def _ckpt_fingerprint(self, plan, tile_size: int, y: np.ndarray,
+                          y_sum: float | None = None,
+                          perm_sum: int | None = None) -> np.ndarray:
         """Mid-fit checkpoint fingerprint: pins everything a resumed
         chunk's values depend on -- the tile plan (voxel bucketing), the
         signal content, and the model/solver parameters.  A crash-rerun
         with a changed lambda or an edited volume must recompute, not
-        merge stale chunks."""
+        merge stale chunks.  ``y_sum``/``perm_sum`` accept the strided
+        content sums the caller already computed for its staging-cache
+        fingerprints (each sum strides a >100MB array -- cache-miss bound,
+        ~10ms; recomputing them doubled the per-fit setup cost)."""
         import hashlib
-        pstride = max(1, plan.perm.size // 65536)
-        ystride = max(1, y.size // 65536)
-        y_sum = np.float64(np.sum(y.ravel()[::ystride], dtype=np.float64))
+        if perm_sum is None:
+            pstride = max(1, plan.perm.size // 65536)
+            perm_sum = int(np.sum(plan.perm[::pstride], dtype=np.int64))
+        if y_sum is None:
+            ystride = max(1, y.size // 65536)
+            y_sum = float(np.sum(y.ravel()[::ystride], dtype=np.float64))
         params_repr = repr((sorted(getattr(self, 'solver_params',
                                            {}).items()),
                             sorted(self.get_params().items(),
@@ -257,9 +264,9 @@ class BaseModel(ABC):
         params_h = int.from_bytes(
             hashlib.blake2b(params_repr.encode(), digest_size=8).digest(),
             'little', signed=True)
-        return np.array([plan.n_tiles, tile_size,
-                         int(np.sum(plan.perm[::pstride], dtype=np.int64)),
-                         params_h, y_sum.view(np.int64)], np.int64)
+        return np.array([plan.n_tiles, tile_size, perm_sum,
+                         params_h, np.float64(y_sum).view(np.int64)],
+                        np.int64)
 
     # ------------------------------------------------- tiled fit driver
     def _run_tiled_fit(self, evaluation, fit_chunk_fn, n_outputs_like: dict,
@@ -343,13 +350,18 @@ class BaseModel(ABC):
             # keep ~51k-voxel chunks so uploads overlap solves.
             # chunk_tiles is quantized to 4 so nearby volume sizes share
             # a compiled chunk shape.
-            if device_gather and not (evaluation.get_config('fit_checkpoint')):
-                # one dispatch: quantize the tile count coarsely (32) so
-                # subjects with nearby masked-voxel counts reuse one
-                # compiled shape; padded tiles carry zero voxels and their
-                # lanes settle immediately (<=6% pad at 500 tiles)
-                nchunks = 1
-                per_chunk = plan.n_tiles
+            if device_gather:
+                # few big dispatches: the per-chunk launch+prep overhead is
+                # small (gap_probe r4: +45ms over 8 chunks) but the result
+                # D2H is NOT free on tunneled backends (~0.15s for 6MB of
+                # maps) -- 4 chunks overlap 3/4 of it behind compute
+                # (chunk_scan r4: device 0.55s at 4 chunks vs 0.67s at 1).
+                # chunk_tiles is quantized to 32 so subjects with nearby
+                # masked-voxel counts reuse one compiled shape; padded
+                # tiles carry zero voxels and settle immediately.
+                target = max(1, 51200 // tile_size)
+                nchunks = max(1, min(4, -(-plan.n_tiles // target)))
+                per_chunk = -(-plan.n_tiles // nchunks)
                 chunk_tiles = -(-per_chunk // 32) * 32
             else:
                 target = max(1, 51200 // tile_size)
@@ -391,8 +403,13 @@ class BaseModel(ABC):
         # RMSE toggled on since the crash), is ignored rather than merged:
         # the plan fingerprint pins the voxel bucketing and every output
         # key must be present
+        stride = max(1, y.size // 65536)
+        y_sum = float(np.sum(y.ravel()[::stride], dtype=np.float64))
+        pstride = max(1, plan.perm.size // 65536)
+        perm_sum = int(np.sum(plan.perm[::pstride], dtype=np.int64))
         ckpt_path = evaluation.get_config('fit_checkpoint')
-        ck_plan_fp = self._ckpt_fingerprint(plan, tile_size, y)
+        ck_plan_fp = self._ckpt_fingerprint(plan, tile_size, y,
+                                            y_sum=y_sum, perm_sum=perm_sum)
         done_until = 0
         if ckpt_path and os.path.isfile(ckpt_path):
             with np.load(ckpt_path) as ck:
@@ -412,11 +429,8 @@ class BaseModel(ABC):
         # re-bucket the same voxels (possibly into the same tile count),
         # must invalidate the staged copies -- in gather mode the cache
         # holds per-chunk permutation indices, which are plan-dependent.
-        stride = max(1, y.size // 65536)
-        y_fp = (y.shape, float(np.sum(y.ravel()[::stride], dtype=np.float64)))
-        pstride = max(1, plan.perm.size // 65536)
-        plan_fp = (plan.n_tiles,
-                   int(np.sum(plan.perm[::pstride], dtype=np.int64)),
+        y_fp = (y.shape, y_sum)
+        plan_fp = (plan.n_tiles, perm_sum,
                    int(np.sum(plan.tile_dirs, dtype=np.int64)))
         stage_key = (evaluation.y, y_fp, tile_size, plan_fp, chunk_tiles,
                      device_gather,

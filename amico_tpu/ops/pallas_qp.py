@@ -575,11 +575,16 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
 
     def kernel(G1_ref, G2_ref, B1_ref, Ydwi_ref, A2T_ref, isod_ref,
                icvf_ref, kappa_ref, *out_refs):
-        G1 = G1_ref[0]
-        G2 = G2_ref[0]
-        b1 = B1_ref[0]
-        Y_dwi = Ydwi_ref[0]
-        A2T = A2T_ref[0]
+      # tiles_per_step > 1 unrolls several tiles into one grid step
+      # (per-step overhead amortization -- the round-2 proposal, evaluated
+      # in round 4); the block's leading axis indexes the sub-tile
+      T = B1_ref.shape[0]
+      for t in range(T):
+        G1 = G1_ref[t]
+        G2 = G2_ref[t]
+        b1 = B1_ref[t]
+        Y_dwi = Ydwi_ref[t]
+        A2T = A2T_ref[t]
         iso_dwi = isod_ref[:]          # (ndwi_pad, 1), shared
         icvf = icvf_ref[:]             # (n2pad, 1), shared
         kappa = kappa_ref[:]
@@ -640,9 +645,9 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
             rows.append(x[n_atoms - 2:n_atoms - 1, :] / sum_atoms)
         est = jnp.concatenate(
             rows + [jnp.zeros((8 - len(rows), M), jnp.float32)], axis=0)
-        out_refs[0][0] = est
+        out_refs[0][t] = est
         if want_x:
-            out_refs[1][0] = x
+            out_refs[1][t] = x
 
     return kernel
 
@@ -650,13 +655,14 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
 @functools.partial(jax.jit, static_argnames=(
     'lam1', 'lam2', 'fista_iters', 'refine_rounds', 'cg_iters',
     'inner_passes', 'want_x', 'interpret', 'stage_iters', 'is_exvivo',
-    'early_exit', 'precision'))
+    'early_exit', 'precision', 'tiles_per_step'))
 def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
                              lam1=0.5, lam2=1e-3, fista_iters=40,
                              refine_rounds=12, cg_iters=12, inner_passes=2,
                              want_x=False, interpret=False,
                              stage_iters=None, is_exvivo=False,
-                             early_exit=False, precision='highest'):
+                             early_exit=False, precision='highest',
+                             tiles_per_step=1):
     """Fused 3-stage NODDI solve per tile.
 
     G1 (C, na, na), G2 (C, n_wm, n_wm), b1 (C, M, na), Y_dwi (C, M, ndwi),
@@ -681,14 +687,17 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
     npad = _round_up(na, 8)
     n2pad = _round_up(n_wm, 8)
     ndwi_pad = _round_up(ndwi, 8)
+    T = max(1, int(tiles_per_step))
+    Cp = _round_up(C, T)          # pad tiles solve zero data (cheap: every
+    cpad = Cp - C                 # lane converges immediately)
 
-    G1p = jnp.zeros((C, npad, npad), jnp.float32).at[:, :na, :na].set(G1)
-    G2p = jnp.zeros((C, n2pad, n2pad), jnp.float32).at[:, :n_wm, :n_wm].set(G2)
-    b1T = jnp.zeros((C, npad, M), jnp.float32).at[:, :na, :].set(
+    G1p = jnp.zeros((Cp, npad, npad), jnp.float32).at[:C, :na, :na].set(G1)
+    G2p = jnp.zeros((Cp, n2pad, n2pad), jnp.float32).at[:C, :n_wm, :n_wm].set(G2)
+    b1T = jnp.zeros((Cp, npad, M), jnp.float32).at[:C, :na, :].set(
         jnp.swapaxes(b1, 1, 2))
-    YdT = jnp.zeros((C, ndwi_pad, M), jnp.float32).at[:, :ndwi, :].set(
+    YdT = jnp.zeros((Cp, ndwi_pad, M), jnp.float32).at[:C, :ndwi, :].set(
         jnp.swapaxes(Y_dwi, 1, 2))
-    A2Tp = jnp.zeros((C, n2pad, ndwi_pad), jnp.float32).at[:, :n_wm, :ndwi].set(A2T)
+    A2Tp = jnp.zeros((Cp, n2pad, ndwi_pad), jnp.float32).at[:C, :n_wm, :ndwi].set(A2T)
     isod = jnp.zeros((ndwi_pad, 1), jnp.float32).at[:ndwi, 0].set(iso_dwi)
     icvf_p = jnp.zeros((n2pad, 1), jnp.float32).at[:n_wm, 0].set(icvf)
     kappa_p = jnp.zeros((n2pad, 1), jnp.float32).at[:n_wm, 0].set(kappa)
@@ -702,19 +711,19 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
                                 early_exit=bool(early_exit),
                                 precision=_resolve_precision(precision))
 
-    tile = lambda shp: pl.BlockSpec((1,) + shp, lambda i: (i, 0, 0),
+    tile = lambda shp: pl.BlockSpec((T,) + shp, lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
     shared = lambda shp: pl.BlockSpec(shp, lambda i: (0, 0),
                                       memory_space=pltpu.VMEM)
-    out_shapes = [jax.ShapeDtypeStruct((C, 8, M), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((Cp, 8, M), jnp.float32)]
     out_specs = [tile((8, M))]
     if want_x:
-        out_shapes.append(jax.ShapeDtypeStruct((C, npad, M), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((Cp, npad, M), jnp.float32))
         out_specs.append(tile((npad, M)))
 
     outs = pl.pallas_call(
         kernel,
-        grid=(C,),
+        grid=(Cp // T,),
         in_specs=[tile((npad, npad)), tile((n2pad, n2pad)), tile((npad, M)),
                   tile((ndwi_pad, M)), tile((n2pad, ndwi_pad)),
                   shared((ndwi_pad, 1)), shared((n2pad, 1)),
@@ -726,7 +735,7 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
 
     n_maps = 4 if is_exvivo else 3
     def _finish(estT):
-        est = jnp.swapaxes(estT[:, :n_maps, :], 1, 2)
+        est = jnp.swapaxes(estT[:C, :n_maps, :], 1, 2)
         odi = 2.0 / jnp.pi * jnp.arctan2(1.0, est[..., 1])
         cols = [est[..., 0], odi, est[..., 2]]
         if is_exvivo:
@@ -735,5 +744,5 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
 
     if want_x:
         estT, xT = outs
-        return _finish(estT), jnp.swapaxes(xT[:, :na, :], 1, 2)
+        return _finish(estT), jnp.swapaxes(xT[:C, :na, :], 1, 2)
     return _finish(outs)
