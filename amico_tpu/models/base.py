@@ -236,7 +236,17 @@ class BaseModel(ABC):
                                                              DEFAULT_BACKEND))
         if backend == 'auto':
             import jax
-            backend = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+            if jax.default_backend() != 'tpu':
+                backend = 'xla'
+            elif getattr(self, '_prefer_xla_backend', False):
+                # model hint: FISTA-dominated dense-support solves batch
+                # across ALL voxels in the XLA path, while the serial
+                # Pallas grid pays its per-tile latency once per FISTA
+                # iteration -- measured full-brain CylinderZeppelinBall
+                # 1.08M vox/s (xla) vs 627k (pallas) on v5e (round 4)
+                backend = 'xla'
+            else:
+                backend = 'pallas'
         return backend
 
     def _ckpt_fingerprint(self, plan, tile_size: int, y: np.ndarray,

@@ -25,6 +25,9 @@ class CylinderZeppelinBall(BaseModel):
     def __init__(self):
         self.id = 'CylinderZeppelinBall'
         self.name = 'Cylinder-Zeppelin-Ball'
+        # the dense-support FISTA-heavy solve batches across voxels in
+        # the XLA path (see base._solver_backend); 'auto' resolves there
+        self._prefer_xla_backend = True
         self.maps_name = ['v', 'a', 'd']
         self.maps_descr = ['Intra-cellular volume fraction',
                            'Mean axonal diameter', 'Axonal density']

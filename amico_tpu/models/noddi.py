@@ -398,8 +398,15 @@ class NODDI(BaseModel):
             shapes['nrmse'] = ()
         if configs['compute_modulated_maps']:
             shapes['estimates_mod'] = (2,)
+        # rows_c is BAKED into the chunk program (static index -- see the
+        # _prep note), so the compiled-fn cache must key on its content:
+        # two schemes with identical shapes but different DWI-row layouts
+        # (e.g. a permuted protocol) would otherwise share an executable
+        # built for the wrong rows (caught by
+        # tests/test_solver_review.py::test_noddi_rows_from_scheme_not_shape)
         cache_key = ('noddi', backend, use_fused, stage_iters, precision,
                      lam1, lam2, is_exvivo, single_b0, n_wm, nS,
+                     tuple(rows_c.tolist()),
                      tuple(sorted(configs.items())))
         consts = (A_all, G1_all, G2_all, A2T_all, iso_dwi, icvf, kappa) \
             if use_fused else (A_all, G1_all, L1_all, G2_all, L2_all,

@@ -252,6 +252,15 @@ class SANDI(BaseModel):
                         [Yc, np.zeros((pad, y.shape[1]), y.dtype)])
                 Yc_dev = chunks_dev[start] = jnp.asarray(Yc)
             res = fit_jit(Yc_dev, A, G, Lc, norms, Rs, d_in, d_isos)
+            # start D2H as soon as this chunk's solve finishes so result
+            # transfers overlap the remaining chunks' compute (without
+            # this, pulling SANDI's 6 full-brain maps serially after the
+            # solve cost 0.9s on the tunneled chip vs 0.13s of compute)
+            for arr in res.values():
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    pass
             pending.append((min(chunk, N - start), res))
         # phase timers, same contract as base._run_tiled_fit (the bench's
         # per-model fit_breakdown)

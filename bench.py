@@ -393,7 +393,11 @@ def main():
         from amico_tpu.io.scheme import GAMMA
 
         def bench_model(name, model, scheme_m, n=None):
-            n = n or int(os.environ.get('BENCH_ALL_VOXELS', 50000))
+            # full-brain volumes since round 4 (was 50k): per-voxel cost
+            # amortizes the sequential-step latency of the small models
+            # (FreeWater 745k vox/s at 50k -> 1.61M at 409.6k), so the
+            # small-volume numbers understated them
+            n = n or int(os.environ.get('BENCH_ALL_VOXELS', 409600))
             kd = os.path.join(os.environ['AMICO_TPU_HOME'], f'bench_{name}')
             os.makedirs(kd, exist_ok=True)
             model.scheme = scheme_m
@@ -428,6 +432,7 @@ def main():
             extra[f'{name}_breakdown'] = {
                 k: round(v, 4) if isinstance(v, float) else v
                 for k, v in getattr(model, '_last_fit_timers', {}).items()}
+            extra[f'{name}_n_voxels'] = n
             return round(n / best, 1)
 
         extra['freewater_voxps'] = bench_model('fw', FreeWater(), scheme)

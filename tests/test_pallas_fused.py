@@ -299,3 +299,40 @@ def test_stage_converge_flag_refines(noddi_problem):
     assert np.percentile(gap_cvg, 95) < max(np.percentile(gap_short, 95) * 0.25,
                                             2e-3), \
         (np.percentile(gap_cvg, 95), np.percentile(gap_short, 95))
+
+
+def test_tiles_per_step_bit_identical(noddi_problem):
+    """tiles_per_step unrolls N tiles into one grid step (round-4
+    grid-overhead evaluation); per-tile math is unchanged, including
+    with a tile count that does not divide evenly and on the want_x
+    path.  (Equality tolerance: in interpret mode XLA may re-fuse ops
+    across the unrolled sub-tiles, shifting f32 rounding ~1e-7; the
+    Mosaic lowering on real TPU measured bit-identical.)"""
+    scheme, kernels = noddi_problem
+    n_wm = kernels['wm'].shape[0]
+    dwi = np.asarray(scheme.dwi_idx)
+    rng = np.random.RandomState(7)
+    C, M = 5, 32
+    ds = rng.randint(0, 500, C)
+    A = np.stack([np.column_stack([kernels['wm'][:, d, :].T, kernels['iso']])
+                  for d in ds])
+    W = rng.rand(C, M, n_wm + 1) * (rng.rand(C, M, n_wm + 1) < 0.3) + 0.05
+    Y = np.einsum('csa,cma->cms', A,
+                  W / np.maximum(W.sum(-1, keepdims=True), 1e-9))
+    Y = np.clip(Y + 0.002 * rng.randn(*Y.shape), 0, None).astype(np.float32)
+    G1 = np.asarray(gram(jnp.asarray(A, jnp.float32)))
+    b1 = np.einsum('csa,cms->cma', A, Y).astype(np.float32)
+    A2 = A[:, dwi, :n_wm] * kernels['norms'][None, None, :]
+    G2 = np.asarray(gram(jnp.asarray(A2, jnp.float32)))
+    args = (G1, G2, b1, Y[:, :, dwi], np.swapaxes(A2, 1, 2).astype(np.float32),
+            kernels['iso'][dwi].astype(np.float32),
+            np.asarray(kernels['icvf'], np.float32),
+            np.asarray(kernels['kappa'], np.float32))
+    kw = dict(lam1=0.5, lam2=1e-3, interpret=True)
+    est1, x1 = (np.asarray(a) for a in noddi_fused_tiles_pallas(
+        *args, want_x=True, **kw))
+    for T in (2, 3):
+        estT, xT = (np.asarray(a) for a in noddi_fused_tiles_pallas(
+            *args, want_x=True, tiles_per_step=T, **kw))
+        np.testing.assert_allclose(est1, estT, atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(x1, xT, atol=2e-5, rtol=1e-5)
