@@ -2,8 +2,11 @@
 """Diagnose the oracle-map-error tail (VERDICT r2 item 6).
 
 For the worst-N audited voxels of the bench workload, compares the TPU
-fused-kernel solution against the exact C++ active-set oracle at every
-stage:
+fused-kernel solution against the exact C++ oracle at every stage.
+Since round 4 the oracle's stage-2 lasso runs LARS/homotopy -- the
+reference's actual algorithm (native.lasso default; the Lawson-Hanson
+pivot order is available as algorithm='activeset' and agrees
+bit-identically on 10k audited voxels, see PARITY.md):
 
 * stage-2 lasso objective value (TPU vs oracle x2) -- is the TPU solve
   under-converged, or sitting in a different but equally-optimal vertex?
