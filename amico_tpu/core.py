@@ -491,7 +491,25 @@ class Evaluation:
         n_vox = int(np.sum(mask == 1))
 
         t = time.time()
-        self.y = _pl.masked_voxels(self.niiDWI_img, mask)
+        # warm re-fit cache: repeated fit() calls on the same loaded data
+        # (multi-model runs, parameter sweeps) must hand the model the
+        # SAME y array object -- the model's device staging cache keys on
+        # identity, and a fresh masked_voxels allocation forced a full
+        # signal re-upload per fit (measured ~4s per full brain on the
+        # tunneled chip).  Keyed by array identity + strided content
+        # fingerprint (in-place edits of the loaded volume invalidate).
+        stride = max(1, self.niiDWI_img.size // 65536)
+        img_fp = float(np.sum(self.niiDWI_img.ravel()[::stride],
+                              dtype=np.float64))
+        yc = getattr(self, '_fit_y_cache', None)
+        if yc is not None and yc[0] is self.niiDWI_img \
+                and yc[1] is self.niiMASK_img and yc[2] == img_fp:
+            self.y = yc[3]
+        else:
+            self.y = _pl.masked_voxels(self.niiDWI_img, mask)
+            self._fit_y_cache = (self.niiDWI_img, self.niiMASK_img,
+                                 img_fp, self.y)
+            self._fit_dirs_cache = None
 
         # multi-host: fit only this host's voxel slab (bulk voxel data never
         # crosses DCN; maps are gathered after the fit)
@@ -514,10 +532,20 @@ class Evaluation:
             if dist_on:
                 self.DIRs = self.DIRs[slab]
         elif not self.get_config('doDirectionalAverage'):
-            with self.timers.stage('directions'):
-                self.DIRs = _pl.principal_directions(
-                    self.y, self.scheme, method,
+            # DIRs depend only on (y, scheme, method, doMergeB0); on a
+            # warm re-fit with the cached y they are identical -- reuse
+            # them (same rationale as the y cache above; the model's
+            # plan cache also keys on DIRs identity)
+            dkey = (self.y, self.scheme, method,
                     bool(self.get_config('doMergeB0')))
+            dc = getattr(self, '_fit_dirs_cache', None)
+            if dc is not None and dc[0] is dkey[0] and dc[1] is dkey[1] \
+                    and dc[2:4] == dkey[2:4]:
+                self.DIRs = dc[4]
+            else:
+                with self.timers.stage('directions'):
+                    self.DIRs = _pl.principal_directions(*dkey)
+                self._fit_dirs_cache = dkey + (self.DIRs,)
         self.set_config('dirs_precomputing_time', time.time() - t)
         LOG('   [ %s ]' % time.strftime(
             '%Hh %Mm %Ss',

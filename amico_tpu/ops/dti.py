@@ -18,6 +18,8 @@ weights, then a final fit with residual outliers beyond 3 sigma excluded
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -175,32 +177,19 @@ def _restore(params: jnp.ndarray, Bj: jnp.ndarray, y: jnp.ndarray,
     return jnp.where(has_outlier[..., None], p_in, p_nlls)
 
 
-def fit_dti(y: jnp.ndarray, b: np.ndarray, g: np.ndarray,
-            method: str = 'OLS') -> jnp.ndarray:
-    """Fit the diffusion tensor per voxel; return principal directions.
-
-    y: (N, nS) signals (clamped to MIN_SIGNAL before log); b, g: scheme.
-    Returns (N, 3) unit vectors (the reference's ``DIRs``, core.py:458).
-    """
-    Bd = design_matrix(b, g)
-    y = jnp.asarray(y)
+@functools.partial(jax.jit, static_argnames=('meth',))
+def _fit_dti_device(y, Bd_j, pinv_j, meth):
+    """The device side of fit_dti, compiled as ONE program.  Running it
+    eagerly cost ~7s per full brain on a tunneled chip (per-op dispatch
+    round-trips); jitted it is a single dispatch."""
     dt = y.dtype
     logy = jnp.log(jnp.maximum(y, MIN_SIGNAL))
     prec = jax.lax.Precision.HIGHEST
-
-    pinv = jnp.asarray(np.linalg.pinv(Bd), dt)           # (7, nS)
-    params = jnp.einsum('pn,vn->vp', pinv, logy, precision=prec)
-
-    meth = method.upper()
-    if meth not in ('OLS', 'LS', 'WLS', 'NLLS', 'RT', 'RESTORE'):
-        # direct callers bypass pipeline.resolve_dti_method's gate; a typo
-        # must not silently degrade to a WLS fit
-        raise ValueError(f'unknown DTI fit method {method!r}; choose one '
-                         'of OLS, LS, WLS, NLLS, RT, RESTORE')
+    params = jnp.einsum('pn,vn->vp', pinv_j, logy, precision=prec)
     if meth not in ('OLS', 'LS'):
         # WLS: weights = squared OLS-predicted signal (also the NLLS /
         # RESTORE starting point)
-        Bj = jnp.asarray(Bd, dt)
+        Bj = Bd_j
         pred = jnp.einsum('np,vp->vn', Bj, params, precision=prec)
         w = jnp.exp(2.0 * pred)
 
@@ -219,3 +208,23 @@ def fit_dti(y: jnp.ndarray, b: np.ndarray, g: np.ndarray,
 
     D = _tensors_from_params(params)
     return principal_eigenvector(D)
+
+
+def fit_dti(y: jnp.ndarray, b: np.ndarray, g: np.ndarray,
+            method: str = 'OLS') -> jnp.ndarray:
+    """Fit the diffusion tensor per voxel; return principal directions.
+
+    y: (N, nS) signals (clamped to MIN_SIGNAL before log); b, g: scheme.
+    Returns (N, 3) unit vectors (the reference's ``DIRs``, core.py:458).
+    """
+    meth = method.upper()
+    if meth not in ('OLS', 'LS', 'WLS', 'NLLS', 'RT', 'RESTORE'):
+        # direct callers bypass pipeline.resolve_dti_method's gate; a typo
+        # must not silently degrade to a WLS fit
+        raise ValueError(f'unknown DTI fit method {method!r}; choose one '
+                         'of OLS, LS, WLS, NLLS, RT, RESTORE')
+    Bd = design_matrix(b, g)
+    y = jnp.asarray(y)
+    pinv = np.linalg.pinv(Bd)                            # (7, nS)
+    return _fit_dti_device(y, jnp.asarray(Bd, y.dtype),
+                           jnp.asarray(pinv, y.dtype), meth)
