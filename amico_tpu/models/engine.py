@@ -107,14 +107,20 @@ def iter_tile_chunks(n_tiles: int, chunk: int):
         yield start, stop, chunk - (stop - start)
 
 
-def auto_tile_size(counts: np.ndarray, widths=(128, 256, 512, 1024),
+def auto_tile_size(counts: np.ndarray,
+                   widths=(128, 256, 384, 512, 640, 768, 896, 1024),
                    step_overhead: float = 64.0) -> int:
     """Lane width minimizing predicted solve time for direction-bucket
     sizes ``counts``: padded slots scale the work, and the per-slot rate
     rises with M as M/(M + c) (per-grid-step overhead, measured c~64 on
-    v5e) -- wide tiles only pay off when buckets fill them.  Shared by the
-    fit driver (models/base.py) and bench.py so the bench always measures
-    the width production picks."""
+    v5e) -- wide tiles only pay off when buckets fill them.  Widths are
+    every multiple of 128 (the VPU lane tile): the original
+    power-of-two-only ladder left an 11% win on the table at full brain,
+    where buckets average ~819 voxels and M=896 pads 1.09x vs 1024's
+    1.25x -- measured 1.089M vs 977k vox/s solver-only on v5e (round 4),
+    within 1% of this model's prediction.  Shared by the fit driver
+    (models/base.py) and bench.py so the bench always measures the width
+    production picks."""
     counts = np.asarray(counts)
     best_m, best = widths[0], float('inf')
     for m in widths:
