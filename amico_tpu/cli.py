@@ -159,6 +159,10 @@ def _cmd_warmup(args):
     t0 = time.time()
     model.fit(_Ctx())
     t_warm = time.time() - t0
+    # the pipeline's direction-estimation program compiles per voxel
+    # count too (Evaluation.fit runs it before every model fit)
+    from .pipeline import principal_directions
+    principal_directions(y, scheme, 'OLS', False)
     import jax
     print(f'warmup: compiled the {args.voxels}-voxel NODDI fit on '
           f'{jax.devices()[0].device_kind} in {t_first:.1f}s '

@@ -300,7 +300,11 @@ class BaseModel(ABC):
         import time as _time
         _t_enter = _time.time()
 
-        y = np.asarray(evaluation.y, np.float32)
+        # keep the signal in its native dtype here: warm re-fits consume
+        # only fingerprints and cached device arrays, and an eager
+        # f64->f32 cast of a full brain cost ~80ms per fit; the two cold
+        # consumers (y_ext build, host tiling) cast at use
+        y = np.asarray(evaluation.y)
         # direction quantization + tile plan are DIRs-only derived: cache
         # them across warm re-fits (identity + strided content fingerprint,
         # same invalidation rationale as the staging cache below)
@@ -385,7 +389,8 @@ class BaseModel(ABC):
             chunk_tiles = max(1, -(-chunk_tiles // ndev) * ndev)
         dirs_t = plan.tile_dirs
         valid_t = plan.valid
-        Y = None if device_gather else tile_voxels(plan, y)
+        Y = None if device_gather \
+            else tile_voxels(plan, y.astype(np.float32, copy=False))
 
         # memoize the jitted fit across fit() calls: a fresh closure per call
         # would miss jax's compile cache (compiles dominate on remote TPUs)
