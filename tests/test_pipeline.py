@@ -202,3 +202,30 @@ def test_debias_rician():
     est = np.asarray(debias_rician_batch(jnp.asarray(means, jnp.float32),
                                          jnp.float32(sigma)))
     np.testing.assert_allclose(est, true, rtol=2e-2, atol=0.5)
+
+
+def test_warm_refit_reuses_voxels_and_directions(study):
+    """Repeated fit() on the same loaded volume must hand the model the
+    SAME y/DIRs array objects (the model's device staging cache keys on
+    identity -- a fresh allocation per fit forced a full signal
+    re-upload, round 4), and results must be identical.  An in-place
+    edit of the loaded volume must invalidate both caches."""
+    d, _ = study
+    ev = amico_tpu.Evaluation(str(d), 'subj1')
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme', mask_filename='mask.nii.gz')
+    ev.set_model('NODDI')
+    ev.model.set(IC_VFs=np.linspace(0.3, 0.99, 4),
+                 IC_ODs=np.array([0.06, 0.3, 0.8]))
+    ev.generate_kernels()
+    ev.load_kernels()
+    ev.fit()
+    y1, dirs1 = ev.y, ev.DIRs
+    est1 = np.asarray(ev.RESULTS['MAPs'])
+    ev.fit()
+    assert ev.y is y1 and ev.DIRs is dirs1
+    np.testing.assert_array_equal(np.asarray(ev.RESULTS['MAPs']), est1)
+    # in-place mutation invalidates (fingerprint mismatch)
+    ev.niiDWI_img[..., 0] += 0.5
+    ev.fit()
+    assert ev.y is not y1
