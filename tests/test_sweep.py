@@ -106,7 +106,7 @@ def test_fit_checkpoint_resume(study):
     # steal the first chunks' correct values from ref via tiling
     est_tiled = tile_voxels(plan, ref)
     partial['estimates'][:done] = est_tiled[:done]
-    fp = model._ckpt_fingerprint(plan, 32, np.asarray(ev_ck.y, np.float32))
+    fp = model._ckpt_fingerprint(plan, 32, np.asarray(ev_ck.y))
     np.savez(ck[:-4], plan_fp=fp, done_until=done, **partial)
     got2 = model.fit(ev_ck)['estimates']
     np.testing.assert_allclose(got2, ref, atol=1e-6)
@@ -116,8 +116,7 @@ def test_fit_checkpoint_resume(study):
     import copy as _copy
     other = _copy.copy(model)
     other.solver_params = dict(model.solver_params, lambda2=0.123)
-    fp_other = other._ckpt_fingerprint(plan, 32,
-                                       np.asarray(ev_ck.y, np.float32))
+    fp_other = other._ckpt_fingerprint(plan, 32, np.asarray(ev_ck.y))
     assert not np.array_equal(fp, fp_other)
     poisoned0 = {'estimates': np.full((plan.n_tiles, 32, 2), 9.0,
                                       np.float32)}
@@ -126,7 +125,7 @@ def test_fit_checkpoint_resume(study):
     np.testing.assert_allclose(got2b, ref, atol=1e-6)
 
     # ... and when the signal content changes under the same plan
-    y2 = np.asarray(ev_ck.y, np.float32).copy()
+    y2 = np.asarray(ev_ck.y).copy()
     y2[0, 0] += 1.0
     assert not np.array_equal(fp, model._ckpt_fingerprint(plan, 32, y2))
 
