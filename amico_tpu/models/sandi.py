@@ -212,10 +212,14 @@ class SANDI(BaseModel):
         N = y.shape[0]
         vpc = evaluation.get_config('voxels_per_chunk') or 'auto'
         if vpc == 'auto':
-            # direction-free fit: equal-split into <=8 chunks around the
-            # measured per-dispatch sweet spot, quantized so nearby volume
-            # sizes share one compiled chunk shape (see base.py)
-            nchunks = max(1, min(8, -(-N // 51200)))
+            # direction-free fit: equal-split into <=4 chunks, quantized
+            # so nearby volume sizes share one compiled chunk shape (see
+            # base.py).  Chunks run serially on device and this tiny
+            # 15-atom solve is sequential-step bound, so halving the
+            # chunk count halves the serial windows while the async D2H
+            # still overlaps (round 4: 8 chunks cost 0.33s device for a
+            # full brain; the solve itself is ~0.1s)
+            nchunks = max(1, min(4, -(-N // 51200)))
             per_chunk = -(-N // nchunks)
             chunk = -(-per_chunk // 4096) * 4096
         else:
