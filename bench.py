@@ -392,11 +392,15 @@ def main():
         from amico_tpu.models import CylinderZeppelinBall, FreeWater, SANDI
         from amico_tpu.io.scheme import GAMMA
 
-        def bench_model(name, model, scheme_m, n=None):
+        def bench_model(name, model, scheme_m, n=None, oracle=None,
+                        oracle_cols=None):
             # full-brain volumes since round 4 (was 50k): per-voxel cost
             # amortizes the sequential-step latency of the small models
             # (FreeWater 745k vox/s at 50k -> 1.61M at 409.6k), so the
-            # small-volume numbers understated them
+            # small-volume numbers understated them.
+            # ``oracle(K, model, y_i, lut_i) -> map vector`` enables a
+            # 200-voxel exact-solver audit (the NODDI audit's analog for
+            # the other models; LARS oracle = the reference's algorithm)
             n = n or int(os.environ.get('BENCH_ALL_VOXELS', 409600))
             kd = os.path.join(os.environ['AMICO_TPU_HOME'], f'bench_{name}')
             os.makedirs(kd, exist_ok=True)
@@ -433,9 +437,38 @@ def main():
                 k: round(v, 4) if isinstance(v, float) else v
                 for k, v in getattr(model, '_last_fit_timers', {}).items()}
             extra[f'{name}_n_voxels'] = n
+            if oracle is not None:
+                from amico_tpu import lut as _lutm
+                res = model.fit(c2)
+                est_m = np.asarray(res['estimates'], np.float64)
+                ns = min(200, n)
+                lut_m = (None if Db is None else
+                         _lutm.dir_to_lut_idx(Db[:ns].astype(np.float64),
+                                              htable))
+                ref_m = np.stack([
+                    oracle(K, model, yb[i],
+                           None if lut_m is None else lut_m[i])
+                    for i in range(ns)])
+                err_m = np.abs(est_m[:ns] - ref_m)
+                if oracle_cols is not None:
+                    # e.g. CZB's density d = 4v/(pi a^2) amplifies a
+                    # near-zero-diameter difference into huge absolute
+                    # deltas on noise voxels -- audit the stable columns
+                    err_m = err_m[:, list(oracle_cols)]
+                extra[f'{name}_oracle_err_med'] = float(np.median(err_m))
+                extra[f'{name}_oracle_err_p95'] = float(
+                    np.percentile(err_m, 95))
             return round(n / best, 1)
 
-        extra['freewater_voxps'] = bench_model('fw', FreeWater(), scheme)
+        def fw_oracle(K, model, y_i, lut_i):
+            n_perp = K['D'].shape[0]
+            A = np.column_stack([K['D'][:, lut_i, :].T, K['CSF'].T])
+            x = native.lasso(A, y_i, 0.0, 1e-3)
+            v = x[:n_perp].sum() / (x.sum() + 1e-16)
+            return np.array([v, 1.0 - v])
+
+        extra['freewater_voxps'] = bench_model('fw', FreeWater(), scheme,
+                                               oracle=fw_oracle)
         _trace(f'freewater bench done ({extra["freewater_voxps"]:,.0f})')
 
         Delta, delta = 0.035, 0.015
@@ -447,8 +480,20 @@ def main():
             rows_v1.append(np.c_[g30, np.full(30, Gv), np.full(30, Delta),
                                  np.full(30, delta), np.full(30, Delta + delta)])
         scheme_v1 = Scheme(np.vstack(rows_v1))
+        def czb_oracle(K, model, y_i, lut_i):
+            n_rs, n_perp = len(model.Rs), len(model.d_perps)
+            A = np.column_stack([K['wmr'][:, lut_i, :].T,
+                                 K['wmh'][:, lut_i, :].T, K['iso'].T])
+            x = native.lasso(A, y_i, 0.0, 4.0)
+            f1 = x[:n_rs].sum()
+            f2 = x[n_rs:n_rs + n_perp].sum() + 1e-16
+            v = f1 / (f1 + f2 + 1e-16)
+            a = 1e6 * 2 * np.sum(model.Rs * x[:n_rs]) / (f1 + 1e-16)
+            return np.array([v, a, 4 * v / (np.pi * a ** 2 + 1e-16)])
+
         extra['activeax_voxps'] = bench_model('czb', CylinderZeppelinBall(),
-                                              scheme_v1)
+                                              scheme_v1, oracle=czb_oracle,
+                                              oracle_cols=(0, 1))
         _trace(f'activeax bench done ({extra["activeax_voxps"]:,.0f})')
 
         # SANDI: direction-averaged signal (b0 + 2 shells)
@@ -457,7 +502,24 @@ def main():
             Gv = np.sqrt(bb * 1e6 / (GAMMA ** 2 * delta ** 2 * (Delta - delta / 3)))
             rows_sa.append(np.array([[1, 0, 0, Gv, Delta, delta, Delta + delta]]))
         scheme_sa = Scheme(np.vstack(rows_sa))
-        extra['sandi_voxps'] = bench_model('sandi', SANDI(), scheme_sa)
+        def sandi_oracle(K, model, y_i, lut_i):
+            n_rs, n_in = len(model.Rs), len(model.d_in)
+            x = native.lasso(K['signal'], y_i, 0.0, 5e-3) * K['norms']
+            xs = x.sum() + 1e-16
+            xsph = x[:n_rs].sum()
+            xstk = x[n_rs:n_rs + n_in].sum()
+            xiso = x[n_rs + n_in:].sum()
+            return np.array([
+                xsph / xs, xstk / xs, xiso / xs,
+                1e6 * np.sum(model.Rs * x[:n_rs]) / (xsph + 1e-16),
+                1e3 * np.sum(model.d_in * x[n_rs:n_rs + n_in])
+                / (xstk + 1e-16),
+                1e3 * np.sum(model.d_isos * x[n_rs + n_in:])
+                / (xiso + 1e-16)])
+
+        extra['sandi_voxps'] = bench_model('sandi', SANDI(), scheme_sa,
+                                           oracle=sandi_oracle,
+                                           oracle_cols=(0, 1, 2, 3))
         _trace(f'sandi bench done ({extra["sandi_voxps"]:,.0f})')
 
     if os.environ.get('BENCH_PIPELINE', '0' if small else '1') == '1':
