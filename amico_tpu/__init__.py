@@ -30,6 +30,10 @@ def __getattr__(name):
         if name == 'core':
             return core
         return getattr(core, name)
-    if name == 'models':
-        return importlib.import_module('.models', __name__)
+    if name in ('models', 'util', 'scheme', 'synthesis', 'lut', 'preproc'):
+        # reference scripts address these as attribute submodules
+        # (`amico.util.fsl2scheme(...)`, `amico.scheme.Scheme`, ...);
+        # the reference package gets this for free because its eager
+        # imports pull them in (/root/reference/amico/__init__.py:1-9)
+        return importlib.import_module(f'.{name}', __name__)
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')
