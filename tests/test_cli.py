@@ -78,3 +78,16 @@ def test_cli_sweep_two_subjects(study, capsys):
                '--model', 'FreeWater', '--b0-thr', '50', '--lmax', '6',
                '--verbose', '0', '--no-resume', '--config', 'tile_size=32'])
     assert rc == 1
+
+
+def test_warmup_parser_and_defaults():
+    """The warmup verb (round 4): flags parse, defaults target the
+    flagship full-brain NODDI shapes."""
+    from amico_tpu.cli import build_parser, _cmd_warmup
+    p = build_parser()
+    a = p.parse_args(['warmup'])
+    assert a.func is _cmd_warmup
+    assert a.voxels == 409600 and a.scheme is None
+    a2 = p.parse_args(['warmup', '--voxels', '1000', '--scheme', 's.scheme',
+                       '-v', '0'])
+    assert a2.voxels == 1000 and a2.scheme == 's.scheme'
