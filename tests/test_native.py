@@ -137,3 +137,24 @@ def test_entry_points_work_with_native_disabled(monkeypatch):
     G = A.T @ A
     x3 = native.qp_nonneg(G, A.T @ y)
     np.testing.assert_allclose(x3, x, atol=1e-8)
+
+
+@pytest.mark.skipif(not native.available(), reason='no native lib')
+def test_lars_fallback_matches_native_on_noddi_stage2_shapes():
+    """Toolchain-free installs run the NumPy LARS mirror; it must land on
+    the same vertex as the C++ path on NODDI-stage-2-like problems
+    (m=90 samples, n=144 correlated atoms, lam1=0.5, lam2=1e-3)."""
+    rng = np.random.RandomState(8)
+    base = np.abs(rng.randn(90, 16))
+    for _ in range(5):
+        idx = rng.randint(0, 16, 144)
+        A = base[:, idx] + 1e-3 * np.abs(rng.randn(90, 144))
+        A /= np.linalg.norm(A, axis=0, keepdims=True)
+        xt = np.abs(rng.randn(144)) * (rng.rand(144) < 0.05)
+        y = A @ xt + 0.01 * rng.randn(90)
+        x_c = native.lasso(A, y, 0.5, 1e-3, algorithm='lars')
+        x_p = native._lasso_lars_py(np.asfortranarray(A, np.float64),
+                                    np.ascontiguousarray(y, np.float64),
+                                    0.5, 1e-3)
+        np.testing.assert_allclose(x_p, x_c, atol=1e-9)
+        assert set(np.where(x_p > 1e-12)[0]) == set(np.where(x_c > 1e-12)[0])
