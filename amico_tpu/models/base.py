@@ -355,15 +355,10 @@ class BaseModel(ABC):
         budget = int(evaluation.get_config('max_device_bytes') or (4 << 30))
         device_gather = sharding is None and y.nbytes <= budget
         if vpc == 'auto':
-            # equal-split chunking.  In device-gather mode nothing streams
-            # per chunk (signal staged once, outputs a few MB), so chunk
-            # division only buys mid-fit checkpoint granularity while
-            # costing per-dispatch latency -- measured 45ms over 8 chunks
-            # on a full brain (gap_probe r4: 0.473s chunked vs 0.428s one
-            # dispatch); default to ONE dispatch.  Streaming/mesh paths
-            # keep ~51k-voxel chunks so uploads overlap solves.
-            # chunk_tiles is quantized to 4 so nearby volume sizes share
-            # a compiled chunk shape.
+            # equal-split chunking; the two modes want different shapes.
+            # Streaming/mesh paths keep ~51k-voxel chunks so uploads
+            # overlap solves; device-gather wants FEW big dispatches
+            # (details below).
             if device_gather:
                 # few big dispatches: the per-chunk launch+prep overhead is
                 # small (gap_probe r4: +45ms over 8 chunks) but the result
