@@ -182,11 +182,12 @@ class Evaluation:
         PRINT('\t* DWI signal')
         if not isfile(pjoin(data_path, dwi_filename)):
             ERROR('DWI file not found')
+        # raw (unscaled, possibly mmapped read-only) view: the rescale /
+        # finite-check / normalize stages run fused in one native pass
+        # inside _preprocess (where the scheme's b0 indices are known);
+        # the staged fallback copies there instead
         self.niiDWI = nifti.load(pjoin(data_path, dwi_filename))
-        # raw values: the slope/inter rescale happens explicitly below so
-        # it can be logged (get_fdata would already apply it).  np.array
-        # copies -- dataobj may be a read-only view of the file buffer
-        img = np.array(self.niiDWI.dataobj, dtype=np.float32)
+        img = self.niiDWI.dataobj
         if img.ndim != 4:
             ERROR('DWI file is not a 4D image')
         hdr = self.niiDWI.header
@@ -194,10 +195,9 @@ class Evaluation:
         self.set_config('pixdim', tuple(hdr.get_zooms()[:3]))
         PRINT('\t\t- dim    = %d x %d x %d x %d' % img.shape)
         PRINT('\t\t- pixdim = %.3f x %.3f x %.3f' % self.get_config('pixdim'))
-        img, rescaled = _pl.intensity_rescale(img, hdr.scl_slope, hdr.scl_inter)
+        rescaled = _pl.rescale_meaningful(hdr.scl_slope, hdr.scl_inter)
         if rescaled:
             PRINT('\t\t- rescaling data  [OK]')
-        img = _pl.ensure_finite(img, replace_bad_voxels, 'raw')
 
         PRINT('\t* Acquisition scheme')
         if not isfile(pjoin(data_path, scheme_filename)):
@@ -237,9 +237,46 @@ class Evaluation:
 
     def _preprocess(self, img, b0_thr, b0_min_signal, replace_bad_voxels):
         """Run the enabled preprocessing stages in reference order:
-        debias -> b0-normalize -> merge-b0 -> directional average."""
+        rescale/finite-guard -> debias -> b0-normalize -> merge-b0 ->
+        directional average.
+
+        ``img`` arrives as the RAW (unscaled, possibly mmapped read-only)
+        volume.  On the default path (no debias) the rescale + raw finite
+        guard + b0 normalization + stats run as ONE threaded native pass
+        (ops.native.preprocess_dwi) straight out of the file mapping --
+        the staged NumPy path below is the exact semantic fallback
+        (equivalence: tests/test_pipeline.py)."""
         LOG('\n-> Preprocessing:')
         tic = time.time()
+        hdr = self.niiDWI.header
+        normalize = bool(self.get_config('doNormalizeSignal'))
+        rescale = _pl.rescale_meaningful(hdr.scl_slope, hdr.scl_inter)
+        if normalize and self.scheme.b0_count == 0:
+            ERROR('No b0 volume to normalize signal with')
+
+        fused = None
+        if not self.get_config('doDebiasSignal'):
+            from .ops import native
+            fused = native.preprocess_dwi(
+                np.asarray(img), self.scheme.b0_idx, hdr.scl_slope,
+                hdr.scl_inter, rescale, b0_min_signal, replace_bad_voxels,
+                normalize)
+        if fused is not None:
+            img, mean_b0, info = fused
+            _pl.finite_report(info['raw_bad'], replace_bad_voxels, 'raw')
+            if normalize:
+                PRINT('\t* Normalizing to b0... ', end='')
+                self.mean_b0s = mean_b0
+                PRINT(f'[ min={info["min"]:.2f},  mean={info["mean"]:.2f}, '
+                      f'max={info["max"]:.2f} ]')
+                _pl.finite_report(info['out_bad'], replace_bad_voxels,
+                                  'preprocessed')
+            return self._preprocess_tail(img, b0_thr, replace_bad_voxels,
+                                         tic, finite_checked=True)
+
+        img = np.array(img, dtype=np.float32)
+        img, _ = _pl.intensity_rescale(img, hdr.scl_slope, hdr.scl_inter)
+        img = _pl.ensure_finite(img, replace_bad_voxels, 'raw')
 
         if self.get_config('doDebiasSignal'):
             PRINT('\t* Debiasing signal... ', end='')
@@ -255,14 +292,17 @@ class Evaluation:
                                self.niiMASK_img, self.scheme).astype(np.float32)
             PRINT(' [OK]')
 
-        if self.get_config('doNormalizeSignal'):
+        if normalize:
             PRINT('\t* Normalizing to b0... ', end='')
-            if self.scheme.b0_count == 0:
-                ERROR('No b0 volume to normalize signal with')
             img, self.mean_b0s = _pl.b0_normalize(img, self.scheme.b0_idx,
                                                   b0_min_signal)
             PRINT(f'[ min={img.min():.2f},  mean={img.mean():.2f}, '
                   f'max={img.max():.2f} ]')
+        return self._preprocess_tail(img, b0_thr, replace_bad_voxels, tic,
+                                     finite_checked=False)
+
+    def _preprocess_tail(self, img, b0_thr, replace_bad_voxels, tic,
+                         finite_checked):
 
         if self.get_config('doMergeB0'):
             if self.scheme.b0_count == 0:
@@ -292,7 +332,10 @@ class Evaluation:
             if self.scheme.nS != img.shape[3]:
                 ERROR('Scheme does not match with DWI data')
 
-        img = _pl.ensure_finite(img, replace_bad_voxels, 'preprocessed')
+        if not finite_checked:
+            img = _pl.ensure_finite(img, replace_bad_voxels, 'preprocessed')
+        # (the fused pass already checked the normalized values; merge /
+        # directional averaging only take means of finite data)
         LOG(f'   [ {time.time() - tic:.1f} seconds ]')
         return img
 
@@ -490,6 +533,12 @@ class Evaluation:
         # same criterion or slab/scatter shapes diverge from self.y
         n_vox = int(np.sum(mask == 1))
 
+        # facade phase timers: every second of Evaluation.fit() outside the
+        # model's own engine timers is attributed here (voxel staging /
+        # directions / model fit / scatter) -- stored as
+        # _last_fit_facade_timers and surfaced by bench.py
+        tf = {}
+        t_enter = time.time()
         t = time.time()
         # warm re-fit cache: repeated fit() calls on the same loaded data
         # (multi-model runs, parameter sweeps) must hand the model the
@@ -497,18 +546,25 @@ class Evaluation:
         # identity, and a fresh masked_voxels allocation forced a full
         # signal re-upload per fit (measured ~4s per full brain on the
         # tunneled chip).  Keyed by array identity + strided content
-        # fingerprint (in-place edits of the loaded volume invalidate).
+        # fingerprint (in-place edits of the loaded volume invalidate)
+        # + n_vox (an in-place mask edit changes the voxel selection
+        # without changing array identity -- serving the stale y would
+        # silently produce wrong maps).  ravel(order='K') keeps this a
+        # view for any contiguous layout (C-order ravel of the F-ordered
+        # DWI volume copied ~160MB per fit).
         stride = max(1, self.niiDWI_img.size // 65536)
-        img_fp = float(np.sum(self.niiDWI_img.ravel()[::stride],
-                              dtype=np.float64))
+        img_fp = (float(np.sum(self.niiDWI_img.ravel(order='K')[::stride],
+                               dtype=np.float64)), n_vox)
         yc = getattr(self, '_fit_y_cache', None)
         if yc is not None and yc[0] is self.niiDWI_img \
                 and yc[1] is self.niiMASK_img and yc[2] == img_fp:
             self.y = yc[3]
+            slab_cache = yc[4]
         else:
             self.y = _pl.masked_voxels(self.niiDWI_img, mask)
+            slab_cache = {}
             self._fit_y_cache = (self.niiDWI_img, self.niiMASK_img,
-                                 img_fp, self.y)
+                                 img_fp, self.y, slab_cache)
             self._fit_dirs_cache = None
 
         # multi-host: fit only this host's voxel slab (bulk voxel data never
@@ -519,11 +575,18 @@ class Evaluation:
         y_full = self.y
         if dist_on:
             slab = dist.host_slab(n_vox)
-            self.y = y_full[slab]
+            # cache the slab view: a fresh y_full[slab] object per fit()
+            # would miss the model's identity-keyed staging/DIRs caches,
+            # re-uploading the signal on every warm multi-host re-fit
+            sl = slab_cache.get((slab.start, slab.stop))
+            if sl is None:
+                sl = slab_cache[(slab.start, slab.stop)] = y_full[slab]
+            self.y = sl
             LOG(f'\n-> Distributed fit: host {dist.process_index()}/'
                 f'{dist.process_count()} takes voxels '
                 f'[{slab.start}:{slab.stop}) of {n_vox}')
 
+        tf['stage_voxels_s'] = time.time() - t_enter
         LOG(f"\n-> Estimating principal directions "
             f"({self.get_config('DTI_fit_method')}):")
         peaks_filename = self.get_config('peaks_filename')
@@ -547,6 +610,7 @@ class Evaluation:
                     self.DIRs = _pl.principal_directions(*dkey)
                 self._fit_dirs_cache = dkey + (self.DIRs,)
         self.set_config('dirs_precomputing_time', time.time() - t)
+        tf['directions_s'] = time.time() - t_enter - tf['stage_voxels_s']
         LOG('   [ %s ]' % time.strftime(
             '%Hh %Mm %Ss',
             time.gmtime(self.get_config('dirs_precomputing_time'))))
@@ -566,9 +630,11 @@ class Evaluation:
         with prof_ctx, self.timers.stage('fit', profile=True):
             results = self.model.fit(self)
         self.set_config('fit_time', time.time() - t)
+        tf['model_fit_s'] = time.time() - t
         LOG('   [ %s ]' % time.strftime(
             '%Hh %Mm %Ss', time.gmtime(self.get_config('fit_time'))))
 
+        t = time.time()
         if dist_on:
             results = {k: dist.allgather_rows(np.asarray(v), n_vox)
                        for k, v in results.items()}
@@ -577,6 +643,12 @@ class Evaluation:
                     np.asarray(self.DIRs, np.float32), n_vox)
             self.y = y_full
         self.RESULTS = self._scatter_results(results, mask)
+        tf['scatter_s'] = time.time() - t
+        tf['total_s'] = time.time() - t_enter
+        tf['unattributed_s'] = tf['total_s'] - sum(
+            v for k, v in tf.items() if k.endswith('_s')
+            and k not in ('total_s', 'unattributed_s'))
+        self._last_fit_facade_timers = tf
 
     def _load_peaks(self, peaks_filename, mask):
         """Alternative direction source: a precomputed peaks NIfTI

@@ -18,6 +18,7 @@ implement the subset the pipeline needs:
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 
 import numpy as np
@@ -231,54 +232,82 @@ def _parse_nifti2(raw: bytes, endian: str, filename: str) -> Nifti1Header:
     return hdr
 
 
-def load(filename: str) -> Nifti1Image:
+def load(filename: str, mmap: bool = True) -> Nifti1Image:
     """Load a NIfTI image (raw, unscaled data).
 
     Supports single-file ``.nii``/``.nii.gz`` and two-file ``.hdr``/``.img``
     pairs, NIfTI-1 (magic ``n+1``/``ni1``) and NIfTI-2 (magic
     ``n+2``/``ni2``), either endianness.
+
+    With ``mmap`` (default), uncompressed files are memory-mapped
+    read-only instead of read into RAM: ``dataobj`` then touches the page
+    cache lazily and the eager full-file read/copy disappears from the
+    load path (gzipped files always decompress into memory).  Either way
+    ``dataobj`` is read-only, matching the ``np.frombuffer`` behavior.
     """
     name = str(filename)
     if name.replace('.gz', '').endswith('.img'):
         name = _companion(name, '.hdr')
-    raw = _read_bytes(name)
-    if len(raw) < _HDR_SIZE:
+    gz = name.endswith('.gz')
+    if gz or not mmap:
+        raw = _read_bytes(name)
+        head = raw[:_HDR2_SIZE]
+    else:
+        with open(name, 'rb') as f:
+            head = f.read(_HDR2_SIZE)
+        raw = None
+    if len(head) < _HDR_SIZE:
         raise ValueError(f'{filename}: too small to be a NIfTI file')
     endian = None
     for e in ('<', '>'):
-        sz = struct.unpack(e + 'i', raw[0:4])[0]
+        sz = struct.unpack(e + 'i', head[0:4])[0]
         if sz in (_HDR_SIZE, _HDR2_SIZE):
             endian, sizeof_hdr = e, sz
             break
     if endian is None:
         raise ValueError(f'{filename}: bad sizeof_hdr (not a NIfTI file?)')
     if sizeof_hdr == _HDR2_SIZE:
-        if len(raw) < _HDR2_SIZE:
+        if len(head) < _HDR2_SIZE:
             raise ValueError(f'{filename}: truncated NIfTI-2 header')
-        hdr = _parse_nifti2(raw, endian, filename)
+        hdr = _parse_nifti2(head, endian, filename)
     else:
-        hdr = _parse_nifti1(raw, endian, filename)
+        hdr = _parse_nifti1(head, endian, filename)
 
     if hdr.datatype not in _DTYPES:
         raise ValueError(f'{filename}: unsupported NIfTI datatype {hdr.datatype}')
     dtype = np.dtype(_DTYPES[hdr.datatype]).newbyteorder(endian)
     shape = hdr.shape
     count = int(np.prod(shape)) if shape else 0
-    if hdr._pair:
-        # two-file pair: voxels live in the sibling .img at vox_offset
-        raw = _read_bytes(_companion(name, '.img'))
+    data_name = _companion(name, '.img') if hdr._pair else name
     off = int(hdr.vox_offset)
-    if count and len(raw) < off + count * dtype.itemsize:
-        raise ValueError(f'{filename}: data truncated '
-                         f'(need {count} x {dtype} at offset {off})')
-    data = np.frombuffer(raw, dtype=dtype, count=count, offset=off)
+    if raw is None:
+        need = off + count * dtype.itemsize
+        if count and os.path.getsize(data_name) < need:
+            raise ValueError(f'{filename}: data truncated '
+                             f'(need {count} x {dtype} at offset {off})')
+        data = np.memmap(data_name, dtype=dtype, mode='r', offset=off,
+                         shape=(count,))
+    else:
+        if hdr._pair:
+            # two-file pair: voxels live in the sibling .img at vox_offset
+            raw = _read_bytes(data_name)
+        if count and len(raw) < off + count * dtype.itemsize:
+            raise ValueError(f'{filename}: data truncated '
+                             f'(need {count} x {dtype} at offset {off})')
+        data = np.frombuffer(raw, dtype=dtype, count=count, offset=off)
     # NIfTI voxel data is Fortran-ordered (x fastest)
     data = data.reshape(shape, order='F')
     return Nifti1Image(data, header=hdr)
 
 
-def save(img: Nifti1Image, filename: str) -> None:
-    """Write a single-file NIfTI-1 image (.nii or .nii.gz)."""
+def save(img: Nifti1Image, filename: str, compresslevel: int = 1) -> None:
+    """Write a single-file NIfTI-1 image (.nii or .nii.gz).
+
+    ``compresslevel`` applies to ``.nii.gz`` outputs; the default 1
+    deflates the float32 parameter maps ~4x faster than gzip's default 9
+    for a few percent larger files (save_results is a per-subject
+    pipeline stage; the maps are a few MB each).
+    """
     data = np.asarray(img._data)
     if data.dtype not in _DTYPE_CODES:
         data = data.astype(np.float32)
@@ -316,6 +345,9 @@ def save(img: Nifti1Image, filename: str) -> None:
     buf[344:348] = _MAGIC
 
     payload = bytes(buf) + data.tobytes(order='F')
-    opener = gzip.open if str(filename).endswith('.gz') else open
-    with opener(filename, 'wb') as f:
-        f.write(payload)
+    if str(filename).endswith('.gz'):
+        with gzip.open(filename, 'wb', compresslevel=compresslevel) as f:
+            f.write(payload)
+    else:
+        with open(filename, 'wb') as f:
+            f.write(payload)

@@ -353,7 +353,12 @@ class BaseModel(ABC):
         # keeps host tiling so shard boundaries stay explicit; signals
         # beyond the device budget stream host-tiled chunks instead.
         budget = int(evaluation.get_config('max_device_bytes') or (4 << 30))
-        device_gather = sharding is None and y.nbytes <= budget
+        # budget-check the f32 footprint actually staged, not y.nbytes:
+        # callers may hand f64 voxel matrices but only an f32 copy ever
+        # reaches the device -- comparing native bytes silently dropped
+        # volumes between budget/2 and budget to the streamed path
+        y_f32_bytes = y.size * 4
+        device_gather = sharding is None and y_f32_bytes <= budget
         if vpc == 'auto':
             # equal-split chunking; the two modes want different shapes.
             # Streaming/mesh paths keep ~51k-voxel chunks so uploads
@@ -448,7 +453,7 @@ class BaseModel(ABC):
         # device-residency budget (see tiling strategy above): beyond it,
         # no input caching and a bounded in-flight window
         chunk_bytes = chunk_tiles * tile_size * y.shape[1] * 4
-        staged_bytes = y.nbytes if device_gather else Y.nbytes
+        staged_bytes = y_f32_bytes if device_gather else Y.nbytes
         cache_inputs = staged_bytes <= budget
         max_inflight = max(2, budget // max(chunk_bytes, 1))
         staged = getattr(self, '_stage_cache', None)

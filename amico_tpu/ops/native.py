@@ -79,6 +79,18 @@ def _load_uncached():
     lib.amico_qp_lars_nonneg.argtypes = [dptr, dptr, ctypes.c_int,
                                          ctypes.c_double, dptr]
     lib.amico_qp_lars_nonneg.restype = ctypes.c_int
+    fptr = ctypes.POINTER(ctypes.c_float)
+    iptr = ctypes.POINTER(ctypes.c_int)
+    llptr = ctypes.POINTER(ctypes.c_longlong)
+    try:
+        lib.amico_preprocess_dwi.argtypes = [
+            fptr, ctypes.c_longlong, ctypes.c_int, iptr, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_float, ctypes.c_int,
+            fptr, fptr, dptr, llptr, llptr, ctypes.c_int]
+        lib.amico_preprocess_dwi.restype = ctypes.c_int
+    except AttributeError:  # stale prebuilt .so without the symbol
+        lib.amico_preprocess_dwi = None
     return lib
 
 
@@ -193,9 +205,14 @@ def _qp_lars_nonneg_py(G: np.ndarray, b: np.ndarray,
             x[drop] = 0.0
             in_P[drop] = False
             if not in_P.any():
-                if b.max(initial=0.0) <= lam_next:
+                # restart scan excludes the atom just dropped at lam_next:
+                # re-adding it at the same lambda cycles drop/re-add until
+                # the event cap on degenerate inputs (mirrors the C++ guard)
+                b_r = np.array(b)
+                b_r[drop] = -np.inf
+                if b_r.max(initial=0.0) <= lam_next:
                     return x
-                in_P[int(np.argmax(b))] = True
+                in_P[int(np.argmax(b_r))] = True
         else:
             in_P[j_in] = True
         lam = lam_next
@@ -271,3 +288,70 @@ def lasso(A: np.ndarray, y: np.ndarray, lambda1: float, lambda2: float,
     if rc < 0:
         raise RuntimeError(f'amico_lasso ({algorithm}) did not converge')
     return x
+
+
+def preprocess_available() -> bool:
+    """The fused native preprocessing pass is present (a stale prebuilt
+    .so from an older wheel may lack the symbol)."""
+    if not available():
+        return False
+    return getattr(_load(), 'amico_preprocess_dwi', None) is not None
+
+
+def preprocess_dwi(raw: np.ndarray, b0_idx: np.ndarray,
+                   slope: float, inter: float, rescale: bool,
+                   b0_min_signal: float, fill: float | None,
+                   normalize: bool, nthreads: int | None = None):
+    """Fused load-time preprocessing (native, threaded, single pass):
+    rescale + non-finite counting/substitution + b0 normalization + output
+    stats.  Mirrors the staged pipeline
+    (pipeline.intensity_rescale/ensure_finite/b0_normalize; reference
+    /root/reference/amico/core.py:146-158,209-223) at memory-bandwidth
+    speed -- equivalence asserted in tests/test_pipeline.py.
+
+    ``raw`` must be the F-contiguous float32 4-D volume (the NIfTI memmap
+    layout: each sample volume contiguous).  Returns ``(out, mean_b0,
+    info)`` where ``info`` carries ``raw_bad``/``out_bad`` non-finite
+    counts and the min/mean/max of ``out``; ``mean_b0`` is None unless
+    ``normalize``.  Returns None when the native library is unavailable
+    (caller falls back to the staged NumPy path).
+    """
+    if not preprocess_available():
+        return None
+    if raw.ndim != 4 or raw.dtype != np.float32 \
+            or not raw.flags.f_contiguous:
+        return None
+    lib = _load()
+    nvox = int(np.prod(raw.shape[:3]))
+    nS = int(raw.shape[3])
+    b0 = np.ascontiguousarray(np.asarray(b0_idx, np.int32))
+    out = np.empty(raw.shape, np.float32, order='F')
+    mean_b0 = np.empty(raw.shape[:3], np.float32, order='F') \
+        if normalize else np.empty(1, np.float32)
+    stats = np.zeros(3, np.float64)
+    raw_bad = ctypes.c_longlong(0)
+    out_bad = ctypes.c_longlong(0)
+    if nthreads is None:
+        nthreads = os.cpu_count() or 1
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.amico_preprocess_dwi(
+        raw.ctypes.data_as(fp), nvox, nS,
+        b0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), int(b0.size),
+        np.float32(slope if np.isfinite(slope) else 1.0),
+        np.float32(inter if np.isfinite(inter) else 0.0),
+        int(bool(rescale)), float(b0_min_signal),
+        int(fill is not None),
+        np.float32(fill if fill is not None else 0.0),
+        int(bool(normalize)),
+        out.ctypes.data_as(fp), mean_b0.ctypes.data_as(fp), _dp(stats),
+        ctypes.byref(raw_bad), ctypes.byref(out_bad), int(nthreads))
+    if rc != 0:
+        return None
+    info = {
+        'raw_bad': int(raw_bad.value),
+        'out_bad': int(out_bad.value),
+        'min': float(stats[0]),
+        'max': float(stats[1]),
+        'mean': float(stats[2]) / max(1, nvox * nS),
+    }
+    return out, (mean_b0 if normalize else None), info

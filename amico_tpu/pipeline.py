@@ -11,7 +11,8 @@ stage is a free function over plain arrays --
 the config dict; no numerics live there.
 
 Array conventions: 4-D volumes are ``(X, Y, Z, nS) float32``; masked voxel
-matrices are ``(N, nS) float64``; direction arrays are ``(N, 3) float32``.
+matrices are ``(N, nS)`` in the volume's float dtype (f32 on the production
+path); direction arrays are ``(N, 3) float32``.
 """
 from __future__ import annotations
 
@@ -25,6 +26,14 @@ from .utils.logging import ERROR, WARNING
 # preprocessing stages
 # --------------------------------------------------------------------------
 
+def rescale_meaningful(scl_slope: float, scl_inter: float) -> bool:
+    """The NIfTI header carries a meaningful intensity transform
+    (finite, slope nonzero, not the identity; reference core.py:146-150)."""
+    return bool(np.isfinite(scl_slope) and np.isfinite(scl_inter)
+                and scl_slope != 0
+                and (scl_slope != 1 or scl_inter != 0))
+
+
 def intensity_rescale(img: np.ndarray, scl_slope: float,
                       scl_inter: float) -> tuple[np.ndarray, bool]:
     """Apply the NIfTI intensity transform ``v*slope + inter`` when the header
@@ -33,12 +42,22 @@ def intensity_rescale(img: np.ndarray, scl_slope: float,
     Mirrors the load-time rescale of the reference
     (/root/reference/amico/core.py:146-150).  Returns ``(image, applied)``.
     """
-    meaningful = (np.isfinite(scl_slope) and np.isfinite(scl_inter)
-                  and scl_slope != 0
-                  and (scl_slope != 1 or scl_inter != 0))
-    if not meaningful:
+    if not rescale_meaningful(scl_slope, scl_inter):
         return img, False
     return img * np.float32(scl_slope) + np.float32(scl_inter), True
+
+
+def finite_report(n_bad: int, fill, stage: str) -> None:
+    """Shared error/warning policy for non-finite values found by the fused
+    native preprocessing pass -- same messages as :func:`ensure_finite`
+    (the substitution itself already happened inside the pass)."""
+    if not n_bad:
+        return
+    if fill is None:
+        ERROR(f'Non-finite values found in the {stage} signal -- pass '
+              '"replace_bad_voxels" (or raise "b0_min_signal") to load_data() '
+              'to handle them')
+    WARNING(f'Non-finite values in the {stage} signal; substituting {fill}')
 
 
 def ensure_finite(img: np.ndarray, fill, stage: str) -> np.ndarray:
@@ -106,10 +125,18 @@ def spherical_mean(img: np.ndarray, scheme: Scheme,
 # --------------------------------------------------------------------------
 
 def masked_voxels(img: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """Flatten the voxels selected by ``mask`` into an ``(N, nS)`` float64
+    """Flatten the voxels selected by ``mask`` into an ``(N, nS)`` float
     matrix with negative samples clipped to zero (reference core.py:451-452).
-    Voxel order is C order over the mask -- the same order ``scatter`` uses."""
-    y = img[mask == 1, :].astype(np.float64)
+    Voxel order is C order over the mask -- the same order ``scatter`` uses.
+
+    The dtype follows the input volume (float32 on the production path):
+    every downstream consumer -- the f32 device staging, the f32 DTI fit,
+    the corrected-DWI arithmetic -- computes in f32 anyway, and the
+    reference's cast to double (core.py:451) bought no accuracy while
+    doubling the footprint of a full-brain signal matrix."""
+    y = img[mask == 1, :]
+    if not np.issubdtype(y.dtype, np.floating):
+        y = y.astype(np.float32)
     np.clip(y, 0, None, out=y)
     return y
 
@@ -126,7 +153,8 @@ def principal_directions(y: np.ndarray, scheme: Scheme, method: str,
         g = np.vstack((np.zeros((1, 3)), scheme.raw[scheme.dwi_idx, :3]))
     else:
         b, g = scheme.b, scheme.raw[:, :3]
-    return np.asarray(fit_dti(y.astype(np.float32), b, g, method), np.float32)
+    return np.asarray(fit_dti(np.asarray(y, np.float32), b, g, method),
+                      np.float32)
 
 
 _DTI_METHODS = ('OLS', 'LS', 'WLS', 'NLLS', 'RT', 'RESTORE', 'restore')

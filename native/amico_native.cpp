@@ -16,8 +16,12 @@
 //
 // Build: make -C native   ->  libamico_native.so
 
+#include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -302,10 +306,15 @@ int amico_qp_lars_nonneg(const double* G, const double* b, int n,
       in_P[drop] = 0;
       P.erase(P.begin() + a_out);
       if (P.empty()) {
-        // restart: pick the most correlated atom at lam_next (x = 0 here)
+        // restart: pick the most correlated atom at lam_next (x = 0 here).
+        // The atom just dropped at lam_next is excluded -- re-adding it at
+        // the same lambda cycles drop/re-add until the event cap on
+        // degenerate inputs (same strict-decrease rationale as entering
+        // events above)
         int jr = -1;
         double br = lam_next;
         for (int i = 0; i < n; ++i) {
+          if (i == drop) continue;
           if (b[i] > br) { br = b[i]; jr = i; }
         }
         if (jr < 0) return ev + 1;  // KKT holds at x = 0 below lam_next
@@ -340,6 +349,144 @@ int amico_lasso_lars(const double* A, const double* y, int m, int n,
     b[i] = s;
   }
   return amico_qp_lars_nonneg(G.data(), b.data(), n, lambda1, x);
+}
+
+// Fused DWI load-time preprocessing: intensity rescale + non-finite
+// handling + b0 normalization + output stats, in ONE threaded read+write
+// pass over the volume (plus one small pass over the b0 volumes).
+//
+// The staged NumPy pipeline (amico_tpu/pipeline.py: intensity_rescale ->
+// ensure_finite -> b0_normalize -> min/mean/max prints -> ensure_finite)
+// walks the full 4-D volume six times with three full-size temporaries;
+// on a full-brain DWI that is ~1.4s of a 3.9s subject pipeline.  This
+// native stage mirrors the reference's load semantics
+// (/root/reference/amico/core.py:146-158,209-223) at memory-bandwidth
+// speed.  It is a host *runtime* component, not a compute kernel: the
+// solves stay on the TPU (SURVEY.md section 2.3 note on native layers).
+//
+// Layout: `raw` and `out` hold nS volumes of nvox floats each, volume-
+// major -- exactly the NIfTI on-disk order, so `raw` can be the mmap of
+// the file's data section (zero host copies before this pass).
+//
+//   rescale:      0 = identity; 1 = val*slope + inter first
+//   fill_enabled: 0 = only count non-finite values; 1 = substitute `fill`
+//                 (the pipeline's replace_bad_voxels option)
+//   normalize:    0 = copy/rescale only; 1 = divide by the voxelwise mean
+//                 of the b0 volumes listed in b0_idx, zeroing voxels whose
+//                 mean b0 is <= b0_min_signal * mean(positive mean b0)
+//
+// Outputs: `out` (preprocessed volume), `mean_b0` (nvox, written only
+// when normalize), `stats` = {min, max, sum} of the final `out`, and the
+// two non-finite counters (raw values after rescale / final outputs).
+// Returns 0; -1 on invalid arguments.
+int amico_preprocess_dwi(const float* raw, long long nvox, int nS,
+                         const int* b0_idx, int n_b0,
+                         float slope, float inter, int rescale,
+                         double b0_min_signal,
+                         int fill_enabled, float fill,
+                         int normalize,
+                         float* out, float* mean_b0, double* stats,
+                         long long* raw_bad, long long* out_bad,
+                         int nthreads) {
+  if (nvox <= 0 || nS <= 0 || (normalize && n_b0 <= 0)) return -1;
+  if (nthreads < 1) nthreads = 1;
+  const int nt = std::min<long long>(nthreads, nvox);
+
+  std::vector<float> inv;
+  if (normalize) {
+    inv.resize(nvox);
+    // pass A: voxelwise mean of the b0 volumes (rescaled + filled, so the
+    // mean sees the same values the staged ensure_finite(raw) would have
+    // produced), then the positive-mean floor reduction
+    std::vector<double> pos_sum(nt, 0.0);
+    std::vector<long long> pos_cnt(nt, 0);
+    std::vector<std::thread> ths;
+    const long long step = (nvox + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+      ths.emplace_back([&, t]() {
+        const long long v0 = t * step;
+        const long long v1 = std::min(nvox, v0 + step);
+        double ps = 0.0;
+        long long pc = 0;
+        for (long long v = v0; v < v1; ++v) {
+          double s = 0.0;
+          for (int k = 0; k < n_b0; ++k) {
+            float val = raw[(long long)b0_idx[k] * nvox + v];
+            if (rescale) val = val * slope + inter;
+            if (fill_enabled && !std::isfinite(val)) val = fill;
+            s += val;
+          }
+          const float m = (float)(s / n_b0);
+          mean_b0[v] = m;
+          if (m > 0.0f) { ps += m; ++pc; }
+        }
+        pos_sum[t] = ps;
+        pos_cnt[t] = pc;
+      });
+    }
+    for (auto& th : ths) th.join();
+    double ps = 0.0;
+    long long pc = 0;
+    for (int t = 0; t < nt; ++t) { ps += pos_sum[t]; pc += pos_cnt[t]; }
+    const double floor_ = b0_min_signal * (pc ? ps / pc : 0.0);
+    for (long long v = 0; v < nvox; ++v) {
+      const float m = mean_b0[v];
+      inv[v] = ((double)m <= floor_) ? 0.0f : 1.0f / m;
+    }
+  }
+
+  // pass B: rescale + fill + normalize + output stats, threaded over
+  // volumes (each volume is a contiguous nvox-float block)
+  std::vector<double> mins(nt, HUGE_VAL), maxs(nt, -HUGE_VAL),
+      sums(nt, 0.0);
+  std::vector<long long> rbad(nt, 0), obad(nt, 0);
+  {
+    std::atomic<int> next(0);
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t) {
+      ths.emplace_back([&, t]() {
+        double mn = HUGE_VAL, mx = -HUGE_VAL, sm = 0.0;
+        long long rb = 0, ob = 0;
+        int s;
+        while ((s = next.fetch_add(1)) < nS) {
+          const float* src = raw + (long long)s * nvox;
+          float* dst = out + (long long)s * nvox;
+          for (long long v = 0; v < nvox; ++v) {
+            float val = src[v];
+            if (rescale) val = val * slope + inter;
+            if (!std::isfinite(val)) {
+              ++rb;
+              if (fill_enabled) val = fill;
+            }
+            if (normalize) val *= inv[v];
+            if (!std::isfinite(val)) {
+              ++ob;
+              if (fill_enabled) val = fill;
+            }
+            dst[v] = val;
+            if (val < mn) mn = val;
+            if (val > mx) mx = val;
+            sm += val;
+          }
+        }
+        mins[t] = mn; maxs[t] = mx; sums[t] = sm;
+        rbad[t] = rb; obad[t] = ob;
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  double mn = HUGE_VAL, mx = -HUGE_VAL, sm = 0.0;
+  long long rb = 0, ob = 0;
+  for (int t = 0; t < nt; ++t) {
+    mn = std::min(mn, mins[t]);
+    mx = std::max(mx, maxs[t]);
+    sm += sums[t];
+    rb += rbad[t];
+    ob += obad[t];
+  }
+  stats[0] = mn; stats[1] = mx; stats[2] = sm;
+  *raw_bad = rb; *out_bad = ob;
+  return 0;
 }
 
 }  // extern "C"

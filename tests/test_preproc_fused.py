@@ -1,0 +1,160 @@
+"""Fused native preprocessing (ops.native.preprocess_dwi) vs the staged
+NumPy pipeline: exact semantic equivalence on every branch the fused pass
+covers (round-5 pipeline-throughput work; reference semantics
+/root/reference/amico/core.py:146-158,209-223)."""
+import numpy as np
+import pytest
+
+import amico_tpu
+from amico_tpu import pipeline as pl
+from amico_tpu.io import nifti
+from amico_tpu.ops import native
+from amico_tpu.utils.logging import AmicoError
+
+
+pytestmark = pytest.mark.skipif(not native.preprocess_available(),
+                                reason='native library unavailable')
+
+
+def _staged(raw, b0_idx, slope, inter, b0_min_signal, fill, normalize):
+    img = np.array(raw, dtype=np.float32)
+    img, _ = pl.intensity_rescale(img, slope, inter)
+    img = pl.ensure_finite(img, fill, 'raw')
+    mean_b0 = None
+    if normalize:
+        img, mean_b0 = pl.b0_normalize(img, b0_idx, b0_min_signal)
+    img = pl.ensure_finite(img, fill, 'preprocessed')
+    return img, mean_b0
+
+
+def _fused(raw, b0_idx, slope, inter, b0_min_signal, fill, normalize):
+    res = native.preprocess_dwi(raw, b0_idx, slope, inter,
+                                pl.rescale_meaningful(slope, inter),
+                                b0_min_signal, fill, normalize)
+    assert res is not None
+    return res
+
+
+def _rand_vol(seed=0, shape=(7, 6, 5, 12)):
+    rng = np.random.RandomState(seed)
+    v = np.abs(rng.randn(*shape)).astype(np.float32) * 100 + 1
+    return np.asfortranarray(v)
+
+
+B0 = np.array([0, 1, 2])
+
+
+def test_parity_rescale_normalize():
+    raw = _rand_vol()
+    out, mb, info = _fused(raw, B0, 2.0, 5.0, 0.0, None, True)
+    ref, mbr = _staged(raw, B0, 2.0, 5.0, 0.0, None, True)
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(mb, mbr, rtol=2e-6)
+    assert info['raw_bad'] == 0 and info['out_bad'] == 0
+    # stats match the staged volume
+    assert np.isclose(info['min'], ref.min(), rtol=1e-5)
+    assert np.isclose(info['max'], ref.max(), rtol=1e-5)
+    assert np.isclose(info['mean'], float(ref.mean(dtype=np.float64)),
+                      rtol=1e-5)
+
+
+def test_parity_no_normalize_no_rescale():
+    raw = _rand_vol(1)
+    out, mb, info = _fused(raw, B0, 1.0, 0.0, 0.0, None, False)
+    assert mb is None
+    np.testing.assert_array_equal(out, raw)
+
+
+def test_parity_weak_b0_zeroed():
+    raw = _rand_vol(2)
+    raw[3, 3, 3, :] = 1e-3        # weak b0 voxel: mean b0 below the floor
+    out, mb, _ = _fused(raw, B0, 1.0, 0.0, 0.5, None, True)
+    ref, mbr = _staged(raw, B0, 1.0, 0.0, 0.5, None, True)
+    assert (out[3, 3, 3] == 0).all()
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(mb, mbr, rtol=2e-6)
+
+
+def test_parity_nonfinite_fill():
+    raw = _rand_vol(3)
+    raw[1, 2, 3, 4] = np.nan
+    raw[2, 2, 2, 0] = np.inf      # in a b0 volume: pollutes the mean too
+    out, mb, info = _fused(raw, B0, 1.0, 0.0, 0.0, 0.0, True)
+    ref, mbr = _staged(raw, B0, 1.0, 0.0, 0.0, 0.0, True)
+    assert info['raw_bad'] == 2
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(mb, mbr, rtol=2e-6)
+
+
+def test_nonfinite_counts_without_fill():
+    raw = _rand_vol(4)
+    raw[0, 0, 0, 5] = -np.inf
+    _, _, info = _fused(raw, B0, 1.0, 0.0, 0.0, None, True)
+    assert info['raw_bad'] == 1
+
+
+def test_fused_rejects_wrong_layout():
+    raw = np.ascontiguousarray(_rand_vol(5))  # C order: not the mmap layout
+    assert native.preprocess_dwi(raw, B0, 1.0, 0.0, False, 0.0, None,
+                                 True) is None
+    assert native.preprocess_dwi(_rand_vol(6).astype(np.float64), B0, 1.0,
+                                 0.0, False, 0.0, None, True) is None
+
+
+# ---------------------------------------------------------------- facade
+def _write_study(tmp_path, raw, slope=1.0, inter=0.0, nb0=3, ext='.nii'):
+    img = nifti.Nifti1Image(raw, np.eye(4))
+    img.header.scl_slope, img.header.scl_inter = slope, inter
+    nifti.save(img, str(tmp_path / f'DWI{ext}'))
+    rows = [np.zeros((nb0, 4))]
+    nd = raw.shape[3] - nb0
+    g = np.random.RandomState(0).randn(nd, 3)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    rows.append(np.c_[g, np.full(nd, 1000.0)])
+    np.savetxt(tmp_path / 'DWI.scheme', np.vstack(rows), fmt='%.6f',
+               header='VERSION: BVECTOR', comments='')
+
+
+def _load(tmp_path, use_native, ext='.nii', **cfg):
+    ev = amico_tpu.Evaluation(str(tmp_path), '.')
+    for k, v in cfg.items():
+        ev.set_config(k, v)
+    if not use_native:
+        orig = native.preprocess_dwi
+        native.preprocess_dwi = lambda *a, **k: None
+        try:
+            ev.load_data(f'DWI{ext}', 'DWI.scheme')
+        finally:
+            native.preprocess_dwi = orig
+    else:
+        ev.load_data(f'DWI{ext}', 'DWI.scheme')
+    return ev
+
+
+def test_facade_parity_mmap_and_staged(tmp_path):
+    raw = _rand_vol(7)
+    _write_study(tmp_path, raw, slope=3.0, inter=1.0)
+    ev_f = _load(tmp_path, True)
+    ev_s = _load(tmp_path, False)
+    np.testing.assert_allclose(ev_f.niiDWI_img, ev_s.niiDWI_img,
+                               rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(ev_f.mean_b0s, ev_s.mean_b0s, rtol=2e-6)
+
+
+def test_facade_parity_merge_b0(tmp_path):
+    raw = _rand_vol(8)
+    _write_study(tmp_path, raw)
+    ev_f = _load(tmp_path, True, doMergeB0=True)
+    ev_s = _load(tmp_path, False, doMergeB0=True)
+    np.testing.assert_allclose(ev_f.niiDWI_img, ev_s.niiDWI_img,
+                               rtol=2e-6, atol=1e-7)
+    assert ev_f.niiDWI_img.shape[3] == raw.shape[3] - 2
+
+
+def test_facade_nonfinite_raises_both_paths(tmp_path):
+    raw = _rand_vol(9)
+    raw[1, 1, 1, 1] = np.nan
+    _write_study(tmp_path, raw)
+    for use_native in (True, False):
+        with pytest.raises(AmicoError):
+            _load(tmp_path, use_native)

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Attribute the pipeline first-fit wall clock (round-5 item 2).
+
+Fresh process: load the cached bench study, fit once, recording
+backend-compile events, cache-read events, tracing time, and facade
+substage timers.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f'[+{time.time() - T0:7.2f}s] {msg}', file=sys.stderr, flush=True)
+
+
+events = {}
+try:
+    from jax._src import monitoring as _mon
+
+    def _on_event(event, dur=None, **kw):
+        if dur is not None:
+            events[event] = events.get(event, 0.0) + dur
+
+    _mon.register_event_duration_secs_listener(_on_event)
+
+    def _on_plain(event, **kw):
+        events[f'count:{event}'] = events.get(f'count:{event}', 0) + 1
+
+    _mon.register_event_listener(_on_plain)
+except Exception as e:
+    log(f'no monitoring: {e}')
+
+from amico_tpu import Evaluation, set_verbose
+
+set_verbose(0)
+
+study = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_study')
+ev = Evaluation(study, '.')
+log('loading data')
+ev.load_data(os.path.join(study, 'DWI.nii'),
+             os.path.join(study, 'DWI.scheme'),
+             mask_filename=os.path.join(study, 'mask.nii'))
+log('set_model/load_kernels')
+ev.set_model('NODDI')
+ev.generate_kernels()
+ev.load_kernels()
+log('first fit')
+t0 = time.time()
+ev.fit()
+log(f'first fit done in {time.time() - t0:.2f}s')
+log(f'dirs_precomputing_time={ev.get_config("dirs_precomputing_time"):.2f}')
+bd = getattr(ev.model, '_last_fit_timers', {})
+log(f'engine breakdown: '
+    f'{ {k: round(v, 3) if isinstance(v, float) else v for k, v in bd.items()} }')
+t0 = time.time()
+ev.fit()
+log(f'second fit done in {time.time() - t0:.2f}s')
+for k, v in sorted(events.items()):
+    if isinstance(v, float):
+        print(f'{k:70s} {v:9.2f}s', file=sys.stderr)
+    else:
+        print(f'{k:70s} {v:9d}x', file=sys.stderr)

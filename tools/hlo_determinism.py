@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Round-5 diagnosis: is the pipeline's main-chunk program stable across
+processes?  Prints (M, n_tiles, chunk_tiles, DIRs/lut checksums) and runs
+the production fit with IR dumping enabled (pass a dump dir as argv[1])."""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+
+import jax
+
+if len(sys.argv) > 1:
+    jax.config.update('jax_dump_ir_to', sys.argv[1])
+
+from amico_tpu import Evaluation, set_verbose
+
+set_verbose(0)
+study = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_study')
+ev = Evaluation(study, '.')
+ev.load_data(os.path.join(study, 'DWI.nii'), os.path.join(study, 'DWI.scheme'),
+             mask_filename=os.path.join(study, 'mask.nii'))
+ev.set_model('NODDI')
+ev.generate_kernels()
+ev.load_kernels()
+
+import amico_tpu.pipeline as pl
+import amico_tpu.lut as lut
+from amico_tpu.models.engine import auto_tile_size, build_tile_plan
+
+y = pl.masked_voxels(ev.niiDWI_img, ev.niiMASK_img)
+DIRs = pl.principal_directions(y, ev.scheme, 'OLS', False)
+dsum = float(np.sum(np.asarray(DIRs, np.float64)))
+lut_idx = lut.dir_to_lut_idx(np.asarray(DIRs, np.float64), ev.htable)
+_, counts = np.unique(lut_idx, return_counts=True)
+M = auto_tile_size(counts)
+plan = build_tile_plan(lut_idx, M)
+target = max(1, 51200 // M)
+nchunks = max(1, min(4, -(-plan.n_tiles // target)))
+per_chunk = -(-plan.n_tiles // nchunks)
+chunk_tiles = -(-per_chunk // 32) * 32
+print(f'DIRs sum={dsum!r} lutsum={int(lut_idx.sum())} M={M} '
+      f'n_tiles={plan.n_tiles} chunk_tiles={chunk_tiles}', flush=True)
+
+
+class Ctx:
+    def __init__(self, e):
+        self.y, self.DIRs, self.htable, self.KERNELS = y, DIRs, e.htable, e.KERNELS
+        self._cfg = {'tile_size': 'auto', 'voxels_per_chunk': 'auto'}
+
+    def get_config(self, k):
+        return self._cfg.get(k)
+
+
+res = ev.model.fit(Ctx(ev))
+print('fit ok', float(np.asarray(res['estimates']).sum()), flush=True)

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Fine-grained profile of the end-to-end pipeline bench (round-5 item 1).
+
+Runs the same workload as bench.bench_pipeline against the cached study in
+$AMICO_TPU_HOME/bench_study, with per-substage wall timers inserted around
+the facade internals, and prints a breakdown table on stderr.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+
+from amico_tpu import Evaluation, set_verbose
+
+set_verbose(0)
+
+T = {}
+
+
+def tic():
+    return time.time()
+
+
+def rec(name, t0):
+    T[name] = T.get(name, 0.0) + time.time() - t0
+    return time.time()
+
+
+def main():
+    study = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_study')
+    dwi = os.path.join(study, 'DWI.nii')
+    mask = os.path.join(study, 'mask.nii')
+    scheme = os.path.join(study, 'DWI.scheme')
+    assert os.path.isfile(dwi), 'run bench.py once to create the study'
+
+    ev = Evaluation(study, '.')
+
+    # ---- load_data, substaged
+    import amico_tpu.pipeline as pl
+    import amico_tpu.io.nifti as nifti
+
+    t0 = tic()
+    img_obj = nifti.load(dwi)
+    t0 = rec('load.nifti_read', t0)
+    raw = np.array(img_obj.dataobj, dtype=np.float32)
+    t0 = rec('load.to_f32_copy', t0)
+    raw2, _ = pl.intensity_rescale(raw, img_obj.header.scl_slope,
+                                   img_obj.header.scl_inter)
+    t0 = rec('load.rescale', t0)
+    pl.ensure_finite(raw2, None, 'raw')
+    t0 = rec('load.finite_raw', t0)
+    img2, _b0 = pl.b0_normalize(raw2, np.arange(9), 0)
+    t0 = rec('load.b0_normalize', t0)
+    pl.ensure_finite(img2, None, 'pre')
+    t0 = rec('load.finite_pre', t0)
+    del raw, raw2, img2, _b0
+
+    t0 = tic()
+    ev.load_data(dwi, scheme, mask_filename=mask)
+    t0 = rec('load_data_total', t0)
+
+    ev.set_model('NODDI')
+    t0 = tic()
+    ev.generate_kernels()
+    t0 = rec('generate_kernels', t0)
+    t0 = tic()
+    ev.load_kernels()
+    t0 = rec('load_kernels', t0)
+
+    # ---- fit, substaged via monkeypatching
+    orig_masked = pl.masked_voxels
+    orig_dirs = pl.principal_directions
+    orig_scatter = pl.scatter
+
+    def masked_voxels(img, m):
+        t = tic()
+        r = orig_masked(img, m)
+        rec('fit.masked_voxels', t)
+        return r
+
+    def principal_directions(*a):
+        t = tic()
+        r = orig_dirs(*a)
+        rec('fit.dirs', t)
+        return r
+
+    def scatter(*a):
+        t = tic()
+        r = orig_scatter(*a)
+        rec('fit.scatter', t)
+        return r
+
+    pl.masked_voxels = masked_voxels
+    pl.principal_directions = principal_directions
+    pl.scatter = scatter
+    import amico_tpu.core as core
+    core._pl.masked_voxels = masked_voxels
+    core._pl.principal_directions = principal_directions
+    core._pl.scatter = scatter
+
+    orig_model_fit = None
+
+    t0 = tic()
+    ev.fit()
+    rec('fit_first_total', t0)
+
+    # steady-state: profile the facade around model.fit
+    model = ev.model
+    orig_fit = model.fit
+
+    def timed_model_fit(e):
+        t = tic()
+        r = orig_fit(e)
+        rec('fit.model_fit', t)
+        return r
+
+    model.fit = timed_model_fit
+
+    for rep in range(3):
+        for k in list(T):
+            if k.startswith('fit.'):
+                T.pop(k)
+        t0 = tic()
+        ev.fit()
+        rec(f'fit_steady_total_rep{rep}', t0)
+        if rep == 2:
+            for k, v in sorted(T.items()):
+                if k.startswith('fit.'):
+                    T[f'steady.{k}'] = v
+
+    t0 = tic()
+    ev.save_results()
+    rec('save_results', t0)
+
+    bd = getattr(model, '_last_fit_timers', {})
+    print('--- engine breakdown:', {k: round(v, 4) if isinstance(v, float)
+                                    else v for k, v in bd.items()},
+          file=sys.stderr)
+    for k, v in sorted(T.items()):
+        print(f'{k:36s} {v:8.3f}s', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()
