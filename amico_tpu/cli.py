@@ -130,6 +130,41 @@ def _cmd_warmup(args):
     from .testing import demo_noddi, demo_voxels
     set_verbose(args.verbose)
 
+    if args.study:
+        # study mode: drive the PRODUCTION pipeline once on the real
+        # subject, so the cached executables match this study's exact
+        # chunk shapes (the tile plan depends on the subject's masked
+        # voxel count and direction histogram -- a generic warmup can
+        # only approximate them).  This is the per-study analog of the
+        # generic warmup below; run it once per protocol/mask geometry.
+        # --param/--config/--solver mirror `fit` so the warmed LUT and
+        # executables match the configuration the real fit will use.
+        import jax
+
+        from . import Evaluation
+        config = _kv(args.config)
+        solver = _kv(args.solver)
+        params = _filter_model_params(args.model, _kv(args.param))
+        ev = Evaluation(args.study, args.subject)
+        for k, v in config.items():
+            ev.set_config(k, v)
+        ev.load_data(dwi_filename=args.dwi or 'DWI.nii',
+                     scheme_filename=args.scheme or 'DWI.scheme',
+                     mask_filename=args.mask, b0_thr=args.b0_thr)
+        ev.set_model(args.model)
+        if params:
+            ev.model.set(**params)
+        ev.set_solver(**solver)
+        ev.generate_kernels()
+        ev.load_kernels()
+        t0 = time.time()
+        ev.fit()
+        print(f'warmup: compiled the {args.model} fit for study '
+              f'"{args.study}" on {jax.devices()[0].device_kind} in '
+              f'{time.time() - t0:.1f}s; persistent cache at '
+              f'{jax.config.jax_compilation_cache_dir}')
+        return 0
+
     if args.scheme:
         scheme = Scheme(args.scheme, b0_thr=args.b0_thr)
     else:
@@ -204,11 +239,30 @@ def build_parser() -> argparse.ArgumentParser:
         'compilation cache (one-time; makes the first real fit start warm)')
     pwu.add_argument('--scheme', default=None,
                      help='protocol to warm up for (default: the standard '
-                     '2-shell NODDI protocol)')
+                     '2-shell NODDI protocol; with --study: the scheme '
+                     'filename inside the subject directory)')
     pwu.add_argument('--voxels', type=int, default=409600,
                      help='masked voxel count to size the chunk shapes for '
                      '(default: full brain, 409600)')
+    pwu.add_argument('--study', default=None,
+                     help='study directory: warm up by driving the real '
+                     'pipeline once on --subject, so the executables match '
+                     'this exact study (mask geometry + protocol)')
+    pwu.add_argument('--subject', default='.',
+                     help='subject subdirectory for --study mode')
+    pwu.add_argument('--model', default='NODDI',
+                     help='model to compile for in --study mode')
+    pwu.add_argument('--dwi', default=None,
+                     help='DWI filename for --study mode (default DWI.nii)')
+    pwu.add_argument('--mask', default=None,
+                     help='mask filename for --study mode')
     pwu.add_argument('--b0-thr', type=float, default=0)
+    pwu.add_argument('--config', action='append', metavar='KEY=VALUE',
+                     help='pipeline config for --study mode (repeatable)')
+    pwu.add_argument('--solver', action='append', metavar='KEY=VALUE',
+                     help='solver params for --study mode (repeatable)')
+    pwu.add_argument('--param', action='append', metavar='KEY=VALUE',
+                     help='model params for --study mode (repeatable)')
     pwu.add_argument('-v', '--verbose', type=int, default=2)
     pwu.set_defaults(func=_cmd_warmup)
 

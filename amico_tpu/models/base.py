@@ -78,6 +78,12 @@ DEFAULT_NODDI_STAGE_ITERS = ((0, 4, (4, 6, 8, 10), 1, False, 2),
 # Validated vs the exact oracle every bench run (oracle_map_err_*).
 DEFAULT_NODDI_PRECISION = (('default', 'split3', 1), 'split3',
                            ('split3', 'highest', 2))
+# stage-2 degenerate-vertex objective tie-break (round 5): CG budget per
+# swapped-support candidate (2 candidates: the dominant WM atom moved one
+# kappa-grid cell either way).  ~19 extra bf16x3 matvecs per tile (~6% of
+# the kernel); targets the 4.3e-2 ODI/NDI error tail whose root cause is
+# vertex selection, not convergence (PARITY.md 'error tail').  0 disables.
+DEFAULT_NODDI_TIEBREAK_CG = 8
 # single-solve models (FreeWater / CylinderZeppelinBall / SANDI): same
 # pure-Lawson-Hanson-from-empty recipe -- their dictionaries are small
 # (11-26 atoms) and supports usually sparse, so 12 progressive rounds

@@ -31,6 +31,25 @@ from ._fitops import error_maps, project, solve_tiles
 from .base import BaseModel
 
 
+def _kappa_neighbours(icvf: np.ndarray, kappa: np.ndarray):
+    """Per-atom index of the same-ICVF adjacent-kappa atom on the
+    (IC_OD, IC_VF) grid, ascending-kappa order; -1 at the grid edges.
+    Drives the stage-2 degenerate-vertex tie-break (the near-tied vertices
+    differ by adjacent kappa-grid atoms, PARITY.md 'error tail')."""
+    n = icvf.shape[0]
+    nbm = np.full(n, -1, np.int32)
+    nbp = np.full(n, -1, np.int32)
+    for j in range(n):
+        same = np.where(np.isclose(icvf, icvf[j], rtol=1e-6, atol=1e-9))[0]
+        order = same[np.argsort(kappa[same], kind='stable')]
+        pos = int(np.nonzero(order == j)[0][0])
+        if pos > 0:
+            nbm[j] = order[pos - 1]
+        if pos + 1 < order.size:
+            nbp[j] = order[pos + 1]
+    return nbm, nbp
+
+
 class NODDI(BaseModel):
     def __init__(self):
         self.id = 'NODDI'
@@ -63,7 +82,8 @@ class NODDI(BaseModel):
 
     def set_solver(self, lambda1=5e-1, lambda2=1e-3, fista_iters=None,
                    cd_sweeps=None, refine_rounds=None, cg_iters=None,
-                   backend=None, stage_iters=None, precision=None):
+                   backend=None, stage_iters=None, precision=None,
+                   tiebreak=None):
         """Defaults per reference models.pyx:721-724.  ``stage_iters``
         overrides the per-stage solver schedule
         ((fista, rounds, cg, inner) x2, (rounds, cg, inner)); a ``cg``
@@ -97,6 +117,14 @@ class NODDI(BaseModel):
                     "('split3', 'highest', 2) are only valid nested inside "
                     'the 3-tuple)')
         self.solver_params['precision'] = precision
+        # ``tiebreak``: stage-2 degenerate-vertex objective tie-break.
+        # True/None = the validated default CG budget
+        # (base.DEFAULT_NODDI_TIEBREAK_CG), False/0 = off, int = custom
+        # per-candidate CG budget.
+        if tiebreak is not None:
+            self.solver_params['tiebreak'] = (
+                int(tiebreak) if not isinstance(tiebreak, bool)
+                else tiebreak)
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Coupled IC+EC atoms over the (IC_OD, IC_VF) grid + isotropic atom
@@ -296,8 +324,17 @@ class NODDI(BaseModel):
         # static DWI-row index for the chunk programs (see _prep note)
         rows_c = np.asarray(rows_dwi, np.int32)
 
+        # stage-2 degenerate-vertex tie-break (round 5, PARITY.md 'error
+        # tail'): CG budget per swapped-support candidate; the neighbour
+        # tables map each WM atom to its same-ICVF adjacent-kappa atoms
+        from .base import DEFAULT_NODDI_TIEBREAK_CG
+        tb = self.solver_params.get('tiebreak', True)
+        tb_cg = DEFAULT_NODDI_TIEBREAK_CG if tb is True else int(tb or 0)
+        nb_m, nb_p = _kappa_neighbours(np.asarray(kernels['icvf']),
+                                       np.asarray(kernels['kappa']))
+
         def fit_chunk_fused(Y, dirs, valid, A_all, G1_all, G2_all, A2T_all,
-                            iso_dwi, icvf, kappa):
+                            iso_dwi, icvf, kappa, nb_m, nb_p):
             """All three stages in one Pallas kernel invocation per tile
             (ops.pallas_qp.noddi_fused_tiles_pallas)."""
             import jax
@@ -311,6 +348,7 @@ class NODDI(BaseModel):
                 iso_dwi, icvf, kappa,
                 lam1=lam1, lam2=lam2, stage_iters=stage_iters,
                 want_x=want_x, is_exvivo=is_exvivo, precision=precision,
+                nb_minus=nb_m, nb_plus=nb_p, tiebreak_cg=tb_cg,
                 interpret=jax.default_backend() != 'tpu')
             est3, x = out if want_x else (out, None)
             ndi, odi, fwf = est3[..., 0], est3[..., 1], est3[..., 2]
@@ -326,7 +364,7 @@ class NODDI(BaseModel):
             return res
 
         def fit_chunk(Y, dirs, valid, A_all, G1_all, L1_all, G2_all, L2_all,
-                      A2_all, iso_dwi, icvf, kappa):
+                      A2_all, iso_dwi, icvf, kappa, nb_m, nb_p):
             A_full = A_all[dirs]                        # (C, nS, na)
             G1 = G1_all[dirs]
             L1 = L1_all[dirs]
@@ -353,6 +391,13 @@ class NODDI(BaseModel):
                                             refine_rounds=s2r, cg_iters=s2cg,
                                             inner_passes=s2i, converge=s2cv,
                                             add_k=s2ak))
+            if tb_cg:
+                # degenerate-vertex objective tie-break (same remedy as
+                # the fused kernel; ops.solvers.noddi_stage2_tiebreak)
+                from ..ops.solvers import noddi_stage2_tiebreak
+                x2 = noddi_stage2_tiebreak(G2_all[dirs], b2, x2, lam1,
+                                           lam2, nb_m, nb_p,
+                                           cg_iters=tb_cg)
 
             # ---- stage 3: debias on the positive support (models.pyx:928-942)
             mask_wm = (x2 > 0.0).astype(Y.dtype)
@@ -405,12 +450,13 @@ class NODDI(BaseModel):
         # built for the wrong rows (caught by
         # tests/test_solver_review.py::test_noddi_rows_from_scheme_not_shape)
         cache_key = ('noddi', backend, use_fused, stage_iters, precision,
-                     lam1, lam2, is_exvivo, single_b0, n_wm, nS,
+                     lam1, lam2, is_exvivo, single_b0, n_wm, nS, tb_cg,
                      tuple(rows_c.tolist()),
                      tuple(sorted(configs.items())))
-        consts = (A_all, G1_all, G2_all, A2T_all, iso_dwi, icvf, kappa) \
+        consts = (A_all, G1_all, G2_all, A2T_all, iso_dwi, icvf, kappa,
+                  nb_m, nb_p) \
             if use_fused else (A_all, G1_all, L1_all, G2_all, L2_all,
-                               A2_all, iso_dwi, icvf, kappa)
+                               A2_all, iso_dwi, icvf, kappa, nb_m, nb_p)
         return self._run_tiled_fit(
             evaluation, fit_chunk_fused if use_fused else fit_chunk,
             shapes, backend=backend, cache_key=cache_key, consts=consts)

@@ -514,7 +514,8 @@ def _resolve_precision(precision):
 def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                        lam1, lam2, fista_iters, refine_rounds, cg_iters,
                        inner_passes, want_x, stage_iters=None,
-                       is_exvivo=False, early_exit=False, precision=_HI):
+                       is_exvivo=False, early_exit=False, precision=_HI,
+                       tiebreak_cg=0):
     """``stage_iters``: optional per-stage override
     ((fista1, rounds1, cg1, inner1), (fista2, rounds2, cg2, inner2),
     (rounds3, cg3, inner3)) -- stage 3 never runs FISTA (it is warm-started
@@ -574,7 +575,12 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
     solve3 = mk(0, r3_it, cg3, i3, precs[2], cvg3, ak3)
 
     def kernel(G1_ref, G2_ref, B1_ref, Ydwi_ref, A2T_ref, isod_ref,
-               icvf_ref, kappa_ref, *out_refs):
+               icvf_ref, kappa_ref, *rest_refs):
+      rest_refs = list(rest_refs)
+      if tiebreak_cg:
+          nbm_ref = rest_refs.pop(0)
+          nbp_ref = rest_refs.pop(0)
+      out_refs = rest_refs
       # tiles_per_step > 1 unrolls several tiles into one grid step
       # (per-step overhead amortization -- the round-2 proposal, evaluated
       # in round 4); the block's leading axis indexes the sub-tile
@@ -610,6 +616,81 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
         else:
             b2 = _dot_g(A2T, Y2, p2)                    # (n2pad, M)
         x2 = solve2(G2, b2 * pad2, lam1, lam2, pad2)
+
+        if tiebreak_cg:
+            # stage-2 objective tie-break (round 5, PARITY.md tail root
+            # cause): on near-degenerate voxels the stage-2 lasso has
+            # several vertices within ~0.1% relative objective whose
+            # supports differ by ADJACENT atoms on the kappa grid; a
+            # greedy active-set path can land one kappa cell off the
+            # LARS oracle's vertex, moving ODI/NDI by up to one grid
+            # cell.  Remedy: swap the dominant WM atom to each same-ICVF
+            # kappa neighbour (nbm/nbp tables, -1 = no neighbour),
+            # re-solve a short masked CG on the swapped support, and
+            # keep the lowest QP objective -- matching the exact-vertex
+            # selection of SPAMS (/root/reference/amico/models.pyx:926).
+            # bf16x3 matvecs: objective gaps at stake are ~1e-3 relative,
+            # far above the ~1e-6 split3 error.
+            nbm = nbm_ref[:]               # (n2pad, 1)
+            nbp = nbp_ref[:]
+            rows2 = jax.lax.broadcasted_iota(jnp.int32, (n2pad, M), 0)
+            b2m = b2 * pad2
+            beff2 = (b2m - lam1) * pad2
+            G2_hi, G2_lo = _split_bf16(G2)
+            mv2 = lambda X: _dot_g_split3(G2_hi, G2_lo, X)
+
+            def obj2(x):
+                q = mv2(x) + lam2 * x
+                return (0.5 * jnp.sum(x * q, axis=0, keepdims=True)
+                        - jnp.sum(b2m * x, axis=0, keepdims=True)
+                        + lam1 * jnp.sum(x, axis=0, keepdims=True))
+
+            def cg_tb(m, z0):
+                def Aop(p):
+                    return (mv2(p) + lam2 * p) * m
+
+                z = z0 * m
+                r = beff2 * m - Aop(z)
+                p = r
+                rs = jnp.sum(r * r, axis=0, keepdims=True)
+
+                def body(_, c):
+                    z, r, p, rs = c
+                    Ap = Aop(p)
+                    den = jnp.sum(p * Ap, axis=0, keepdims=True)
+                    safe = den > 1e-30
+                    al = jnp.where(safe, rs / jnp.where(safe, den, 1.0),
+                                   0.0)
+                    z = z + al * p
+                    r = r - al * Ap
+                    rs2 = jnp.sum(r * r, axis=0, keepdims=True)
+                    be = jnp.where(safe, rs2 / (rs + 1e-30), 0.0)
+                    return z, r, r + be * p, rs2
+
+                z, _, _, _ = jax.lax.fori_loop(0, int(tiebreak_cg), body,
+                                               (z, r, p, rs))
+                return jnp.where(jnp.isfinite(z), z, 0.0)
+
+            sup_b = (x2 > 0.0).astype(jnp.float32) * pad2
+            dom = jnp.argmax(x2, axis=0)[None, :]
+            oh_dom = (rows2 == dom).astype(jnp.float32)
+            F_best = obj2(x2)
+            x_best = x2
+            for nbt in (nbm, nbp):
+                nbv = jnp.sum(nbt * oh_dom, axis=0, keepdims=True)
+                valid = nbv >= 0.0
+                oh_nb = jnp.where(
+                    jnp.logical_and(rows2 == nbv.astype(jnp.int32), valid),
+                    1.0, 0.0)
+                m_c = jnp.clip(sup_b * (1.0 - oh_dom) + oh_nb,
+                               0.0, 1.0) * pad2
+                z = cg_tb(m_c, x2 * (1.0 - oh_dom))
+                x_c = jnp.maximum(z, 0.0) * m_c
+                F_c = obj2(x_c)
+                take = jnp.logical_and(valid, F_c < F_best)
+                x_best = jnp.where(take, x_c, x_best)
+                F_best = jnp.where(take, F_c, F_best)
+            x2 = x_best
 
         # stage 3: debias on positive support + forced iso (and exvivo dot)
         # atoms (models.pyx:928-942)
@@ -655,19 +736,24 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
 @functools.partial(jax.jit, static_argnames=(
     'lam1', 'lam2', 'fista_iters', 'refine_rounds', 'cg_iters',
     'inner_passes', 'want_x', 'interpret', 'stage_iters', 'is_exvivo',
-    'early_exit', 'precision', 'tiles_per_step'))
+    'early_exit', 'precision', 'tiles_per_step', 'tiebreak_cg'))
 def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
                              lam1=0.5, lam2=1e-3, fista_iters=40,
                              refine_rounds=12, cg_iters=12, inner_passes=2,
                              want_x=False, interpret=False,
                              stage_iters=None, is_exvivo=False,
                              early_exit=False, precision='highest',
-                             tiles_per_step=1):
+                             tiles_per_step=1, nb_minus=None, nb_plus=None,
+                             tiebreak_cg=0):
     """Fused 3-stage NODDI solve per tile.
 
     G1 (C, na, na), G2 (C, n_wm, n_wm), b1 (C, M, na), Y_dwi (C, M, ndwi),
     A2T (C, n_wm, ndwi) (= scaled stage-2 dictionary transposed),
     iso_dwi (ndwi,), icvf/kappa (n_wm,).
+    ``nb_minus``/``nb_plus`` (n_wm,) int: per-atom index of the same-ICVF
+    adjacent-kappa atom (-1 = grid edge); with ``tiebreak_cg > 0`` the
+    stage-2 solution gets the degenerate-vertex objective tie-break (see
+    the kernel comment) using that many CG iterations per candidate.
     ``stage_iters``: optional per-stage (hashable) override
     ((fista1, rounds1, cg1, inner1), (fista2, rounds2, cg2, inner2),
     (rounds3, cg3, inner3)) -- the same format NODDI.set_solver documents
@@ -701,6 +787,13 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
     isod = jnp.zeros((ndwi_pad, 1), jnp.float32).at[:ndwi, 0].set(iso_dwi)
     icvf_p = jnp.zeros((n2pad, 1), jnp.float32).at[:n_wm, 0].set(icvf)
     kappa_p = jnp.zeros((n2pad, 1), jnp.float32).at[:n_wm, 0].set(kappa)
+    tb = int(tiebreak_cg) if (tiebreak_cg and nb_minus is not None
+                              and nb_plus is not None) else 0
+    if tb:
+        nbm_p = jnp.full((n2pad, 1), -1.0, jnp.float32).at[:n_wm, 0].set(
+            jnp.asarray(nb_minus, jnp.float32))
+        nbp_p = jnp.full((n2pad, 1), -1.0, jnp.float32).at[:n_wm, 0].set(
+            jnp.asarray(nb_plus, jnp.float32))
 
     kernel = _make_noddi_kernel(na, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                                 float(lam1), float(lam2), int(fista_iters),
@@ -709,7 +802,8 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
                                 stage_iters=stage_iters,
                                 is_exvivo=bool(is_exvivo),
                                 early_exit=bool(early_exit),
-                                precision=_resolve_precision(precision))
+                                precision=_resolve_precision(precision),
+                                tiebreak_cg=tb)
 
     tile = lambda shp: pl.BlockSpec((T,) + shp, lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
@@ -721,17 +815,22 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
         out_shapes.append(jax.ShapeDtypeStruct((Cp, npad, M), jnp.float32))
         out_specs.append(tile((npad, M)))
 
+    in_specs = [tile((npad, npad)), tile((n2pad, n2pad)), tile((npad, M)),
+                tile((ndwi_pad, M)), tile((n2pad, ndwi_pad)),
+                shared((ndwi_pad, 1)), shared((n2pad, 1)),
+                shared((n2pad, 1))]
+    inputs = [G1p, G2p, b1T, YdT, A2Tp, isod, icvf_p, kappa_p]
+    if tb:
+        in_specs += [shared((n2pad, 1)), shared((n2pad, 1))]
+        inputs += [nbm_p, nbp_p]
     outs = pl.pallas_call(
         kernel,
         grid=(Cp // T,),
-        in_specs=[tile((npad, npad)), tile((n2pad, n2pad)), tile((npad, M)),
-                  tile((ndwi_pad, M)), tile((n2pad, ndwi_pad)),
-                  shared((ndwi_pad, 1)), shared((n2pad, 1)),
-                  shared((n2pad, 1))],
+        in_specs=in_specs,
         out_specs=out_specs if want_x else out_specs[0],
         out_shape=out_shapes if want_x else out_shapes[0],
         interpret=interpret,
-    )(G1p, G2p, b1T, YdT, A2Tp, isod, icvf_p, kappa_p)
+    )(*inputs)
 
     n_maps = 4 if is_exvivo else 3
     def _finish(estT):

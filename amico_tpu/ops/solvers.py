@@ -381,3 +381,77 @@ def nneg_lasso_from_A(A, y, lam1=0.0, lam2=0.0, **kw):
 def nnls_from_A(A, y, **kw):
     """Reference `nnls` semantics (lam1=lam2=0) from (A, y)."""
     return nneg_lasso_from_A(A, y, 0.0, 0.0, **kw)
+
+
+def noddi_stage2_tiebreak(G2, b2, x2, lam1, lam2, nb_minus, nb_plus,
+                          cg_iters: int = 8):
+    """Degenerate-vertex objective tie-break for the NODDI stage-2 lasso
+    (XLA-path twin of the in-kernel version in ops.pallas_qp; see the
+    kernel comment and PARITY.md 'error tail' for the root cause).
+
+    For each voxel, swap the dominant WM atom to each same-ICVF adjacent-
+    kappa neighbour (``nb_minus``/``nb_plus``, -1 = grid edge), re-solve a
+    short masked CG on the swapped support, and keep the lowest QP
+    objective -- matching the exact-vertex selection of SPAMS
+    (/root/reference/amico/models.pyx:926).
+
+    G2 (C, n, n), b2/x2 (C, M, n); returns the tie-broken x2.
+    """
+    prec = jax.lax.Precision.HIGHEST
+    n = x2.shape[-1]
+    idx = jnp.arange(n)
+    nbm = jnp.asarray(nb_minus, jnp.int32)
+    nbp = jnp.asarray(nb_plus, jnp.int32)
+
+    def mv(X):
+        return jnp.einsum('cij,cmj->cmi', G2, X, precision=prec)
+
+    def obj(x):
+        q = mv(x) + lam2 * x
+        return (0.5 * jnp.sum(x * q, -1) - jnp.sum(b2 * x, -1)
+                + lam1 * jnp.sum(x, -1))                      # (C, M)
+
+    beff = b2 - lam1
+
+    def cg(m, z0):
+        def Aop(p):
+            return (mv(p) + lam2 * p) * m
+
+        z = z0 * m
+        r = beff * m - Aop(z)
+        p = r
+        rs = jnp.sum(r * r, -1, keepdims=True)
+
+        def body(_, c):
+            z, r, p, rs = c
+            Ap = Aop(p)
+            den = jnp.sum(p * Ap, -1, keepdims=True)
+            safe = den > 1e-30
+            al = jnp.where(safe, rs / jnp.where(safe, den, 1.0), 0.0)
+            z = z + al * p
+            r = r - al * Ap
+            rs2 = jnp.sum(r * r, -1, keepdims=True)
+            be = jnp.where(safe, rs2 / (rs + 1e-30), 0.0)
+            return z, r, r + be * p, rs2
+
+        z, _, _, _ = jax.lax.fori_loop(0, int(cg_iters), body, (z, r, p, rs))
+        return jnp.where(jnp.isfinite(z), z, 0.0)
+
+    sup = (x2 > 0.0).astype(x2.dtype)
+    dom = jnp.argmax(x2, axis=-1)                             # (C, M)
+    oh_dom = (idx == dom[..., None]).astype(x2.dtype)
+    F_best = obj(x2)
+    x_best = x2
+    for nbt in (nbm, nbp):
+        nbv = jnp.take(nbt, dom)                              # (C, M)
+        valid = nbv >= 0
+        oh_nb = jnp.logical_and(idx == nbv[..., None],
+                                valid[..., None]).astype(x2.dtype)
+        m_c = jnp.clip(sup * (1.0 - oh_dom) + oh_nb, 0.0, 1.0)
+        z = cg(m_c, x2 * (1.0 - oh_dom))
+        x_c = jnp.maximum(z, 0.0) * m_c
+        F_c = obj(x_c)
+        take = jnp.logical_and(valid, F_c < F_best)
+        x_best = jnp.where(take[..., None], x_c, x_best)
+        F_best = jnp.where(take, F_c, F_best)
+    return x_best

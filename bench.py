@@ -273,10 +273,15 @@ def main():
         iso_d[dwi_b],
         jnp.asarray(kernels['icvf'], jnp.float32),
         jnp.asarray(kernels['kappa'], jnp.float32)]
+    from amico_tpu.models.base import DEFAULT_NODDI_TIEBREAK_CG
+    from amico_tpu.models.noddi import _kappa_neighbours
+    nb_m, nb_p = _kappa_neighbours(np.asarray(kernels['icvf']),
+                                   np.asarray(kernels['kappa']))
     interp = jax.default_backend() != 'tpu'
     run = lambda: noddi_fused_tiles_pallas(
         *args, lam1=0.5, lam2=1e-3, stage_iters=DEFAULT_NODDI_STAGE_ITERS,
-        precision=DEFAULT_NODDI_PRECISION, interpret=interp)
+        precision=DEFAULT_NODDI_PRECISION, nb_minus=nb_m, nb_plus=nb_p,
+        tiebreak_cg=DEFAULT_NODDI_TIEBREAK_CG, interpret=interp)
     run().block_until_ready()
     t_sol = float('inf')
     for _ in range(3):

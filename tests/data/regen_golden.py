@@ -1,14 +1,18 @@
-"""Regenerate the golden NODDI fixture (golden_noddi_small.npz).
+"""Regenerate the golden fixtures (golden_noddi_small.npz +
+golden_facade.npz).
 
 Run from the repo root after an INTENTIONAL semantics change:
 
     python tests/data/regen_golden.py
 
-The fixture freezes the map outputs of the frozen synthetic subject in
-tests/test_golden.py; regenerating it resets the regression baseline, so
-only do it when the numeric change is understood and documented.
+The fixtures freeze (a) the solver maps of the frozen synthetic voxel set
+and (b) the end-to-end facade outputs (load_data -> ... -> save_results)
+of the frozen synthetic subject in tests/test_golden.py; regenerating
+resets the regression baselines, so only do it when the numeric change is
+understood and documented.
 """
 import os
+import pickle
 import sys
 import tempfile
 
@@ -43,6 +47,17 @@ def main():
     np.savez_compressed(out, estimates=np.asarray(res['estimates'],
                                                   np.float32))
     print(f'wrote {out}: estimates {res["estimates"].shape}')
+
+    # ---- full-facade golden: the deterministic 2-shell subject of
+    # tests/test_dist.make_study through load_data -> fit -> save_results;
+    # freezes the written map ARRAYS (not bytes -- headers carry the
+    # version tag) and the config.pickle key set
+    from tests.test_golden import run_facade_study
+    maps, cfg_keys = run_facade_study(tempfile.mkdtemp(prefix='golden_f_'))
+    out2 = os.path.join(os.path.dirname(__file__), 'golden_facade.npz')
+    np.savez_compressed(out2, config_keys=np.array(sorted(cfg_keys)),
+                        **maps)
+    print(f'wrote {out2}: maps {sorted(maps)}')
 
 
 if __name__ == '__main__':

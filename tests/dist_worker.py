@@ -4,15 +4,16 @@ Runs the full Evaluation pipeline with config 'distributed'=True on a
 deterministic synthetic subject (identical on every rank), so the
 coordinator's written maps must equal a single-process run's.
 
-Usage: dist_worker.py <rank> <nproc> <port> <workdir>
+Usage: dist_worker.py <rank> <nproc> <port> <workdir> [ndev_per_proc]
 """
 import os
 import sys
 
 rank, nproc, port, workdir = (int(sys.argv[1]), int(sys.argv[2]),
                               sys.argv[3], sys.argv[4])
+ndev = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 os.environ.pop('JAX_PLATFORMS', None)
-os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+os.environ['XLA_FLAGS'] = f'--xla_force_host_platform_device_count={ndev}'
 os.environ['AMICO_TPU_HOME'] = os.path.join(workdir, f'home{rank}')
 import jax  # noqa: E402
 

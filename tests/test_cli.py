@@ -91,3 +91,13 @@ def test_warmup_parser_and_defaults():
     a2 = p.parse_args(['warmup', '--voxels', '1000', '--scheme', 's.scheme',
                        '-v', '0'])
     assert a2.voxels == 1000 and a2.scheme == 's.scheme'
+
+
+def test_cli_warmup_study_mode(study):
+    """warmup --study drives the real pipeline once (round-5 item 2), so
+    the persistent cache holds executables for this exact study."""
+    rc = main(['warmup', '--study', str(study), '--subject', 's1',
+               '--model', 'FreeWater', '--b0-thr', '50', '-v', '0'])
+    assert rc == 0
+    # no results are written by warmup (it only compiles + fits in memory)
+    assert not (study / 's1' / 'AMICO' / 'FreeWater').exists()

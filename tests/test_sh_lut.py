@@ -167,3 +167,103 @@ def test_valid_dirs_list():
     assert 500 in v and 10000 in v and 1 in v and 32761 in v
     assert len(v) == 22
     assert rot.is_valid(500) and not rot.is_valid(123)
+
+
+def test_rotation_chain_pinned_to_truncation_floor(tmp_path):
+    """Round-5 parity split: the 2e-3 rotation-chain bound conflates
+    lmax=12 SH TRUNCATION error with IMPLEMENTATION error.  This test
+    separates them: the truncated zonal series (addition theorem, no
+    rotation machinery at all) is the floor; the full
+    generate -> zonal-rotate -> resample chain must sit within a few
+    hundred f64 eps of that floor, while the floor itself carries the
+    physics truncation error (reference chain: lut.pyx:227-311)."""
+    from scipy.special import eval_legendre
+
+    os.environ['AMICO_TPU_HOME'] = str(tmp_path)
+    sph._grad = None
+    lmax, ndirs = 12, 500
+    rot.precompute_rotation_matrices(lmax, ndirs)
+    aux = rot.load_precomputed_rotation_matrices(lmax, ndirs)
+    dirs = sph.load_directions(ndirs)
+
+    rng = np.random.RandomState(5)
+    g = rng.randn(40, 3)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    tab = np.vstack([np.array([[0, 0, 0, 0.0]]),
+                     np.c_[g[:20], np.full(20, 1000.0)],
+                     np.c_[g[20:], np.full(20, 2500.0)]])
+    scheme = Scheme(tab)
+
+    hs = rot.create_high_resolution_scheme(scheme)
+    K = _zeppelin_signal(hs.raw[:, :3], hs.b, 1.7e-3, 0.3e-3,
+                         np.array([0, 0, 1.0]))
+
+    idx_in, idx_out = rot.aux_structures_generate(scheme, lmax)
+    KRlm = rot.rotate_kernel(K, aux, idx_in, idx_out, False, ndirs)
+    ridx, Ylm_out = rot.aux_structures_resample(scheme, lmax)
+    KR = rot.resample_kernel(KRlm, scheme.nS, ridx, Ylm_out, False, ndirs)
+
+    # truncated zonal series per shell: fit m=0 coefficients with the SAME
+    # fit matrix the chain uses, then evaluate via the addition theorem
+    # S(g) = sum_l c_l0 sqrt((2l+1)/4pi) P_l(g.u) -- mathematically equal
+    # to rotate+resample, computed without any of that machinery
+    # full-f64 replica of the chain math (rotate_kernel + resample_kernel
+    # both store float32 -- the on-disk LUT format, same as the
+    # reference's A_*.npy files -- so the pure-math residual needs the
+    # product recomputed without the storage casts)
+    nshells = len(scheme.shells)
+    K64 = np.asarray(K, np.float64)
+    Klm64 = np.stack([aux['fit'] @ K64[np.asarray(idx_in[s])]
+                      for s in range(nshells)])
+    zonal64 = aux['const'][None, :] * Klm64[:, aux['idx_m0']]
+    KRlm64 = (aux['Ylm_rot'][:, None, :] * zonal64[None]).reshape(ndirs, -1)
+    # f64 subject projector (production Ylm_OUT is float32, matching the
+    # reference's lut.pyx:201 -- part of the storage quantization, not of
+    # the math under test here)
+    nSH = aux['fit'].shape[0]
+    Ylm64 = np.zeros((scheme.dwi_count, nSH * len(scheme.shells)))
+    pos = 0
+    for s, shell in enumerate(scheme.shells):
+        gsh = shell['grad']
+        _, th, ph = shmod.cart2sphere(gsh[:, 0], gsh[:, 1], gsh[:, 2])
+        Ylm64[pos:pos + len(shell['idx']), nSH * s:nSH * (s + 1)] = \
+            shmod.real_sh_basis(lmax, th, ph)
+        pos += len(shell['idx'])
+    KR64 = np.ones((ndirs, scheme.nS))
+    KR64[:, ridx] = KRlm64 @ Ylm64.T
+
+    ls, _, _, _ = shmod.sh_degree_info(lmax)
+    even_ls = np.arange(0, lmax + 1, 2)
+    m0_cols = [(l // 2) * (l - 1) + l for l in even_ls]
+    math_resid, stored_resid, floor = 0.0, 0.0, 0.0
+    for s, shell in enumerate(scheme.shells):
+        c = aux['fit'] @ np.asarray(K, np.float64)[np.asarray(idx_in[s])]
+        c_l0 = c[m0_cols]
+        gs = scheme.raw[shell['idx'], :3]
+        for i in [3, 87, 256, 499]:
+            # vendored reference directions are unit only to ~2e-9; the
+            # chain is normalization-invariant (angles), the addition-
+            # theorem reference is not -- normalize for the comparison
+            u = dirs[i] / np.linalg.norm(dirs[i])
+            cosT = np.clip(gs @ u, -1.0, 1.0)
+            series = sum(
+                c_l0[k] * np.sqrt((2 * l + 1) / (4 * np.pi))
+                * eval_legendre(l, cosT)
+                for k, l in enumerate(even_ls))
+            direct = _zeppelin_signal(gs, shell['b'], 1.7e-3, 0.3e-3, u)
+            math_resid = max(math_resid,
+                             np.abs(KR64[i, shell['idx']] - series).max())
+            stored_resid = max(stored_resid,
+                               np.abs(KR[i, shell['idx']] - series).max())
+            floor = max(floor, np.abs(series - direct).max())
+    # the rotation/resample MATH is pure f64 rounding -- orders of
+    # magnitude below the truncation floor
+    assert math_resid < 1e-12, math_resid
+    # the shipped LUT adds only its f32 storage quantization (~6e-8),
+    # matching the reference's float32 kernel files
+    assert stored_resid < 1.5e-7, stored_resid
+    # the truncation floor at lmax=12 carries the whole historical 2e-3
+    # bound; record its magnitude so PARITY.md can cite it
+    assert 1e-8 < floor < 2e-3, floor
+    print(f'math_resid={math_resid:.3e} stored_resid={stored_resid:.3e} '
+          f'truncation_floor={floor:.3e}')

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Round-5 item 3: re-measure the claimed CZB/FreeWater configurations
+under the bench protocol, per backend, to reconcile written claims with
+driver-captured numbers."""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+
+import jax
+
+from amico_tpu import lut as _lut
+from amico_tpu.io.scheme import GAMMA, Scheme
+from amico_tpu.models import CylinderZeppelinBall, FreeWater
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from amico_tpu.testing import demo_noddi
+
+n = int(os.environ.get('CL_VOXELS', 409600))
+
+# tunnel setup first, explicitly
+np.asarray(jax.device_put(np.zeros(1, np.float32)))
+print('tunnel ready', flush=True)
+
+# NODDI bench scheme for the htable
+rows = [np.zeros((9, 4)),
+        np.c_[fibonacci_hemisphere(30), np.full(30, 700.0)],
+        np.c_[fibonacci_hemisphere(60), np.full(60, 2000.0)]]
+scheme_n = Scheme(np.vstack(rows))
+kdir = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_kernels')
+_, _, htable = demo_noddi(scheme_n, small=False, kernels_dir=kdir)
+
+Delta, delta = 0.035, 0.015
+rows_v1 = [np.array([[0, 0, 0, 0, Delta, delta, Delta + delta]])]
+for bb in (3000.0, 6000.0):
+    Gv = np.sqrt(bb * 1e6 / (GAMMA ** 2 * delta ** 2 * (Delta - delta / 3)))
+    g30 = fibonacci_hemisphere(30)
+    rows_v1.append(np.c_[g30, np.full(30, Gv), np.full(30, Delta),
+                         np.full(30, delta), np.full(30, Delta + delta)])
+scheme_v1 = Scheme(np.vstack(rows_v1))
+
+
+def bench_model(name, model, scheme_m, backend):
+    kd = os.path.join(os.environ['AMICO_TPU_HOME'], f'bench_{name}')
+    os.makedirs(kd, exist_ok=True)
+    model.scheme = scheme_m
+    model.set_solver(backend=backend)
+    aux = _lut.load_precomputed_rotation_matrices(12, 500)
+    i_in, i_out = _lut.aux_structures_generate(scheme_m, 12)
+    if not os.path.isfile(os.path.join(kd, 'A_001.npy')):
+        model.generate(kd, aux, i_in, i_out, 500)
+    ridx, Ylm = _lut.aux_structures_resample(scheme_m, 12)
+    K = model.resample(kd, ridx, Ylm, False, 500)
+    rng2 = np.random.RandomState(1)
+    yb = np.abs(rng2.rand(n, scheme_m.nS))
+    Db = rng2.randn(n, 3)
+    Db /= np.linalg.norm(Db, axis=1, keepdims=True)
+
+    class C2:
+        y, DIRs, KERNELS = yb, Db, K
+
+        def get_config(self, k):
+            return {'tile_size': 'auto', 'voxels_per_chunk': 'auto'}.get(k)
+
+    c2 = C2()
+    c2.htable = htable
+    model.fit(c2)
+    best = float('inf')
+    for _ in range(3):
+        t1 = time.time()
+        model.fit(c2)
+        best = min(best, time.time() - t1)
+    bd = {k: round(v, 4) if isinstance(v, float) else v
+          for k, v in getattr(model, '_last_fit_timers', {}).items()}
+    print(f'{name:4s} backend={backend:7s}: {n / best:10,.0f} vox/s '
+          f'({best:.3f}s) {bd}', flush=True)
+
+
+for be in ('xla', 'pallas'):
+    bench_model('czb', CylinderZeppelinBall(), scheme_v1, be)
+for be in ('pallas', 'xla'):
+    bench_model('fw', FreeWater(), scheme_v1, be)

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Round-5: dissect stage 2 on the worst audit voxels.
+
+Runs the PRODUCTION stage-2 solver (_build_as_solve with the default
+schedule + precision) directly on the worst voxels' (G2, b2), outside
+Pallas, and compares supports/objective vs the LARS oracle.  Then tries
+budget variants to see what actually reaches the oracle vertex.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+
+import jax
+import jax.numpy as jnp
+
+from amico_tpu.testing import demo_noddi, demo_voxels
+from amico_tpu.io.scheme import Scheme
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from amico_tpu.ops import native
+from amico_tpu.ops.pallas_qp import _build_as_solve, _resolve_precision
+from amico_tpu.models.base import DEFAULT_NODDI_STAGE_ITERS, \
+    DEFAULT_NODDI_PRECISION
+
+VOX = [int(v) for v in os.environ.get(
+    'S2_VOX', '202,524,187,58,393,340,919,177,66,362,965,664,695,140,255'
+).split(',')]
+
+rows = [np.zeros((9, 4)),
+        np.c_[fibonacci_hemisphere(30), np.full(30, 700.0)],
+        np.c_[fibonacci_hemisphere(60), np.full(60, 2000.0)]]
+scheme = Scheme(np.vstack(rows))
+kdir = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_kernels')
+model, kernels, htable = demo_noddi(scheme, small=False, kernels_dir=kdir)
+y, DIRs, lut_idx = demo_voxels(409600, kernels, htable, seed=0)
+
+n_wm = kernels['wm'].shape[0]
+dwi = scheme.dwi_idx
+lam1, lam2 = 0.5, 1e-3
+
+_s1, _s2, _s3 = DEFAULT_NODDI_STAGE_ITERS
+(f2, r2, cg2, i2) = _s2[:4]
+cvg2 = _s2[4] if len(_s2) > 4 else False
+ak2 = _s2[5] if len(_s2) > 5 else 1
+precs = _resolve_precision(DEFAULT_NODDI_PRECISION)
+
+
+def make_solver(rounds, cg_sched, inner, cvg, akk, prec, M):
+    sched = tuple(cg_sched) if isinstance(cg_sched, tuple) else None
+    inns = tuple(inner) if isinstance(inner, tuple) else None
+    if inns is not None and sched is None:
+        sched = (cg_sched,) * rounds
+    cg_cap = max(sched) if sched else cg_sched
+    ip = max(inns) if inns else inner
+    return _build_as_solve(M, 0, rounds, cg_cap, ip, False,
+                           cg_schedule=sched, precision=prec,
+                           inner_schedule=inns, converge=cvg, add_k=akk)
+
+
+def lasso_obj(A2, y2, x2):
+    r = A2 @ x2 - y2
+    return 0.5 * r @ r + lam1 * x2.sum() + 0.5 * lam2 * x2 @ x2
+
+
+# assemble per-voxel stage-2 problems (oracle stage-1 feeds y2: close
+# enough for support analysis -- the audit showed stage-1 agreement)
+M = len(VOX)
+npad = -(-n_wm // 8) * 8
+G2b = np.zeros((npad, npad), np.float32)
+b2b = np.zeros((npad, M), np.float32)
+probs = []
+for k, i in enumerate(VOX):
+    A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
+    x1, _ = native.nnls(A, y[i])
+    y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
+    A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
+    probs.append((A2, y2))
+
+# batched G2 differs per voxel (direction-dependent) -> solve per voxel
+# with M=1 lanes padded to 8 for layout sanity
+HI = jax.lax.Precision.HIGHEST
+for label, mk in [
+    ('default      ', lambda Mv: make_solver(r2, cg2, i2, cvg2, ak2,
+                                             precs[1], Mv)),
+    ('s3+hi_pol+cvg', lambda Mv: make_solver(r2, cg2, i2, 24, ak2,
+                                             ('split3', HI), Mv)),
+    ('s3+hi2+cvg   ', lambda Mv: make_solver(r2, cg2, i2, 24, ak2,
+                                             ('split3', HI, 2), Mv)),
+    ('s3+hi3+cvg   ', lambda Mv: make_solver(r2, cg2, i2, 24, ak2,
+                                             ('split3', HI, 3), Mv)),
+    ('f32+cvg      ', lambda Mv: make_solver(r2, cg2, i2, 24, ak2, HI, Mv)),
+]:
+    tot_bad = 0
+    details = []
+    for k, i in enumerate(VOX):
+        A2, y2 = probs[k]
+        G2 = (A2.T @ A2).astype(np.float32)
+        b2 = (A2.T @ y2).astype(np.float32)
+        Gp = np.zeros((npad, npad), np.float32)
+        Gp[:n_wm, :n_wm] = G2
+        bp = np.zeros((npad, 8), np.float32)
+        bp[:n_wm, 0] = b2
+        cmask = np.zeros((npad, 8), np.float32)
+        cmask[:n_wm, 0] = 1.0
+        solve = mk(8)
+        x = np.asarray(jax.jit(
+            lambda G, b, m: solve(G, b, lam1, lam2, m))(Gp, bp, cmask))
+        x2t = x[:n_wm, 0].astype(np.float64)
+        x2o = native.lasso(A2, y2, lam1, lam2)
+        sup_t = set(np.where(x2t > 0)[0])
+        sup_o = set(np.where(x2o > 0)[0])
+        dobj = lasso_obj(A2, y2, x2t) - lasso_obj(A2, y2, x2o)
+        if sup_t != sup_o:
+            tot_bad += 1
+            details.append(f'    vox {i}: dobj {dobj:+.2e} '
+                           f'T-only {sorted(sup_t - sup_o)} '
+                           f'O-only {sorted(sup_o - sup_t)}')
+    print(f'{label}: {tot_bad}/{len(VOX)} supports differ from oracle',
+          flush=True)
+    for d in details[:6]:
+        print(d, flush=True)

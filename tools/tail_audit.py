@@ -86,9 +86,16 @@ def main():
     args = list(_prep(K_d, Yt, iso_d, norms_d, jnp.asarray(plan.tile_dirs))) \
         + [iso_d[dwi_j], jnp.asarray(kernels['icvf'], jnp.float32),
            jnp.asarray(kernels['kappa'], jnp.float32)]
+    tb = int(os.environ.get('LAB_TIEBREAK', '0'))
+    tb_kw = {}
+    if tb:
+        from amico_tpu.models.noddi import _kappa_neighbours
+        nb_m, nb_p = _kappa_neighbours(np.asarray(kernels['icvf']),
+                                       np.asarray(kernels['kappa']))
+        tb_kw = dict(nb_minus=nb_m, nb_plus=nb_p, tiebreak_cg=tb)
     est_t, x_t = noddi_fused_tiles_pallas(
         *args, lam1=lam1, lam2=lam2, stage_iters=DEFAULT_NODDI_STAGE_ITERS,
-        precision=DEFAULT_NODDI_PRECISION, want_x=True,
+        precision=DEFAULT_NODDI_PRECISION, want_x=True, **tb_kw,
         interpret=jax.default_backend() != 'tpu')
     est_tpu = untile_voxels(plan, np.asarray(est_t))[:SAMPLE]
     x_tpu = untile_voxels(plan, np.asarray(x_t))[:SAMPLE]
