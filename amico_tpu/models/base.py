@@ -61,6 +61,17 @@ DEFAULT_CG_ITERS = 12
 # v5e at the production 1024-lane width: 980k vox/s solver-only (vs
 # 770k round 2), oracle map err med 1.5e-5 / p95 4.7e-3 / max 4.3e-2
 # (vs med 1.8e-5 / p95 5.2e-3 / max 4.3e-2).
+# round-5 tail study (tools/stage2_debug.py, tools/schedule_eval.py,
+# tools/tie_threshold_eval.py; PARITY.md 'error tail' has the full
+# write-up): upgrading stage 2 to f32-late rounds + converge continuation
+# reaches the exact-oracle SUPPORT on 15/15 dissected worst voxels and
+# improves the audited p95 (4.7e-3 -> 3.7e-3), but costs 1.8x solver
+# throughput (1.10M -> 0.60M vox/s) and leaves the map-error MAX
+# unchanged at 4.3e-2: the residual tail voxels have alternative stage-2
+# vertices within ~1e-8 relative objective -- BELOW f32 arithmetic
+# resolution -- whose debiased maps differ by ~one OD cell, and the maps
+# there are discontinuous in the data itself.  Kept: the fast schedule;
+# the bench audits the bound every run (oracle_map_err_*).
 DEFAULT_NODDI_STAGE_ITERS = ((0, 4, (4, 6, 8, 10), 1, False, 2),
                              (0, 6, (3, 5, 8, 10, 12, 14),
                               (1, 1, 2, 2, 2, 2), False, 2),
@@ -80,9 +91,12 @@ DEFAULT_NODDI_PRECISION = (('default', 'split3', 1), 'split3',
                            ('split3', 'highest', 2))
 # stage-2 degenerate-vertex objective tie-break (round 5): CG budget per
 # swapped-support candidate (2 candidates: the dominant WM atom moved one
-# kappa-grid cell either way).  ~19 extra bf16x3 matvecs per tile (~6% of
-# the kernel); targets the 4.3e-2 ODI/NDI error tail whose root cause is
-# vertex selection, not convergence (PARITY.md 'error tail').  0 disables.
+# kappa-grid cell either way).  MEASURED NEGATIVE RESULT: ~5% solver cost
+# and the audited tail is unchanged -- the tail's supports differ by
+# multiple atoms / true ties, which a single-swap objective comparison
+# cannot decide (PARITY.md 'error tail', round-5 study).  The knob stays
+# for experimentation (set_solver(tiebreak=True) enables; this value is
+# the CG budget it uses).
 DEFAULT_NODDI_TIEBREAK_CG = 8
 # single-solve models (FreeWater / CylinderZeppelinBall / SANDI): same
 # pure-Lawson-Hanson-from-empty recipe -- their dictionaries are small
@@ -248,8 +262,11 @@ class BaseModel(ABC):
                 # model hint: FISTA-dominated dense-support solves batch
                 # across ALL voxels in the XLA path, while the serial
                 # Pallas grid pays its per-tile latency once per FISTA
-                # iteration -- measured full-brain CylinderZeppelinBall
-                # 1.08M vox/s (xla) vs 627k (pallas) on v5e (round 4)
+                # iteration.  NB: the two backends measure within tunnel
+                # variance of each other on this model in round-5 runs --
+                # the bench records BOTH (BENCH_r*.json
+                # activeax_voxps_xla / activeax_voxps_pallas); trust those
+                # fields, not point measurements quoted in comments.
                 backend = 'xla'
             else:
                 backend = 'pallas'

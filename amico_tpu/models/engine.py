@@ -117,8 +117,9 @@ def auto_tile_size(counts: np.ndarray,
     every multiple of 128 (the VPU lane tile): the original
     power-of-two-only ladder left an 11% win on the table at full brain,
     where buckets average ~819 voxels and M=896 pads 1.09x vs 1024's
-    1.25x -- measured 1.089M vs 977k vox/s solver-only on v5e (round 4),
-    within 1% of this model's prediction.  Shared by the fit driver
+    1.25x -- an 11% solver-only speedup when adopted in round-4 tuning,
+    within 1% of this model's prediction (current absolute throughput:
+    BENCH_r*.json solver_only_voxps).  Shared by the fit driver
     (models/base.py) and bench.py so the bench always measures the width
     production picks."""
     counts = np.asarray(counts)

@@ -326,9 +326,12 @@ class NODDI(BaseModel):
 
         # stage-2 degenerate-vertex tie-break (round 5, PARITY.md 'error
         # tail'): CG budget per swapped-support candidate; the neighbour
-        # tables map each WM atom to its same-ICVF adjacent-kappa atoms
+        # tables map each WM atom to its same-ICVF adjacent-kappa atoms.
+        # Default OFF -- measured ~5% cost with no tail improvement (the
+        # tail is sub-f32-resolution vertex degeneracy, PARITY.md 'error
+        # tail'); set_solver(tiebreak=True) enables it for experiments.
         from .base import DEFAULT_NODDI_TIEBREAK_CG
-        tb = self.solver_params.get('tiebreak', True)
+        tb = self.solver_params.get('tiebreak', False)
         tb_cg = DEFAULT_NODDI_TIEBREAK_CG if tb is True else int(tb or 0)
         nb_m, nb_p = _kappa_neighbours(np.asarray(kernels['icvf']),
                                        np.asarray(kernels['kappa']))

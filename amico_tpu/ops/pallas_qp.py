@@ -515,7 +515,7 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
                        lam1, lam2, fista_iters, refine_rounds, cg_iters,
                        inner_passes, want_x, stage_iters=None,
                        is_exvivo=False, early_exit=False, precision=_HI,
-                       tiebreak_cg=0):
+                       tiebreak_cg=0, want_tie=False):
     """``stage_iters``: optional per-stage override
     ((fista1, rounds1, cg1, inner1), (fista2, rounds2, cg2, inner2),
     (rounds3, cg3, inner3)) -- stage 3 never runs FISTA (it is warm-started
@@ -695,6 +695,26 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
         # stage 3: debias on positive support + forced iso (and exvivo dot)
         # atoms (models.pyx:928-942)
         sup2 = (x2 > 0.0).astype(jnp.float32) * pad2
+        if want_tie:
+            # per-voxel degeneracy score (round-5 diagnostic): the stage-2
+            # KKT gradient of the EXCLUDED atoms, normalized; an excluded
+            # atom with w ~ 0 marks an alternative optimal vertex
+            # (objective tied below f32 resolution) whose debiased maps
+            # can sit one kappa cell away -- the error-tail voxels.
+            # NB measured (tools/tie_threshold_eval.py, PARITY.md 'error
+            # tail'): the score's own f32 noise floor prevents reliably
+            # GATING a repair on it (18% of a brain scores >= 0), so this
+            # stays a diagnostic, not a production filter.  One exact-f32
+            # matvec; emitted through a spare estimates row.
+            b2m_e = b2 * pad2
+            w2 = ((b2m_e - lam1) * pad2
+                  - (_dot_g(G2, x2, _HI) + lam2 * x2))
+            scale2 = jnp.max(jnp.abs((b2m_e - lam1) * pad2), axis=0,
+                             keepdims=True) + 1e-30
+            excl = (1.0 - sup2) * pad2
+            tie_score = jnp.max(
+                jnp.where(excl > 0.0, w2 / scale2, -3.0e38),
+                axis=0, keepdims=True)
         rows1 = jax.lax.broadcasted_iota(jnp.int32, (npad, M), 0)
         forced = ((rows1 >= n_wm) & (rows1 < n_atoms)).astype(jnp.float32)
         # stage-3 mask on the npad layout: wm rows from sup2, trailing
@@ -724,8 +744,11 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
         rows = [ndi, k1, fwf]
         if is_exvivo:
             rows.append(x[n_atoms - 2:n_atoms - 1, :] / sum_atoms)
-        est = jnp.concatenate(
-            rows + [jnp.zeros((8 - len(rows), M), jnp.float32)], axis=0)
+        pad_rows = [jnp.zeros((7 - len(rows), M), jnp.float32)]
+        # row 7 carries the degeneracy score when requested (see above)
+        pad_rows.append(tie_score if want_tie
+                        else jnp.zeros((1, M), jnp.float32))
+        est = jnp.concatenate(rows + pad_rows, axis=0)
         out_refs[0][t] = est
         if want_x:
             out_refs[1][t] = x
@@ -736,7 +759,8 @@ def _make_noddi_kernel(n_atoms, npad, n_wm, n2pad, ndwi, ndwi_pad, M,
 @functools.partial(jax.jit, static_argnames=(
     'lam1', 'lam2', 'fista_iters', 'refine_rounds', 'cg_iters',
     'inner_passes', 'want_x', 'interpret', 'stage_iters', 'is_exvivo',
-    'early_exit', 'precision', 'tiles_per_step', 'tiebreak_cg'))
+    'early_exit', 'precision', 'tiles_per_step', 'tiebreak_cg',
+    'want_tie'))
 def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
                              lam1=0.5, lam2=1e-3, fista_iters=40,
                              refine_rounds=12, cg_iters=12, inner_passes=2,
@@ -744,7 +768,7 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
                              stage_iters=None, is_exvivo=False,
                              early_exit=False, precision='highest',
                              tiles_per_step=1, nb_minus=None, nb_plus=None,
-                             tiebreak_cg=0):
+                             tiebreak_cg=0, want_tie=False):
     """Fused 3-stage NODDI solve per tile.
 
     G1 (C, na, na), G2 (C, n_wm, n_wm), b1 (C, M, na), Y_dwi (C, M, ndwi),
@@ -754,6 +778,10 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
     adjacent-kappa atom (-1 = grid edge); with ``tiebreak_cg > 0`` the
     stage-2 solution gets the degenerate-vertex objective tie-break (see
     the kernel comment) using that many CG iterations per candidate.
+    ``want_tie`` additionally returns a per-voxel degeneracy score
+    (max normalized stage-2 KKT gradient over EXCLUDED atoms; ~0 marks a
+    tied alternative vertex) as the last return value -- a diagnostic
+    used by the round-5 tail study (tools/tie_threshold_eval.py).
     ``stage_iters``: optional per-stage (hashable) override
     ((fista1, rounds1, cg1, inner1), (fista2, rounds2, cg2, inner2),
     (rounds3, cg3, inner3)) -- the same format NODDI.set_solver documents
@@ -803,7 +831,7 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
                                 is_exvivo=bool(is_exvivo),
                                 early_exit=bool(early_exit),
                                 precision=_resolve_precision(precision),
-                                tiebreak_cg=tb)
+                                tiebreak_cg=tb, want_tie=bool(want_tie))
 
     tile = lambda shp: pl.BlockSpec((T,) + shp, lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)
@@ -841,7 +869,10 @@ def noddi_fused_tiles_pallas(G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa,
             cols.append(est[..., 3])
         return jnp.stack(cols, axis=-1)
 
+    estT = outs[0] if want_x else outs
+    ret = [_finish(estT)]
     if want_x:
-        estT, xT = outs
-        return _finish(estT), jnp.swapaxes(xT[:C, :na, :], 1, 2)
-    return _finish(outs)
+        ret.append(jnp.swapaxes(outs[1][:C, :na, :], 1, 2))
+    if want_tie:
+        ret.append(estT[:C, 7, :])          # (C, M) degeneracy score
+    return tuple(ret) if len(ret) > 1 else ret[0]

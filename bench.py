@@ -415,11 +415,13 @@ def main():
         from amico_tpu.io.scheme import GAMMA
 
         def bench_model(name, model, scheme_m, n=None, oracle=None,
-                        oracle_cols=None):
+                        oracle_cols=None, backend=None):
             # full-brain volumes since round 4 (was 50k): per-voxel cost
             # amortizes the sequential-step latency of the small models
-            # (FreeWater 745k vox/s at 50k -> 1.61M at 409.6k), so the
-            # small-volume numbers understated them.
+            # (FreeWater measured ~2x faster at 409.6k than at 50k when
+            # the switch was made), so small-volume numbers understated
+            # them.  Current absolute numbers: the *_voxps fields of the
+            # latest BENCH_r*.json, nowhere else.
             # ``oracle(K, model, y_i, lut_i) -> map vector`` enables a
             # 200-voxel exact-solver audit (the NODDI audit's analog for
             # the other models; LARS oracle = the reference's algorithm)
@@ -427,7 +429,7 @@ def main():
             kd = os.path.join(os.environ['AMICO_TPU_HOME'], f'bench_{name}')
             os.makedirs(kd, exist_ok=True)
             model.scheme = scheme_m
-            model.set_solver()
+            model.set_solver(**({'backend': backend} if backend else {}))
             aux = _lut.load_precomputed_rotation_matrices(12, 500)
             i_in, i_out = _lut.aux_structures_generate(scheme_m, 12)
             if not os.path.isfile(os.path.join(kd, 'A_001.npy')):
@@ -516,7 +518,16 @@ def main():
         extra['activeax_voxps'] = bench_model('czb', CylinderZeppelinBall(),
                                               scheme_v1, oracle=czb_oracle,
                                               oracle_cols=(0, 1))
-        _trace(f'activeax bench done ({extra["activeax_voxps"]:,.0f})')
+        # both backends explicitly (round-5 claims hygiene: the backend
+        # hint was chosen from a round-4 measurement that later bench
+        # runs contradicted; record both so the docs cite bench fields)
+        extra['activeax_voxps_xla'] = bench_model(
+            'czb', CylinderZeppelinBall(), scheme_v1, backend='xla')
+        extra['activeax_voxps_pallas'] = bench_model(
+            'czb', CylinderZeppelinBall(), scheme_v1, backend='pallas')
+        _trace(f'activeax bench done ({extra["activeax_voxps"]:,.0f} / '
+               f'xla {extra["activeax_voxps_xla"]:,.0f} / '
+               f'pallas {extra["activeax_voxps_pallas"]:,.0f})')
 
         # SANDI: direction-averaged signal (b0 + 2 shells)
         rows_sa = [np.array([[1, 0, 0, 0, 0, 0, 0]])]

@@ -154,3 +154,25 @@ def test_fused_kernel_tiebreak_matches_xla_twin(noddi_fused_inputs):
     delta = np.abs(est_on - est_off)
     assert np.median(delta) < 1e-5
     assert delta.max() < 0.5
+
+
+def test_fused_kernel_tie_score_diagnostic(noddi_fused_inputs):
+    """want_tie: the degeneracy-score output (round-5 diagnostic).  The
+    score is the max normalized KKT gradient over excluded atoms: near 0
+    on voxels with a tied alternative vertex, strongly negative on
+    clearly-decided voxels, and its presence must not change the maps."""
+    from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
+
+    (G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa, _, _) = noddi_fused_inputs
+    kw = dict(lam1=0.5, lam2=1e-3, fista_iters=0, refine_rounds=10,
+              cg_iters=12, inner_passes=2, interpret=True)
+    est = np.asarray(noddi_fused_tiles_pallas(
+        G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa, **kw))
+    est2, tie = noddi_fused_tiles_pallas(
+        G1, G2, b1, Y_dwi, A2T, iso_dwi, icvf, kappa, want_tie=True, **kw)
+    est2, tie = np.asarray(est2), np.asarray(tie)
+    np.testing.assert_allclose(est2, est, atol=1e-6)
+    assert tie.shape == est.shape[:2]
+    assert np.isfinite(tie).all()
+    # a converged solve leaves no large positive KKT violation
+    assert tie.max() < 0.3, tie.max()

@@ -82,7 +82,9 @@ def bench_model(name, model, scheme_m, backend):
           f'({best:.3f}s) {bd}', flush=True)
 
 
+# bench protocols: CZB on the 61-sample STEJSKALTANNER scheme, FreeWater
+# on the 99-sample 2-shell NODDI scheme (matching bench.py's bench_model)
 for be in ('xla', 'pallas'):
     bench_model('czb', CylinderZeppelinBall(), scheme_v1, be)
 for be in ('pallas', 'xla'):
-    bench_model('fw', FreeWater(), scheme_v1, be)
+    bench_model('fw', FreeWater(), scheme_n, be)

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Round-5: full 3-stage dissection on the worst audit voxels via the
+fused kernel in interpret mode (CPU), varying per-stage schedules, to find
+which stage still drives the 4.3e-2 map-error max."""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+
+import jax
+import jax.numpy as jnp
+
+from amico_tpu.testing import demo_noddi, demo_voxels
+from amico_tpu.io.scheme import Scheme
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from amico_tpu.ops import native
+from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
+from amico_tpu.models.base import DEFAULT_NODDI_STAGE_ITERS, \
+    DEFAULT_NODDI_PRECISION
+
+VOX = [int(v) for v in os.environ.get(
+    'S2_VOX', '202,524,187,58,393,340,919,177,66,362,965,664,695,140,255'
+).split(',')]
+
+rows = [np.zeros((9, 4)),
+        np.c_[fibonacci_hemisphere(30), np.full(30, 700.0)],
+        np.c_[fibonacci_hemisphere(60), np.full(60, 2000.0)]]
+scheme = Scheme(np.vstack(rows))
+kdir = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_kernels')
+model, kernels, htable = demo_noddi(scheme, small=False, kernels_dir=kdir)
+y, DIRs, lut_idx = demo_voxels(409600, kernels, htable, seed=0)
+
+n_wm = kernels['wm'].shape[0]
+dwi = scheme.dwi_idx
+lam1, lam2 = 0.5, 1e-3
+M = 8  # lanes per tile; one voxel per tile for per-voxel G2
+C = len(VOX)
+
+# per-voxel tiles (each voxel has its own direction -> own Gram)
+A_l, G1_l, G2_l, b1_l, Yd_l, A2T_l = [], [], [], [], [], []
+for i in VOX:
+    A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T,
+                         kernels['iso']]).astype(np.float32)
+    A2 = (A[dwi][:, :n_wm] * kernels['norms'][None, :]).astype(np.float32)
+    Yv = np.zeros((M, scheme.nS), np.float32)
+    Yv[0] = y[i]
+    A_l.append(A)
+    G1_l.append(A.T @ A)
+    G2_l.append(A2.T @ A2)
+    b1_l.append(Yv @ A)
+    Yd_l.append(Yv[:, dwi])
+    A2T_l.append(A2.T)
+G1 = jnp.asarray(np.stack(G1_l))
+G2 = jnp.asarray(np.stack(G2_l))
+b1 = jnp.asarray(np.stack(b1_l))
+Yd = jnp.asarray(np.stack(Yd_l))
+A2T = jnp.asarray(np.stack(A2T_l))
+iso_dwi = jnp.asarray(kernels['iso'][dwi], jnp.float32)
+icvf = jnp.asarray(kernels['icvf'], jnp.float32)
+kappa = jnp.asarray(kernels['kappa'], jnp.float32)
+
+# oracle maps
+est_o = np.zeros((C, 3))
+for k, i in enumerate(VOX):
+    A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
+    x1, _ = native.nnls(A, y[i])
+    y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
+    A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
+    x2 = native.lasso(A2, y2, lam1, lam2)
+    x = np.zeros(n_wm + 1)
+    x[:n_wm] = x2
+    x[-1] = 1.0
+    sup = np.where(x > 0)[0]
+    x3, _ = native.nnls(A[:, sup], y[i])
+    x[:] = 0.0
+    x[sup] = x3
+    sa = x.sum() + 1e-16
+    xn = x[:n_wm] / sa
+    sw = xn.sum() + 1e-16
+    f1 = np.sum(kernels['icvf'] * xn) / sw
+    f2 = np.sum((1 - kernels['icvf']) * xn) / sw
+    k1 = np.sum(kernels['kappa'] * xn) / sw
+    est_o[k] = [f1 / (f1 + f2 + 1e-16), 2 / np.pi * np.arctan2(1.0, k1),
+                x[-1] / sa]
+
+s1, s2, s3 = DEFAULT_NODDI_STAGE_ITERS
+p1, p2, p3 = DEFAULT_NODDI_PRECISION
+HI = 'highest'
+OLD_SI = ((0, 4, (4, 6, 8, 10), 1, False, 2),
+          (0, 6, (3, 5, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+          (6, (16, 10, 8, 8, 8, 8), 2))
+OLD_PR = (('default', 'split3', 1), 'split3', ('split3', HI, 2))
+MID_SI = (OLD_SI[0],
+          (0, 6, (3, 5, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), 24, 2),
+          OLD_SI[2])
+MID_PR = (OLD_PR[0], ('split3', HI, 1), OLD_PR[2])
+
+variants = {
+    'old': (OLD_SI, OLD_PR),
+    'mid': (MID_SI, MID_PR),
+    'new': (DEFAULT_NODDI_STAGE_ITERS, DEFAULT_NODDI_PRECISION),
+}
+
+for name, (si, pr) in variants.items():
+    est = np.asarray(noddi_fused_tiles_pallas(
+        G1, G2, b1, Yd, A2T, iso_dwi, icvf, kappa,
+        lam1=lam1, lam2=lam2, stage_iters=si, precision=pr,
+        interpret=True))
+    err = np.abs(est[:, 0, :3] - est_o)
+    worst = np.argmax(err.max(1))
+    print(f'{name:12s}: max {err.max():.3e} (vox {VOX[worst]}) '
+          f'mean {err.mean():.3e} '
+          f'per-map max [{err[:, 0].max():.2e} {err[:, 1].max():.2e} '
+          f'{err[:, 2].max():.2e}]', flush=True)

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Round-5: evaluate candidate NODDI stage schedules on the REAL TPU
+against the LARS oracle (1000-voxel audit) + solver-only throughput."""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+
+import jax
+import jax.numpy as jnp
+
+from amico_tpu.io.scheme import Scheme
+from amico_tpu.ops.sphere import fibonacci_hemisphere
+from amico_tpu.testing import demo_noddi, demo_voxels
+from amico_tpu.models.engine import (auto_tile_size, build_tile_plan,
+                                     tile_voxels, untile_voxels)
+from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
+from amico_tpu.ops.solvers import gram
+from amico_tpu.ops import native
+
+n_vox = int(os.environ.get('TB_VOXELS', 409600))
+sample = int(os.environ.get('TB_SAMPLE', 1000))
+
+rows = [np.zeros((9, 4)),
+        np.c_[fibonacci_hemisphere(30), np.full(30, 700.0)],
+        np.c_[fibonacci_hemisphere(60), np.full(60, 2000.0)]]
+scheme = Scheme(np.vstack(rows))
+kdir = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_kernels')
+model, kernels, htable = demo_noddi(scheme, small=False, kernels_dir=kdir)
+y, DIRs, lut_idx = demo_voxels(n_vox, kernels, htable, seed=0)
+print('setup done', flush=True)
+
+_, counts = np.unique(lut_idx, return_counts=True)
+M = auto_tile_size(counts)
+plan = build_tile_plan(lut_idx, M)
+Yt_d = jnp.asarray(tile_voxels(plan, y.astype(np.float32)))
+n_wm = kernels['wm'].shape[0]
+dwi_b = jnp.asarray(scheme.dwi_idx)
+K_d = jnp.asarray(np.transpose(kernels['wm'], (1, 2, 0)), jnp.float32)
+norms_d = jnp.asarray(kernels['norms'], jnp.float32)
+iso_d = jnp.asarray(kernels['iso'], jnp.float32)
+
+
+@jax.jit
+def _prep(K_d, Yt_d, iso_d, norms_d, dirs_d):
+    A = jnp.concatenate(
+        [K_d[dirs_d],
+         jnp.broadcast_to(iso_d[None, :, None],
+                          (dirs_d.shape[0], Yt_d.shape[2], 1))], -1)
+    A2 = A[:, dwi_b, :n_wm] * norms_d[None, None, :]
+    return (gram(A), gram(A2),
+            jnp.einsum('csa,cms->cma', A, Yt_d,
+                       precision=jax.lax.Precision.HIGHEST),
+            Yt_d[:, :, dwi_b], jnp.swapaxes(A2, 1, 2))
+
+
+args = list(_prep(K_d, Yt_d, iso_d, norms_d, jnp.asarray(plan.tile_dirs))) + [
+    iso_d[dwi_b], jnp.asarray(kernels['icvf'], jnp.float32),
+    jnp.asarray(kernels['kappa'], jnp.float32)]
+interp = jax.default_backend() != 'tpu'
+
+# oracle maps on the sample
+dwi = scheme.dwi_idx
+est_o = np.zeros((sample, 3))
+for i in range(sample):
+    A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
+    x1, _ = native.nnls(A, y[i])
+    y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
+    A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
+    x2 = native.lasso(A2, y2, 0.5, 1e-3)
+    x = np.zeros(n_wm + 1)
+    x[:n_wm] = x2
+    x[-1] = 1.0
+    sup = np.where(x > 0)[0]
+    x3, _ = native.nnls(A[:, sup], y[i])
+    x[:] = 0.0
+    x[sup] = x3
+    sa = x.sum() + 1e-16
+    xn = x[:n_wm] / sa
+    sw = xn.sum() + 1e-16
+    f1 = np.sum(kernels['icvf'] * xn) / sw
+    f2 = np.sum((1 - kernels['icvf']) * xn) / sw
+    k1 = np.sum(kernels['kappa'] * xn) / sw
+    est_o[i] = [f1 / (f1 + f2 + 1e-16), 2 / np.pi * np.arctan2(1.0, k1),
+                x[-1] / sa]
+print('oracle done', flush=True)
+
+HI = 'highest'
+OLD_SI = ((0, 4, (4, 6, 8, 10), 1, False, 2),
+          (0, 6, (3, 5, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), False, 2),
+          (6, (16, 10, 8, 8, 8, 8), 2))
+OLD_PR = (('default', 'split3', 1), 'split3', ('split3', HI, 2))
+MID_SI = (OLD_SI[0],
+          (0, 6, (3, 5, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), 24, 2),
+          OLD_SI[2])
+MID_PR = (OLD_PR[0], ('split3', HI, 1), OLD_PR[2])
+NEW_SI = (OLD_SI[0],
+          (0, 6, (3, 5, 8, 10, 12, 14), (1, 1, 2, 2, 2, 2), 24, 2),
+          OLD_SI[2])
+NEW_PR = (OLD_PR[0], ('split3', HI, 3), OLD_PR[2])
+
+variants = {
+    'old          ': (OLD_SI, OLD_PR),
+    'mid          ': (MID_SI, MID_PR),
+    'new          ': (NEW_SI, NEW_PR),
+}
+
+for name, (si, pr) in variants.items():
+    f = lambda: noddi_fused_tiles_pallas(
+        *args, lam1=0.5, lam2=1e-3, stage_iters=si, precision=pr,
+        interpret=interp)
+    f().block_until_ready()
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.time()
+        f().block_until_ready()
+        best = min(best, time.time() - t0)
+    est = untile_voxels(plan, np.asarray(f()))
+    err = np.abs(est[:sample, :3] - est_o)
+    print(f'{name}: {n_vox / best:10,.0f} vox/s ({best*1e3:6.1f} ms) '
+          f'med {np.median(err):.2e} p95 {np.percentile(err, 95):.2e} '
+          f'max {err.max():.2e} '
+          f'[ndi {err[:, 0].max():.2e} odi {err[:, 1].max():.2e} '
+          f'fwf {err[:, 2].max():.2e}]', flush=True)
