@@ -586,6 +586,29 @@ class Evaluation:
                 f'{dist.process_count()} takes voxels '
                 f'[{slab.start}:{slab.stop}) of {n_vox}')
 
+        # single shared H2D upload (round-5): stage the padded f32 signal
+        # (y + one zero row, the tile engine's gather layout) on the device
+        # ONCE and hand it to BOTH the DTI direction fit and the model's
+        # tile engine.  Without this the 162MB full-brain signal crossed
+        # the (tunneled) PCIe/ICI link twice per cold fit -- once inside
+        # fit_dti's jnp.asarray, once in the engine's staging -- which
+        # dominated first-fit latency after the compile cache was fixed.
+        # Skipped when distributed (slab views) / mesh-sharded / beyond the
+        # device budget: those paths own their staging.
+        self._staged_y_ext_dev = None
+        if not dist_on and self.get_config('mesh') is None \
+                and not self.get_config('doDirectionalAverage'):
+            budget = int(self.get_config('max_device_bytes') or (4 << 30))
+            if self.y.size * 4 <= budget:
+                cached = slab_cache.get('__y_ext_dev__')
+                if cached is None:
+                    import jax.numpy as jnp
+                    y_ext = np.concatenate(
+                        [self.y.astype(np.float32, copy=False),
+                         np.zeros((1, self.y.shape[1]), np.float32)], axis=0)
+                    cached = slab_cache['__y_ext_dev__'] = jnp.asarray(y_ext)
+                self._staged_y_ext_dev = (self.y, cached)
+
         tf['stage_voxels_s'] = time.time() - t_enter
         LOG(f"\n-> Estimating principal directions "
             f"({self.get_config('DTI_fit_method')}):")
@@ -606,8 +629,13 @@ class Evaluation:
                     and dc[2:4] == dkey[2:4]:
                 self.DIRs = dc[4]
             else:
+                # run the DTI fit on the already-staged device signal when
+                # available (drops its separate H2D upload)
+                y_dti = (self._staged_y_ext_dev[1][:-1]
+                         if self._staged_y_ext_dev is not None else self.y)
                 with self.timers.stage('directions'):
-                    self.DIRs = _pl.principal_directions(*dkey)
+                    self.DIRs = _pl.principal_directions(
+                        y_dti, *dkey[1:])
                 self._fit_dirs_cache = dkey + (self.DIRs,)
         self.set_config('dirs_precomputing_time', time.time() - t)
         tf['directions_s'] = time.time() - t_enter - tf['stage_voxels_s']

@@ -496,8 +496,16 @@ class BaseModel(ABC):
             # built by an int32 gather fused INTO the fit dispatch (one
             # launch per chunk, no host-tiled copies, no intermediate)
             key = '__y_ext__'
+            pre = getattr(evaluation, '_staged_y_ext_dev', None)
             if chunks_dev is not None and key in chunks_dev:
                 y_ext_dev = chunks_dev[key]
+            elif pre is not None and pre[0] is y \
+                    and pre[1].shape == (y.shape[0] + 1, y.shape[1]):
+                # the facade already staged this exact signal (shared with
+                # the DTI direction fit) -- reuse, skip the second upload
+                y_ext_dev = pre[1]
+                if chunks_dev is not None:
+                    chunks_dev[key] = y_ext_dev
             else:
                 y_ext = np.concatenate(
                     [y.astype(np.float32, copy=False),

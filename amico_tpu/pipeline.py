@@ -153,8 +153,12 @@ def principal_directions(y: np.ndarray, scheme: Scheme, method: str,
         g = np.vstack((np.zeros((1, 3)), scheme.raw[scheme.dwi_idx, :3]))
     else:
         b, g = scheme.b, scheme.raw[:, :3]
-    return np.asarray(fit_dti(np.asarray(y, np.float32), b, g, method),
-                      np.float32)
+    if isinstance(y, np.ndarray):
+        # host input: one f32 upload inside fit_dti
+        y = np.asarray(y, np.float32)
+    # device input (the facade's shared staged signal) passes through
+    # unconverted -- np.asarray here would force a 2x-transfer round trip
+    return np.asarray(fit_dti(y, b, g, method), np.float32)
 
 
 _DTI_METHODS = ('OLS', 'LS', 'WLS', 'NLLS', 'RT', 'RESTORE', 'restore')

@@ -67,6 +67,36 @@ def enable_compilation_cache() -> None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # Strip Python tracebacks from MLIR locations.  Pallas/Mosaic
+        # kernels serialize their module -- locations included -- into the
+        # custom-call payload, and the cache key's strip-debuginfo pass
+        # cannot reach inside that payload string.  With tracebacks on,
+        # every distinct CALL SITE of fit() (bench probe vs parent, the
+        # warmup CLI vs a user script, any edit that shifts a caller's
+        # line numbers) changed the payload and forced a fresh ~55s fused-
+        # kernel compile (round-5 diagnosis, tools/cachekey_probe.py:
+        # component 'computation' drifted; with these two settings the
+        # key is bit-stable across call sites).  Cost: compiler error
+        # messages lose Python source locations; opt out via
+        # AMICO_TPU_FULL_LOCATIONS=1 when debugging kernel lowering.
+        if os.environ.get('AMICO_TPU_FULL_LOCATIONS') != '1':
+            jax.config.update(
+                'jax_include_full_tracebacks_in_locations', False)
+            jax.config.update('jax_traceback_in_locations_limit', 0)
+        log_path = os.environ.get('AMICO_TPU_CACHEKEY_LOG')
+        if log_path:
+            # diagnostic: per-component cache-key hashes + hit/miss lines
+            # for every jit compile, appended to $AMICO_TPU_CACHEKEY_LOG
+            # (suffixed by pid so probe subprocesses don't interleave)
+            import logging
+            handler = logging.FileHandler(
+                f'{log_path}.{os.getpid()}', mode='a')
+            handler.setLevel(logging.DEBUG)
+            handler.setFormatter(logging.Formatter('%(name)s: %(message)s'))
+            for name in ('jax._src.cache_key', 'jax._src.compiler'):
+                lg = logging.getLogger(name)
+                lg.setLevel(logging.DEBUG)
+                lg.addHandler(handler)
         _cache_enabled = True
     except Exception:  # pragma: no cover - never block the pipeline on this
         pass

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Diagnose persistent-compile-cache key drift for the pipeline fit.
+
+Runs the production pipeline (bench study must exist) with DEBUG logging
+on jax cache-key construction, and aborts the moment the big fit_gather
+lookup has been logged (before paying its compile).  Run this twice in
+two separate processes and diff the per-component hashes: the component
+whose hash differs across processes is the source of the cross-process
+cache misses (round-5: pipeline_fit_first 27.5s despite a probe that
+compiled the identical pipeline minutes earlier).
+
+Usage: python tools/cachekey_probe.py [tag]
+Writes /tmp/cachekey_<tag>.log
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('AMICO_TPU_HOME',
+                      os.path.join(os.path.expanduser('~'), '.amico_tpu'))
+
+
+# line-shift for cache-key stability test
+tag = sys.argv[1] if len(sys.argv) > 1 else 'a'
+logpath = f'/tmp/cachekey_{tag}.log'
+
+handler = logging.FileHandler(logpath, mode='w')
+handler.setLevel(logging.DEBUG)
+fmt = logging.Formatter('%(name)s: %(message)s')
+handler.setFormatter(fmt)
+for name in ('jax._src.cache_key', 'jax._src.compiler',
+             'jax._src.compilation_cache'):
+    lg = logging.getLogger(name)
+    lg.setLevel(logging.DEBUG)
+    lg.addHandler(handler)
+
+
+class _Abort(BaseException):
+    pass
+
+
+def main():
+    if os.environ.get('CACHEKEY_NO_TB') == '1':
+        import jax
+        jax.config.update('jax_include_full_tracebacks_in_locations', False)
+        jax.config.update('jax_traceback_in_locations_limit', 0)
+    from amico_tpu import Evaluation, set_verbose
+    set_verbose(0)
+
+    study = os.path.join(os.environ['AMICO_TPU_HOME'], 'bench_study')
+    dwi = os.path.join(study, 'DWI.nii')
+    assert os.path.isfile(dwi), 'run bench.py once to create the study'
+
+    ev = Evaluation(study, '.')
+    ev.load_data(dwi, os.path.join(study, 'DWI.scheme'),
+                 mask_filename=os.path.join(study, 'mask.nii'))
+    ev.set_model('NODDI')
+    ev.generate_kernels()
+    ev.load_kernels()
+
+    # Abort the compile as soon as the cache lookup (and its key logging)
+    # has happened: wrap backend_compile-level entry via the cache-miss
+    # event. Simplest robust hook: patch compile_or_get_cached's actual
+    # compiler call.
+    # dump the exact module text that the cache key hashes, for diffing
+    from jax._src import cache_key as _ck
+    _ck_orig = _ck.get
+
+    def _ck_get(module, *a, **k):
+        try:
+            from jax._src.lib.mlir import ir
+            name = ir.StringAttr(
+                module.operation.attributes['sym_name']).value
+        except Exception:
+            name = '?'
+        if 'fit_gather' in name or 'fit_chunk' in name:
+            with open(f'/tmp/module_{tag}.mlir', 'w') as f:
+                f.write(module.operation.get_asm(enable_debug_info=True))
+        return _ck_orig(module, *a, **k)
+
+    _ck.get = _ck_get
+    from jax._src import compilation_cache as _cc
+    if getattr(_cc, 'cache_key', None) is not None:
+        _cc.cache_key.get = _ck_get
+    from jax._src import compiler as _comp
+    orig = _comp.backend_compile_and_load
+    if os.environ.get('CACHEKEY_PROBE_COMPILE') == '1':
+        # full run: actually compile + write the persistent entry
+        import time
+        t0 = time.time()
+        ev.fit()
+        print(f'full fit (compile paid): {time.time() - t0:.1f}s',
+              file=sys.stderr)
+        print(f'log written to {logpath}', file=sys.stderr)
+        return
+
+    def bomb(*a, **k):
+        # let small uncached helpers (convert_element_type etc.) compile;
+        # abort only once the big fit_gather lookup has been logged
+        name = ''
+        for arg in a:
+            try:
+                from jax._src.lib.mlir import ir
+                sym = arg.operation.attributes['sym_name']
+                name = ir.StringAttr(sym).value
+                break
+            except Exception:
+                continue
+        if 'fit_gather' in name or 'fit_chunk' in name \
+                or 'fused' in name:
+            raise _Abort()
+        return orig(*a, **k)
+
+    _comp.backend_compile_and_load = bomb
+    try:
+        ev.fit()
+    except _Abort:
+        print('aborted at first real compile (lookup logged)',
+              file=sys.stderr)
+    except BaseException as e:  # noqa: BLE001
+        print(f'ended with {type(e).__name__}: {e}', file=sys.stderr)
+    finally:
+        _comp.backend_compile_and_load = orig
+    print(f'log written to {logpath}', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

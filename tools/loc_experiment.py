@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Which jax config makes the Mosaic computation hash call-site-stable?
+
+Lowered Pallas programs embed Python traceback frames in MLIR locations;
+the Mosaic kernel payload is serialized bytecode WITH those locations, so
+the persistent-cache computation hash changes whenever the *caller* of
+the jitted function moves lines (round-5 diagnosis: probe vs parent vs
+tools each paid the full ~55s fused-kernel compile).
+
+This experiment lowers the same tiny pallas kernel from two different
+call sites and compares cache_key computation hashes under candidate
+configs.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_kernel():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kern(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 2.0 + 1.0
+
+    def f(x):
+        return pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
+
+    return f
+
+
+def comp_hash(lowered):
+    """Same canonicalization as jax cache_key._hash_computation."""
+    from jax._src import cache_key
+    h = hashlib.sha256()
+    cache_key._hash_computation(
+        h, lowered.compiler_ir('stablehlo'), cache_key.IgnoreCallbacks.NO)
+    return h.digest().hex()[:16]
+
+
+# two call sites on different lines
+def site_one(f, x):
+    import jax
+    return jax.jit(f).lower(x)
+
+
+def padding_to_move_line_numbers():
+    pass
+
+
+def site_two(f, x):
+    import jax
+    return jax.jit(f).lower(x)
+
+
+def main():
+    import jax
+
+    x = np.ones((8, 128), np.float32)
+    for desc, setup in [
+        ('default', lambda: None),
+        ('full_tracebacks=False', lambda: jax.config.update(
+            'jax_include_full_tracebacks_in_locations', False)),
+        ('limit=0', lambda: jax.config.update(
+            'jax_traceback_in_locations_limit', 0)),
+        ('limit=1', lambda: jax.config.update(
+            'jax_traceback_in_locations_limit', 1)),
+    ]:
+        setup()
+        f = build_kernel()
+        h1 = comp_hash(site_one(f, x))
+        h2 = comp_hash(site_two(f, x))
+        print(f'{desc:28s} site1={h1} site2={h2} '
+              f'{"STABLE" if h1 == h2 else "drifts"}')
+        # reset
+        jax.config.update('jax_include_full_tracebacks_in_locations', True)
+        jax.config.update('jax_traceback_in_locations_limit', 10)
+
+
+if __name__ == '__main__':
+    main()
