@@ -555,23 +555,56 @@ class Evaluation:
         stride = max(1, self.niiDWI_img.size // 65536)
         img_fp = (float(np.sum(self.niiDWI_img.ravel(order='K')[::stride],
                                dtype=np.float64)), n_vox)
+        from .parallel import dist
+        dist_on = bool(self.get_config('distributed')) \
+            and dist.process_count() > 1
+        # will this fit use the shared device staging? (single-host,
+        # single-device, direction-full model, within the device budget)
+        budget = int(self.get_config('max_device_bytes') or (4 << 30))
+        want_stage = (not dist_on and self.get_config('mesh') is None
+                      and not self.get_config('doDirectionalAverage')
+                      and n_vox * int(self.niiDWI_img.shape[3]) * 4 <= budget)
         yc = getattr(self, '_fit_y_cache', None)
         if yc is not None and yc[0] is self.niiDWI_img \
                 and yc[1] is self.niiMASK_img and yc[2] == img_fp:
             self.y = yc[3]
             slab_cache = yc[4]
         else:
-            self.y = _pl.masked_voxels(self.niiDWI_img, mask)
+            # fused native extraction (gather + clip + zero pad row in one
+            # threaded pass, ops.native.masked_gather_padded); the padded
+            # buffer doubles as the device staging layout.  When the fit
+            # will stage on device, the gather runs in blocks with each
+            # block's H2D transfer starting while the next block gathers
+            # (extraction and upload pipeline instead of serializing).
+            # Falls back to the 3-pass NumPy path off the production layout.
+            from .ops import native as _native
+            dev_blocks = []
+            cb = None
+            if want_stage:
+                import jax
+
+                def cb(view):
+                    dev_blocks.append(jax.device_put(view))
+            padded = _native.masked_gather_padded(
+                self.niiDWI_img, mask, blocks=4 if cb else 1, block_cb=cb)
+            if padded is not None:
+                self.y = padded[:-1]
+            else:
+                self.y = _pl.masked_voxels(self.niiDWI_img, mask)
             slab_cache = {}
+            if padded is not None:
+                slab_cache['__y_ext_host__'] = padded
+                if dev_blocks:
+                    import jax.numpy as jnp
+                    slab_cache['__y_ext_dev__'] = (
+                        dev_blocks[0] if len(dev_blocks) == 1
+                        else jnp.concatenate(dev_blocks, axis=0))
             self._fit_y_cache = (self.niiDWI_img, self.niiMASK_img,
                                  img_fp, self.y, slab_cache)
             self._fit_dirs_cache = None
 
         # multi-host: fit only this host's voxel slab (bulk voxel data never
         # crosses DCN; maps are gathered after the fit)
-        from .parallel import dist
-        dist_on = bool(self.get_config('distributed')) \
-            and dist.process_count() > 1
         y_full = self.y
         if dist_on:
             slab = dist.host_slab(n_vox)
@@ -596,18 +629,18 @@ class Evaluation:
         # Skipped when distributed (slab views) / mesh-sharded / beyond the
         # device budget: those paths own their staging.
         self._staged_y_ext_dev = None
-        if not dist_on and self.get_config('mesh') is None \
-                and not self.get_config('doDirectionalAverage'):
-            budget = int(self.get_config('max_device_bytes') or (4 << 30))
-            if self.y.size * 4 <= budget:
-                cached = slab_cache.get('__y_ext_dev__')
-                if cached is None:
-                    import jax.numpy as jnp
+        if want_stage:
+            cached = slab_cache.get('__y_ext_dev__')
+            if cached is None:
+                import jax.numpy as jnp
+                y_ext = slab_cache.get('__y_ext_host__')
+                if y_ext is None:
                     y_ext = np.concatenate(
                         [self.y.astype(np.float32, copy=False),
-                         np.zeros((1, self.y.shape[1]), np.float32)], axis=0)
-                    cached = slab_cache['__y_ext_dev__'] = jnp.asarray(y_ext)
-                self._staged_y_ext_dev = (self.y, cached)
+                         np.zeros((1, self.y.shape[1]), np.float32)],
+                        axis=0)
+                cached = slab_cache['__y_ext_dev__'] = jnp.asarray(y_ext)
+            self._staged_y_ext_dev = (self.y, cached)
 
         tf['stage_voxels_s'] = time.time() - t_enter
         LOG(f"\n-> Estimating principal directions "
@@ -771,11 +804,30 @@ class Evaluation:
 
         tag = f' (AMICO-TPU v{self.get_config("version")})'
 
+        # map writes are queued and compressed in parallel (zlib releases
+        # the GIL, so gzip of the ~7 map volumes scales with cores); the
+        # flush below completes them all BEFORE config.pickle -- the
+        # resume marker must never precede a map on disk
+        _write_jobs = []
+
         def emit(data, fname, descrip=None, cal=(None, None)):
-            PRINT(f'\t- {fname}', end=' ')
-            _pl.write_map(data, pjoin(out_dir, fname), self.niiDWI,
-                          descrip=descrip, cal=cal)
-            PRINT(' [OK]')
+            _write_jobs.append((data, fname, descrip, cal))
+
+        def flush_writes():
+            if not _write_jobs:
+                return
+            from concurrent.futures import ThreadPoolExecutor
+            nw = min(len(_write_jobs), max(2, cpu_count() or 2))
+            with ThreadPoolExecutor(max_workers=nw) as ex:
+                futs = [(fname, ex.submit(
+                    _pl.write_map, data, pjoin(out_dir, fname), self.niiDWI,
+                    descrip=descrip, cal=cal))
+                    for data, fname, descrip, cal in _write_jobs]
+                for fname, fut in futs:
+                    PRINT(f'\t- {fname}', end=' ')
+                    fut.result()
+                    PRINT(' [OK]')
+            _write_jobs.clear()
 
         if not self.get_config('doDirectionalAverage'):
             emit(self.RESULTS['DIRs'], 'fit_dir.nii.gz', cal=(-1, 1))
@@ -820,6 +872,8 @@ class Evaluation:
             else:
                 WARNING('No directional-average signal to save: enable '
                         'doDirectionalAverage before load_data()')
+
+        flush_writes()
 
         # config.pickle is written LAST and atomically: it is the
         # resume-by-existence marker (sweep.py), so it must only appear

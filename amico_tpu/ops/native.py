@@ -91,6 +91,13 @@ def _load_uncached():
         lib.amico_preprocess_dwi.restype = ctypes.c_int
     except AttributeError:  # stale prebuilt .so without the symbol
         lib.amico_preprocess_dwi = None
+    try:
+        lib.amico_masked_gather.argtypes = [
+            fptr, ctypes.c_longlong, ctypes.c_int, llptr, ctypes.c_longlong,
+            fptr, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.amico_masked_gather.restype = ctypes.c_int
+    except AttributeError:  # stale prebuilt .so without the symbol
+        lib.amico_masked_gather = None
     return lib
 
 
@@ -355,3 +362,85 @@ def preprocess_dwi(raw: np.ndarray, b0_idx: np.ndarray,
         'mean': float(stats[2]) / max(1, nvox * nS),
     }
     return out, (mean_b0 if normalize else None), info
+
+
+def masked_gather_available() -> bool:
+    """The fused masked-voxel extraction is present in the loaded .so."""
+    if not available():
+        return False
+    return getattr(_load(), 'amico_masked_gather', None) is not None
+
+
+def masked_gather_padded(vol: np.ndarray, mask: np.ndarray,
+                         pad_rows: int = 1, clip: bool = True,
+                         nthreads: int | None = None,
+                         blocks: int = 1, block_cb=None):
+    """Fused masked voxel extraction (native, threaded, single pass):
+    ``vol[mask == 1, :]`` + negative clipping + ``pad_rows`` zero rows
+    appended, written straight into one (N + pad_rows, nS) float32
+    row-major buffer -- the tile engine's gather layout.  Replaces three
+    full-volume passes (numpy transpose-gather, clip, pad concatenate);
+    semantics equivalence vs pipeline.masked_voxels is asserted in
+    tests/test_preproc_fused.py.
+
+    Row order is numpy boolean-indexing order (C order over the mask),
+    regardless of either array's memory layout.  Returns the buffer, or
+    None when the native library is unavailable or ``vol`` is not the
+    F-contiguous float32 4-D production layout (caller falls back).
+
+    With ``blocks > 1`` and a ``block_cb``, the gather runs block-by-block
+    over row ranges and ``block_cb(view)`` fires as each contiguous row
+    slice completes (the final block includes the pad rows) -- the caller
+    can start the H2D transfer of block k while block k+1 is still
+    gathering, pipelining extraction with the device upload.
+    """
+    if not masked_gather_available():
+        return None
+    if vol.ndim != 4 or vol.dtype != np.float32 \
+            or not vol.flags.f_contiguous:
+        return None
+    lib = _load()
+    dim = vol.shape[:3]
+    nvox = int(np.prod(dim))
+    nS = int(vol.shape[3])
+    # F-order linear indices of the masked voxels, enumerated in C order
+    # (numpy's boolean-indexing row order)
+    sel = np.asarray(mask == 1)
+    flat_c = np.flatnonzero(np.ravel(sel, order='C'))
+    vidx = np.ravel_multi_index(
+        np.unravel_index(flat_c, dim, order='C'), dim, order='F') \
+        .astype(np.int64)
+    vidx = np.ascontiguousarray(vidx)
+    n = int(vidx.size)
+    out = np.empty((n + pad_rows, nS), np.float32)
+    if nthreads is None:
+        nthreads = os.cpu_count() or 1
+    fp = ctypes.POINTER(ctypes.c_float)
+    lp = ctypes.POINTER(ctypes.c_longlong)
+    if blocks <= 1 or block_cb is None:
+        rc = lib.amico_masked_gather(
+            vol.ctypes.data_as(fp), nvox, nS, vidx.ctypes.data_as(lp), n,
+            out.ctypes.data_as(fp), int(pad_rows), int(bool(clip)),
+            int(nthreads))
+        if rc != 0:
+            return None
+        return out
+    itemsz = out.itemsize
+    step = -(-n // int(blocks))
+    for r0 in range(0, max(n, 1), max(step, 1)):
+        r1 = min(n, r0 + step)
+        last = r1 == n
+        rc = lib.amico_masked_gather(
+            vol.ctypes.data_as(fp), nvox, nS,
+            ctypes.cast(vidx.ctypes.data + r0 * 8, lp), r1 - r0,
+            ctypes.cast(out.ctypes.data + r0 * nS * itemsz, fp),
+            int(pad_rows) if last else 0, int(bool(clip)), int(nthreads))
+        if rc != 0:
+            return None
+        block_cb(out[r0:r1 + pad_rows] if last else out[r0:r1])
+        if last:
+            break
+    if n == 0:          # empty mask: only the pad rows exist
+        out[:] = 0.0
+        block_cb(out)
+    return out

@@ -400,6 +400,16 @@ def main():
         print(json.dumps(out), flush=True)
 
     extra = {}
+    # The PIPELINE bench runs FIRST (before the per-model benches): it is
+    # the judged end-to-end number, and running it last measured a process
+    # degraded by four earlier model benches' device/tunnel state (round-5:
+    # 204k last vs 331k clean for identical code).
+    if os.environ.get('BENCH_PIPELINE', '0' if small else '1') == '1':
+        emit({'pipeline_bench': 'pending'})
+        extra.update(bench_pipeline(n_vox, y, np.vstack(rows), _trace))
+        _trace(f'pipeline bench done ({extra.get("pipeline_voxps", 0):,.0f}'
+               f' / warm-refit {extra.get("pipeline_voxps_warmrefit", 0):,.0f})')
+
     # BASELINE.md configs 2-4 are part of the default output (driver-visible
     # regression tracking, VERDICT r2 item 5); BENCH_ALL=0 or BENCH_SMALL
     # skips them.  The headline is emitted BEFORE them and re-emitted (one
@@ -555,11 +565,6 @@ def main():
                                            oracle_cols=(0, 1, 2, 3))
         _trace(f'sandi bench done ({extra["sandi_voxps"]:,.0f})')
 
-    if os.environ.get('BENCH_PIPELINE', '0' if small else '1') == '1':
-        emit({**extra, 'pipeline_bench': 'pending'})
-        extra.update(bench_pipeline(n_vox, y, np.vstack(rows), _trace))
-        _trace(f'pipeline bench done ({extra.get("pipeline_voxps", 0):,.0f})')
-
     emit(extra)
 
 
@@ -625,11 +630,32 @@ def bench_pipeline(n_vox, y, scheme_tab, trace, reps=2):
     t_fit_first = time.time() - t0
     if reps == 0:      # probe mode: compile + populate the persistent cache
         return {'pipeline_fit_first_seconds': round(t_fit_first, 2)}
-    t_fit = float('inf')
+    # warm-refit steady state: same loaded subject, all per-subject caches
+    # hot (multi-model runs / parameter sweeps on one subject)
+    t_fit_warm = float('inf')
     for _ in range(reps):
         t0 = time.time()
         ev.fit()
-        t_fit = min(t_fit, time.time() - t0)
+        t_fit_warm = min(t_fit_warm, time.time() - t0)
+    # per-SUBJECT steady state (the honest sweep cost): a new subject pays
+    # voxel extraction, the H2D signal upload, and direction estimation
+    # again -- drop the per-subject caches before each rep so the measured
+    # fit includes them (round-4 review: the steady rep must not hide the
+    # dirs stage behind a warm cache)
+    t_fit = float('inf')
+    facade = {}
+    for _ in range(reps):
+        ev._fit_y_cache = None
+        ev._fit_dirs_cache = None
+        if hasattr(ev.model, '_stage_cache'):
+            ev.model._stage_cache = None
+        t0 = time.time()
+        ev.fit()
+        dt = time.time() - t0
+        if dt < t_fit:
+            t_fit = dt
+            facade = {k: round(v, 4) for k, v in
+                      getattr(ev, '_last_fit_facade_timers', {}).items()}
     t0 = time.time()
     ev.save_results()
     t_save = time.time() - t0
@@ -640,20 +666,22 @@ def bench_pipeline(n_vox, y, scheme_tab, trace, reps=2):
         img = nifti.load(os.path.join(out_dir, f))
         assert np.isfinite(np.asarray(img._data)).all(), f
     # full per-stage attribution of the steady-state fit (round-5 item 1:
-    # "no unattributed time"): facade phases + the engine's own breakdown
-    facade = {k: round(v, 4) for k, v in
-              getattr(ev, '_last_fit_facade_timers', {}).items()}
+    # "no unattributed time"): facade phases (from the best per-subject
+    # rep, so the dirs stage is included) + the engine's own breakdown
     engine = {k: round(v, 4) if isinstance(v, float) else v
               for k, v in getattr(ev.model, '_last_fit_timers', {}).items()}
     t_total = t_load + t_resample + t_fit + t_save
+    t_total_warm = t_load + t_resample + t_fit_warm + t_save
     return {
         'pipeline_voxps': round(n_vox / t_total, 1),
+        'pipeline_voxps_warmrefit': round(n_vox / t_total_warm, 1),
         'pipeline_total_seconds': round(t_total, 2),
         'pipeline_load_seconds': round(t_load, 2),
         'pipeline_kernel_gen_seconds': round(t_gen, 2),
         'pipeline_resample_seconds': round(t_resample, 2),
         'pipeline_fit_first_seconds': round(t_fit_first, 2),
         'pipeline_fit_seconds': round(t_fit, 2),
+        'pipeline_fit_warmrefit_seconds': round(t_fit_warm, 2),
         'pipeline_dirs_seconds': round(
             float(ev.get_config('dirs_precomputing_time') or 0), 2),
         'pipeline_save_seconds': round(t_save, 2),

@@ -489,4 +489,50 @@ int amico_preprocess_dwi(const float* raw, long long nvox, int nS,
   return 0;
 }
 
+// Masked voxel extraction fused with negative clipping and zero pad rows
+// (the tile engine's gather layout).  ``vol`` is the F-contiguous 4-D
+// volume as stored on disk / by amico_preprocess_dwi: element (v, s) at
+// vol[(long long)s * nvox + v] where v is the F-order linear voxel index.
+// ``vidx`` lists the masked voxels' F-order indices in the row order the
+// caller wants (the facade passes C-order mask enumeration to match
+// numpy's boolean indexing, pipeline.masked_voxels / scatter).  Writes
+// ``out`` (n + pad_rows, nS) row-major float32: row r is the clipped
+// signal of voxel vidx[r]; the last pad_rows rows are zeroed.  Replaces
+// three full-volume NumPy passes (transpose-gather + clip + pad concat).
+int amico_masked_gather(const float* vol, long long nvox, int nS,
+                        const long long* vidx, long long n,
+                        float* out, int pad_rows, int clip, int nthreads) {
+  if (nvox <= 0 || nS <= 0 || n < 0 || pad_rows < 0) return -1;
+  if (nthreads < 1) nthreads = 1;
+  const int nt = (int)std::min<long long>(nthreads, n > 0 ? n : 1);
+  std::vector<std::thread> ths;
+  const long long step = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    ths.emplace_back([&, t]() {
+      const long long r0 = t * step;
+      const long long r1 = std::min(n, r0 + step);
+      // cache-blocked transpose: a row block's output (~800KB) stays in
+      // L2 while each sample volume contributes a short sequential read
+      // run; the naive row-major loop touched a distinct page per sample
+      // per row (measured 0.9s vs ~0.25s blocked for a full brain)
+      const long long RB = 2048;
+      for (long long rb = r0; rb < r1; rb += RB) {
+        const long long re = std::min(r1, rb + RB);
+        for (int s = 0; s < nS; ++s) {
+          const float* src = vol + (long long)s * nvox;
+          for (long long r = rb; r < re; ++r) {
+            float val = src[vidx[r]];
+            if (clip && val < 0.0f) val = 0.0f;
+            out[r * nS + s] = val;
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : ths) th.join();
+  if (pad_rows > 0)
+    std::fill(out + n * nS, out + (n + pad_rows) * nS, 0.0f);
+  return 0;
+}
+
 }  // extern "C"
