@@ -12,7 +12,7 @@ Public API mirrors the reference package surface
 from .utils.logging import AmicoError, get_verbose, set_verbose
 from .io.scheme import Scheme, fsl2scheme, sandi2scheme
 
-__version__ = '0.4.0'
+__version__ = '0.5.0'
 
 __all__ = [
     'Evaluation', 'setup', 'set_verbose', 'get_verbose', 'AmicoError',

@@ -656,6 +656,22 @@ def bench_pipeline(n_vox, y, scheme_tab, trace, reps=2):
             t_fit = dt
             facade = {k: round(v, 4) for k, v in
                       getattr(ev, '_last_fit_facade_timers', {}).items()}
+    # dedicated transfer measurement DURING the pipeline window: the
+    # per-subject number includes re-uploading the full-brain signal, and
+    # this environment's tunnel swings 0.1s..8s for the same 162MB --
+    # pipeline_upload_seconds vs upload_seconds_clean quantifies how much
+    # of pipeline_voxps is tunnel state rather than framework cost
+    t_upload = None
+    try:
+        yc = getattr(ev, '_fit_y_cache', None)
+        y_host = yc[4].get('__y_ext_host__') if yc else None
+        if y_host is not None:
+            import jax
+            t0 = time.time()
+            jax.block_until_ready(jax.device_put(y_host))
+            t_upload = time.time() - t0
+    except Exception:
+        pass
     t0 = time.time()
     ev.save_results()
     t_save = time.time() - t0
@@ -688,6 +704,10 @@ def bench_pipeline(n_vox, y, scheme_tab, trace, reps=2):
         'pipeline_fit_breakdown': facade,
         'pipeline_fit_engine': engine,
         'pipeline_maps': len(maps),
+        **({'pipeline_upload_seconds': round(t_upload, 2),
+            'pipeline_upload_mbps': round(
+                y.shape[0] * y.shape[1] * 4 / t_upload / 1e6, 1)}
+           if t_upload else {}),
     }
 
 

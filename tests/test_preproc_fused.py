@@ -158,3 +158,53 @@ def test_facade_nonfinite_raises_both_paths(tmp_path):
     for use_native in (True, False):
         with pytest.raises(AmicoError):
             _load(tmp_path, use_native)
+
+
+# ---------------------------------------------------------------------------
+# fused masked-voxel extraction (amico_masked_gather): parity with the
+# NumPy stage + the blocked/pipelined variant
+# ---------------------------------------------------------------------------
+
+def _gather_case(seed, dim=(9, 7, 5), nS=13, density=0.6):
+    rng = np.random.RandomState(seed)
+    vol = np.asfortranarray(rng.randn(*dim, nS).astype(np.float32))
+    mask = (rng.rand(*dim) < density).astype(np.uint8)
+    return vol, mask
+
+
+@pytest.mark.skipif(not native.masked_gather_available(),
+                    reason='native library unavailable')
+@pytest.mark.parametrize('density', [0.0, 0.3, 1.0])
+def test_masked_gather_parity(density):
+    from amico_tpu import pipeline as pl
+    vol, mask = _gather_case(11, density=density)
+    out = native.masked_gather_padded(vol, mask)
+    ref = pl.masked_voxels(vol.copy(order='F'), mask)
+    assert out is not None and out.shape == (ref.shape[0] + 1, vol.shape[3])
+    np.testing.assert_array_equal(out[:-1], ref)
+    assert (out[-1] == 0).all()
+
+
+@pytest.mark.skipif(not native.masked_gather_available(),
+                    reason='native library unavailable')
+def test_masked_gather_blocked_callback_covers_all_rows():
+    vol, mask = _gather_case(12)
+    views = []
+    out = native.masked_gather_padded(vol, mask, blocks=4,
+                                      block_cb=views.append)
+    assert out is not None
+    joined = np.concatenate(views, axis=0)
+    np.testing.assert_array_equal(joined, out)
+    # blocked result identical to the one-shot gather
+    ref = native.masked_gather_padded(vol, mask)
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.skipif(not native.masked_gather_available(),
+                    reason='native library unavailable')
+def test_masked_gather_rejects_non_production_layout():
+    vol, mask = _gather_case(13)
+    assert native.masked_gather_padded(
+        np.ascontiguousarray(vol), mask) is None   # C-order volume
+    assert native.masked_gather_padded(
+        vol.astype(np.float64), mask) is None      # wrong dtype

@@ -375,3 +375,20 @@ def test_every_get_config_key_is_declared_or_stage_set():
     # the four round-3 offenders stay declared
     assert {'mesh', 'fit_checkpoint', 'checkpoint_every',
             'max_device_bytes'} <= declared
+
+
+def test_persistent_cache_strips_location_tracebacks():
+    """Round-5 cache-key fix: whenever the persistent compilation cache is
+    enabled (the test suite enables it via amico_tpu.testing), Python
+    tracebacks must be stripped from MLIR locations -- the Mosaic payload
+    embeds them beyond the reach of the cache key's strip-debuginfo pass,
+    so leaving them in re-keys the fused-kernel executable per CALL SITE
+    (warmup/cache-bundle/cross-process warm starts all silently broken).
+    Opt-out is AMICO_TPU_FULL_LOCATIONS=1 (not set in the suite)."""
+    import jax
+
+    from amico_tpu.utils import jaxcfg
+    jaxcfg.enable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir, 'persistent cache off'
+    assert jax.config.jax_include_full_tracebacks_in_locations is False
+    assert jax.config.jax_traceback_in_locations_limit == 0
