@@ -438,9 +438,6 @@ def masked_gather_padded(vol: np.ndarray, mask: np.ndarray,
         if rc != 0:
             return None
         block_cb(out[r0:r1 + pad_rows] if last else out[r0:r1])
-        if last:
+        if last:        # covers n == 0 too: one iteration, pad rows only
             break
-    if n == 0:          # empty mask: only the pad rows exist
-        out[:] = 0.0
-        block_cb(out)
     return out

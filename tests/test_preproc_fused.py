@@ -208,3 +208,16 @@ def test_masked_gather_rejects_non_production_layout():
         np.ascontiguousarray(vol), mask) is None   # C-order volume
     assert native.masked_gather_padded(
         vol.astype(np.float64), mask) is None      # wrong dtype
+
+
+@pytest.mark.skipif(not native.masked_gather_available(),
+                    reason='native library unavailable')
+def test_masked_gather_blocked_empty_mask_single_callback():
+    vol, _ = _gather_case(14)
+    mask = np.zeros(vol.shape[:3], np.uint8)
+    views = []
+    out = native.masked_gather_padded(vol, mask, blocks=4,
+                                      block_cb=views.append)
+    assert out is not None and out.shape == (1, vol.shape[3])
+    assert (out == 0).all()
+    assert len(views) == 1 and views[0].shape == (1, vol.shape[3])
