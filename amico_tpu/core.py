@@ -531,7 +531,8 @@ class Evaluation:
         # count mask == 1 exactly: masked_voxels()/scatter() select on == 1
         # (reference core.py:451), so a 0/255 or labeled mask must use the
         # same criterion or slab/scatter shapes diverge from self.y
-        n_vox = int(np.sum(mask == 1))
+        mask_sel = np.ascontiguousarray(mask == 1)
+        n_vox = int(mask_sel.sum())
 
         # facade phase timers: every second of Evaluation.fit() outside the
         # model's own engine timers is attributed here (voxel staging /
@@ -553,8 +554,13 @@ class Evaluation:
         # view for any contiguous layout (C-order ravel of the F-ordered
         # DWI volume copied ~160MB per fit).
         stride = max(1, self.niiDWI_img.size // 65536)
+        # the mask term is an EXACT positional digest (not just the count):
+        # an in-place edit that moves the ROI while preserving its size
+        # must invalidate too, or the cached y's signals get scattered at
+        # the new mask's positions (~1ms/fit for a full-brain mask)
         img_fp = (float(np.sum(self.niiDWI_img.ravel(order='K')[::stride],
-                               dtype=np.float64)), n_vox)
+                               dtype=np.float64)),
+                  n_vox, hash(mask_sel.tobytes()))
         from .parallel import dist
         dist_on = bool(self.get_config('distributed')) \
             and dist.process_count() > 1

@@ -118,13 +118,16 @@ class NODDI(BaseModel):
                     'the 3-tuple)')
         self.solver_params['precision'] = precision
         # ``tiebreak``: stage-2 degenerate-vertex objective tie-break.
-        # True/None = the validated default CG budget
-        # (base.DEFAULT_NODDI_TIEBREAK_CG), False/0 = off, int = custom
-        # per-candidate CG budget.
-        if tiebreak is not None:
-            self.solver_params['tiebreak'] = (
-                int(tiebreak) if not isinstance(tiebreak, bool)
-                else tiebreak)
+        # None/False = off (the shipped default; the round-5 campaign
+        # measured -5% throughput with the tail unchanged), True = on
+        # with the validated default CG budget
+        # (base.DEFAULT_NODDI_TIEBREAK_CG), int = custom per-candidate
+        # CG budget.  Reset on every call like the other solver params
+        # (a sticky value would survive a later plain set_solver()).
+        self.solver_params['tiebreak'] = (
+            False if tiebreak is None
+            else tiebreak if isinstance(tiebreak, bool)
+            else int(tiebreak))
 
     def generate(self, out_path, aux, idx_in, idx_out, ndirs):
         """Coupled IC+EC atoms over the (IC_OD, IC_VF) grid + isotropic atom

@@ -101,3 +101,42 @@ def demo_voxels(n: int, kernels: dict, htable: np.ndarray, seed: int = 0):
             + W[sl, n_wm:] * kernels['iso'][None, :]
     y = np.clip(y + 0.002 * rng.randn(*y.shape), 0, None)
     return y, DIRs, lut_idx
+
+
+def noddi_oracle_voxel(kernels, dwi_idx, y_i, lut_i, lam1=0.5, lam2=1e-3,
+                       algorithm=None, return_x=False):
+    """Exact per-voxel NODDI 3-stage reference solve -- the SHARED oracle
+    used by the bench's accuracy audit and the tail-analysis tools (one
+    definition so a recipe change cannot desynchronize a tool's 'oracle'
+    from the judged one).  Mirrors reference models.pyx:900-981:
+    (1) NNLS on the full dictionary for the CSF fraction; (2) non-negative
+    lasso (LARS by default, the algorithm SPAMS runs) on the norm-scaled
+    DWI subproblem with the iso prediction subtracted, clipped >= 0;
+    (3) debias re-NNLS on the positive support with iso forced in.
+    Returns the (NDI, ODI, FWF) vector; with ``return_x``, the tuple
+    ``(maps, x, x2)`` where ``x`` is the debiased coefficient vector and
+    ``x2`` the raw stage-2 solution (the tail tools dissect both)."""
+    from .ops import native
+    n_wm = kernels['wm'].shape[0]
+    A = np.column_stack([kernels['wm'][:, lut_i, :].T, kernels['iso']])
+    x1, _ = native.nnls(A, y_i)
+    y2 = np.clip(y_i[dwi_idx] - x1[-1] * kernels['iso'][dwi_idx], 0, None)
+    A2 = A[dwi_idx][:, :n_wm] * kernels['norms'][None, :]
+    kw = {} if algorithm is None else {'algorithm': algorithm}
+    x2 = native.lasso(A2, y2, lam1, lam2, **kw)
+    x = np.zeros(n_wm + 1)
+    x[:n_wm] = x2
+    x[-1] = 1.0
+    sup = np.where(x > 0)[0]
+    x3, _ = native.nnls(A[:, sup], y_i)
+    x[:] = 0.0
+    x[sup] = x3
+    sa = x.sum() + 1e-16
+    xn = x[:n_wm] / sa
+    sw = xn.sum() + 1e-16
+    f1 = np.sum(kernels['icvf'] * xn) / sw
+    f2 = np.sum((1 - kernels['icvf']) * xn) / sw
+    k1 = np.sum(kernels['kappa'] * xn) / sw
+    maps = np.array([f1 / (f1 + f2 + 1e-16),
+                     2 / np.pi * np.arctan2(1.0, k1), x[-1] / sa])
+    return (maps, x, x2) if return_x else maps

@@ -273,15 +273,17 @@ def main():
         iso_d[dwi_b],
         jnp.asarray(kernels['icvf'], jnp.float32),
         jnp.asarray(kernels['kappa'], jnp.float32)]
-    from amico_tpu.models.base import DEFAULT_NODDI_TIEBREAK_CG
     from amico_tpu.models.noddi import _kappa_neighbours
     nb_m, nb_p = _kappa_neighbours(np.asarray(kernels['icvf']),
                                    np.asarray(kernels['kappa']))
     interp = jax.default_backend() != 'tpu'
+    # tiebreak_cg=0: measure the SHIPPED default (the tie-break is
+    # opt-in, set_solver(tiebreak=True)); timing it ON here understated
+    # solver_only_voxps by its ~5% cost vs what production executes
     run = lambda: noddi_fused_tiles_pallas(
         *args, lam1=0.5, lam2=1e-3, stage_iters=DEFAULT_NODDI_STAGE_ITERS,
         precision=DEFAULT_NODDI_PRECISION, nb_minus=nb_m, nb_plus=nb_p,
-        tiebreak_cg=DEFAULT_NODDI_TIEBREAK_CG, interpret=interp)
+        tiebreak_cg=0, interpret=interp)
     run().block_until_ready()
     t_sol = float('inf')
     for _ in range(3):
@@ -306,30 +308,13 @@ def main():
     from amico_tpu.ops import native
 
     def oracle_maps_sample(algorithm):
-        est_o = np.zeros((sample, 3))
-        for i in range(sample):
-            A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T,
-                                 kernels['iso']])
-            x1, _ = native.nnls(A, y[i])
-            y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
-            A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
-            x2 = native.lasso(A2, y2, 0.5, 1e-3, algorithm=algorithm)
-            x = np.zeros(n_wm + 1)
-            x[:n_wm] = x2
-            x[-1] = 1.0
-            sup = np.where(x > 0)[0]
-            x3, _ = native.nnls(A[:, sup], y[i])
-            x[:] = 0.0
-            x[sup] = x3
-            sa = x.sum() + 1e-16
-            xn = x[:n_wm] / sa
-            sw = xn.sum() + 1e-16
-            f1 = np.sum(kernels['icvf'] * xn) / sw
-            f2 = np.sum((1 - kernels['icvf']) * xn) / sw
-            k1 = np.sum(kernels['kappa'] * xn) / sw
-            est_o[i] = [f1 / (f1 + f2 + 1e-16),
-                        2 / np.pi * np.arctan2(1.0, k1), x[-1] / sa]
-        return est_o
+        # the recipe lives ONCE in testing.noddi_oracle_voxel (shared with
+        # the tail-analysis tools so they audit the judged oracle)
+        from amico_tpu.testing import noddi_oracle_voxel
+        return np.stack([
+            noddi_oracle_voxel(kernels, dwi, y[i], int(lut_idx[i]),
+                               algorithm=algorithm)
+            for i in range(sample)])
 
     n_wm = kernels['wm'].shape[0]
     dwi = scheme.dwi_idx
@@ -528,13 +513,18 @@ def main():
         extra['activeax_voxps'] = bench_model('czb', CylinderZeppelinBall(),
                                               scheme_v1, oracle=czb_oracle,
                                               oracle_cols=(0, 1))
-        # both backends explicitly (round-5 claims hygiene: the backend
-        # hint was chosen from a round-4 measurement that later bench
-        # runs contradicted; record both so the docs cite bench fields)
-        extra['activeax_voxps_xla'] = bench_model(
-            'czb', CylinderZeppelinBall(), scheme_v1, backend='xla')
-        extra['activeax_voxps_pallas'] = bench_model(
-            'czb', CylinderZeppelinBall(), scheme_v1, backend='pallas')
+        # both backends recorded every round (round-5 claims hygiene: the
+        # backend hint was chosen from a round-4 measurement later runs
+        # contradicted).  The auto run above already measured the
+        # hint-resolved backend -- alias it rather than re-running the
+        # identical configuration, and bench only the other backend.
+        auto_b = ('xla' if getattr(CylinderZeppelinBall(),
+                                   '_prefer_xla_backend', False)
+                  else 'pallas')
+        other_b = 'pallas' if auto_b == 'xla' else 'xla'
+        extra[f'activeax_voxps_{auto_b}'] = extra['activeax_voxps']
+        extra[f'activeax_voxps_{other_b}'] = bench_model(
+            'czb', CylinderZeppelinBall(), scheme_v1, backend=other_b)
         _trace(f'activeax bench done ({extra["activeax_voxps"]:,.0f} / '
                f'xla {extra["activeax_voxps_xla"]:,.0f} / '
                f'pallas {extra["activeax_voxps_pallas"]:,.0f})')

@@ -229,3 +229,30 @@ def test_warm_refit_reuses_voxels_and_directions(study):
     ev.niiDWI_img[..., 0] += 0.5
     ev.fit()
     assert ev.y is not y1
+
+
+def test_warm_refit_mask_move_invalidates(study):
+    """An in-place mask edit that MOVES the ROI while preserving its voxel
+    count must invalidate the warm y cache too: the round-4 n_vox key only
+    caught count-changing edits, so the cached signals would have been
+    scattered at the new mask's positions (round-5 review fix -- the
+    fingerprint now carries an exact positional digest of the mask)."""
+    d, _ = study
+    ev = amico_tpu.Evaluation(str(d), 'subj1')
+    ev.set_config('tile_size', 32)
+    ev.load_data('DWI.nii.gz', 'DWI.scheme', mask_filename='mask.nii.gz')
+    ev.set_model('NODDI')
+    ev.model.set(IC_VFs=np.linspace(0.3, 0.99, 4),
+                 IC_ODs=np.array([0.06, 0.3, 0.8]))
+    ev.generate_kernels()
+    ev.load_kernels()
+    ev.fit()
+    y1 = ev.y
+    assert not np.asarray(ev.RESULTS['MAPs'])[0, 0, 0].any()  # excluded
+    # move the one excluded voxel: count unchanged, selection moved
+    ev.niiMASK_img[0, 0, 0] = 1
+    ev.niiMASK_img[5, 5, 3] = 0
+    ev.fit()
+    assert ev.y is not y1, 'same-count mask move served a stale y'
+    maps = np.asarray(ev.RESULTS['MAPs'])
+    assert maps[0, 0, 0].any() and not maps[5, 5, 3].any()

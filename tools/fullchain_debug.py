@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from amico_tpu.testing import demo_noddi, demo_voxels
 from amico_tpu.io.scheme import Scheme
 from amico_tpu.ops.sphere import fibonacci_hemisphere
-from amico_tpu.ops import native
 from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
 from amico_tpu.models.base import DEFAULT_NODDI_STAGE_ITERS, \
     DEFAULT_NODDI_PRECISION
@@ -66,29 +65,12 @@ iso_dwi = jnp.asarray(kernels['iso'][dwi], jnp.float32)
 icvf = jnp.asarray(kernels['icvf'], jnp.float32)
 kappa = jnp.asarray(kernels['kappa'], jnp.float32)
 
-# oracle maps
-est_o = np.zeros((C, 3))
-for k, i in enumerate(VOX):
-    A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
-    x1, _ = native.nnls(A, y[i])
-    y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
-    A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
-    x2 = native.lasso(A2, y2, lam1, lam2)
-    x = np.zeros(n_wm + 1)
-    x[:n_wm] = x2
-    x[-1] = 1.0
-    sup = np.where(x > 0)[0]
-    x3, _ = native.nnls(A[:, sup], y[i])
-    x[:] = 0.0
-    x[sup] = x3
-    sa = x.sum() + 1e-16
-    xn = x[:n_wm] / sa
-    sw = xn.sum() + 1e-16
-    f1 = np.sum(kernels['icvf'] * xn) / sw
-    f2 = np.sum((1 - kernels['icvf']) * xn) / sw
-    k1 = np.sum(kernels['kappa'] * xn) / sw
-    est_o[k] = [f1 / (f1 + f2 + 1e-16), 2 / np.pi * np.arctan2(1.0, k1),
-                x[-1] / sa]
+# oracle maps (shared recipe: testing.noddi_oracle_voxel)
+from amico_tpu.testing import noddi_oracle_voxel
+est_o = np.stack([
+    noddi_oracle_voxel(kernels, dwi, y[i], int(lut_idx[i]),
+                       lam1=lam1, lam2=lam2)
+    for i in VOX])
 
 s1, s2, s3 = DEFAULT_NODDI_STAGE_ITERS
 p1, p2, p3 = DEFAULT_NODDI_PRECISION

@@ -100,33 +100,16 @@ def main():
     est_tpu = untile_voxels(plan, np.asarray(est_t))[:SAMPLE]
     x_tpu = untile_voxels(plan, np.asarray(x_t))[:SAMPLE]
 
-    # ---- oracle maps + coefficients
+    # ---- oracle maps + coefficients (shared recipe:
+    # testing.noddi_oracle_voxel -- the bench audits the same function)
+    from amico_tpu.testing import noddi_oracle_voxel
     est_or = np.zeros((SAMPLE, 3))
     x2_or_all = np.zeros((SAMPLE, n_wm))
     x_or_all = np.zeros((SAMPLE, n_wm + 1))
     for i in range(SAMPLE):
-        A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
-        x1, _ = native.nnls(A, y[i])
-        y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
-        A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
-        x2 = native.lasso(A2, y2, lam1, lam2)
-        x2_or_all[i] = x2
-        x = np.zeros(n_wm + 1)
-        x[:n_wm] = x2
-        x[-1] = 1.0
-        sup = np.where(x > 0)[0]
-        x3, _ = native.nnls(A[:, sup], y[i])
-        x[:] = 0.0
-        x[sup] = x3
-        x_or_all[i] = x
-        sa = x.sum() + 1e-16
-        xn = x[:n_wm] / sa
-        sw = xn.sum() + 1e-16
-        f1 = np.sum(kernels['icvf'] * xn) / sw
-        f2 = np.sum((1 - kernels['icvf']) * xn) / sw
-        k1 = np.sum(kernels['kappa'] * xn) / sw
-        est_or[i] = [f1 / (f1 + f2 + 1e-16),
-                     2 / np.pi * np.arctan2(1.0, k1), x[-1] / sa]
+        est_or[i], x_or_all[i], x2_or_all[i] = noddi_oracle_voxel(
+            kernels, dwi, y[i], int(lut_idx[i]), lam1=lam1, lam2=lam2,
+            return_x=True)
 
     err = np.abs(est_tpu[:, :3].astype(np.float64) - est_or)
     worst = np.argsort(err.max(axis=1))[::-1][:WORST]

@@ -26,7 +26,6 @@ from amico_tpu.models.base import (DEFAULT_NODDI_PRECISION,
 from amico_tpu.models.noddi import _kappa_neighbours
 from amico_tpu.ops.pallas_qp import noddi_fused_tiles_pallas
 from amico_tpu.ops.solvers import gram
-from amico_tpu.ops import native
 
 n_vox = int(os.environ.get('TB_VOXELS', 409600))
 sample = int(os.environ.get('TB_SAMPLE', 1000))
@@ -93,28 +92,10 @@ def run(tb_cg):
 
 # oracle (LARS) maps on the sample
 dwi = scheme.dwi_idx
-est_o = np.zeros((sample, 3))
-for i in range(sample):
-    A = np.column_stack([kernels['wm'][:, lut_idx[i], :].T, kernels['iso']])
-    x1, _ = native.nnls(A, y[i])
-    y2 = np.clip(y[i][dwi] - x1[-1] * kernels['iso'][dwi], 0, None)
-    A2 = A[dwi][:, :n_wm] * kernels['norms'][None, :]
-    x2 = native.lasso(A2, y2, 0.5, 1e-3)
-    x = np.zeros(n_wm + 1)
-    x[:n_wm] = x2
-    x[-1] = 1.0
-    sup = np.where(x > 0)[0]
-    x3, _ = native.nnls(A[:, sup], y[i])
-    x[:] = 0.0
-    x[sup] = x3
-    sa = x.sum() + 1e-16
-    xn = x[:n_wm] / sa
-    sw = xn.sum() + 1e-16
-    f1 = np.sum(kernels['icvf'] * xn) / sw
-    f2 = np.sum((1 - kernels['icvf']) * xn) / sw
-    k1 = np.sum(kernels['kappa'] * xn) / sw
-    est_o[i] = [f1 / (f1 + f2 + 1e-16), 2 / np.pi * np.arctan2(1.0, k1),
-                x[-1] / sa]
+from amico_tpu.testing import noddi_oracle_voxel
+est_o = np.stack([
+    noddi_oracle_voxel(kernels, dwi, y[i], int(lut_idx[i]))
+    for i in range(sample)])
 print('oracle done', flush=True)
 
 for tb in (0, DEFAULT_NODDI_TIEBREAK_CG,
