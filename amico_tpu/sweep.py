@@ -79,30 +79,64 @@ class SubjectSweep:
                 done = bool(dist.broadcast_scalar(int(done)))
         return done
 
+    def _prepare(self, subject: str):
+        """Build the subject's Evaluation and run load_data (host I/O +
+        native preprocessing).  Runs on the prefetch thread: everything
+        here is mask/volume staging with no device work, so subject k+1's
+        load overlaps subject k's fit/save."""
+        out_base = self.config.get('OUTPUT_path')
+        ev = Evaluation(self.study_path, subject,
+                        output_path=None if out_base is None
+                        else pjoin(out_base, subject))
+        for k, v in self.config.items():
+            if k != 'OUTPUT_path':
+                ev.set_config(k, v)
+        if self.mesh is not None:
+            ev.set_config('mesh', self.mesh)
+        ev.load_data(self.dwi_filename, self.scheme_filename,
+                     mask_filename=self.mask_filename, b0_thr=self.b0_thr)
+        return ev
+
     def run(self, resume: bool = True, checkpoint: bool = True) -> dict:
         """Process all subjects; returns {subject: results_path}."""
-        for subject in self.subjects:
+        # prefetch pipeline: while subject k fits/saves, subject k+1's
+        # NIfTI load + preprocessing run on a background thread (the
+        # native pass releases the GIL).  Disabled for distributed runs:
+        # _is_done's coordinator broadcast and load-order collectives
+        # must stay on the main thread in SPMD programs.
+        prefetch_on = bool(self.config.get('prefetch', True)) \
+            and not self.config.get('distributed')
+        ex = None
+        pending = {}            # subject -> Future
+        todo = [s for s in self.subjects]
+        if prefetch_on and len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            ex = ThreadPoolExecutor(max_workers=1,
+                                    thread_name_prefix='sweep-prefetch')
+
+        def start_prefetch(idx):
+            for s in todo[idx:]:
+                if s not in pending and not (resume and self._is_done(s)):
+                    pending[s] = ex.submit(self._prepare, s)
+                    return
+
+        if ex is not None:
+            start_prefetch(0)
+        for si, subject in enumerate(self.subjects):
             if resume and self._is_done(subject):
                 LOG(f'-> [{subject}] already fitted, skipping (resume)')
                 self.results[subject] = self._result_dir(subject)
                 continue
             try:
-                out_base = self.config.get('OUTPUT_path')
-                ev = Evaluation(self.study_path, subject,
-                                output_path=None if out_base is None
-                                else pjoin(out_base, subject))
-                for k, v in self.config.items():
-                    if k != 'OUTPUT_path':
-                        ev.set_config(k, v)
-                if self.mesh is not None:
-                    ev.set_config('mesh', self.mesh)
+                fut = pending.pop(subject, None)
+                ev = fut.result() if fut is not None \
+                    else self._prepare(subject)
+                if ex is not None:
+                    start_prefetch(si + 1)
                 if checkpoint:
                     ev.set_config('fit_checkpoint', pjoin(
                         self.study_path, subject,
                         f'.amico_tpu_ckpt_{self.model_name}.npz'))
-                ev.load_data(self.dwi_filename, self.scheme_filename,
-                             mask_filename=self.mask_filename,
-                             b0_thr=self.b0_thr)
                 ev.set_model(self.model_name)
                 if self.model_params:
                     ev.model.set(**self.model_params)
@@ -138,4 +172,8 @@ class SubjectSweep:
                     raise
                 WARNING(f'[{subject}] failed: {e}')  # else keep sweeping
                 self.results[subject] = f'FAILED: {e}'
+        if ex is not None:
+            for fut in pending.values():   # a trailing prefetch may exist
+                fut.cancel()
+            ex.shutdown(wait=True)
         return self.results

@@ -233,3 +233,33 @@ def test_corrected_dwi_with_merge_b0(study):
     # DWI columns hold the *corrected* signal, not reinstated raw values
     assert not np.allclose(corr[mask][:, 1:],
                            ev.y[:, 1:] * ev.mean_b0s[mask][:, None])
+
+
+def test_sweep_prefetch_matches_serial_and_surfaces_failures(tmp_path):
+    """The prefetch pipeline (subject k+1 loads while k fits) must produce
+    the same per-subject results as the serial path, including when a
+    middle subject's data is broken (the prefetch-thread failure surfaces
+    as that subject's FAILED entry, not a sweep abort)."""
+    os.environ.setdefault('AMICO_TPU_HOME', str(tmp_path / 'home'))
+    amico_tpu.set_verbose(0)
+    subjects = ['p1', 'p2', 'p3']
+    for i, name in enumerate(subjects):
+        _make_subject(tmp_path, name, 10 + i)
+    # corrupt the middle subject's volume
+    with open(tmp_path / 'p2' / 'DWI.nii.gz', 'wb') as f:
+        f.write(b'not a nifti')
+    res = {}
+    for pre in (True, False):
+        sweep = SubjectSweep(
+            str(tmp_path), subjects, 'FreeWater', dwi_filename='DWI.nii.gz',
+            config={'tile_size': 32, 'prefetch': pre,
+                    'OUTPUT_path': str(tmp_path / f'out_{pre}')})
+        res[pre] = sweep.run(resume=False, checkpoint=False)
+    for r in res.values():
+        assert set(r) == set(subjects)
+        assert str(r['p2']).startswith('FAILED')
+    for s in ('p1', 'p3'):
+        assert not str(res[True][s]).startswith('FAILED')
+        a = nifti.load(os.path.join(res[True][s], 'fit_FW.nii.gz'))._data
+        b = nifti.load(os.path.join(res[False][s], 'fit_FW.nii.gz'))._data
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
