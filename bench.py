@@ -583,7 +583,17 @@ def bench_pipeline(n_vox, y, scheme_tab, trace, reps=2):
     mask_path = os.path.join(study, 'mask.nii')
     scheme_path = os.path.join(study, 'DWI.scheme')
     marker = os.path.join(study, f'.shape_{nx}x{ny}x{nz}x{nS}_{n_vox}')
-    if not (os.path.isfile(marker) and os.path.isfile(dwi_path)):
+    # the marker must be the ONLY shape marker: a BENCH_SMALL run shares
+    # this directory and overwrites DWI.nii with its small volume while
+    # the full-size marker file survives -- matching on marker existence
+    # alone then feeds the small volume to the full-size bench and
+    # inflates pipeline_voxps ~50x (caught in round 5)
+    import glob as _glob
+    stale = [m for m in _glob.glob(os.path.join(study, '.shape_*'))
+             if m != marker]
+    if stale or not (os.path.isfile(marker) and os.path.isfile(dwi_path)):
+        for m in stale:
+            os.remove(m)
         vol = np.zeros((nx * ny * nz, nS), np.float32)
         vol[:n_vox] = y
         nifti.save(nifti.Nifti1Image(vol.reshape(nx, ny, nz, nS),
