@@ -167,3 +167,23 @@ def test_restore_survives_systematic_residual_offset():
     # returns rank-deficient garbage; centered, the fit stays tight
     assert np.median(err) < 3.0, np.median(err)
     assert np.percentile(err, 95) < 10.0, np.percentile(err, 95)
+
+
+def test_principal_directions_device_input_matches_host():
+    """The facade hands principal_directions the device-staged signal
+    (round-5 shared-upload path); a jax-array input must produce the
+    same DIRs as the host ndarray path."""
+    import jax.numpy as jnp
+
+    from amico_tpu import pipeline as pl
+    from amico_tpu.io.scheme import Scheme
+    from amico_tpu.ops.sphere import fibonacci_hemisphere
+    g = fibonacci_hemisphere(24)
+    tab = np.vstack([np.zeros((2, 4)), np.c_[g, np.full(24, 1000.0)]])
+    scheme = Scheme(tab)
+    rng = np.random.RandomState(3)
+    y = np.abs(rng.rand(64, scheme.nS)).astype(np.float32)
+    d_host = pl.principal_directions(y, scheme, 'OLS', False)
+    d_dev = pl.principal_directions(jnp.asarray(y), scheme, 'OLS', False)
+    np.testing.assert_array_equal(d_host, d_dev)
+    assert d_dev.dtype == np.float32 and isinstance(d_dev, np.ndarray)
