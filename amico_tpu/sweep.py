@@ -81,9 +81,11 @@ class SubjectSweep:
 
     def _prepare(self, subject: str):
         """Build the subject's Evaluation and run load_data (host I/O +
-        native preprocessing).  Runs on the prefetch thread: everything
-        here is mask/volume staging with no device work, so subject k+1's
-        load overlaps subject k's fit/save."""
+        native preprocessing).  Runs on the prefetch thread: on the
+        default path everything here is host-side mask/volume staging, so
+        subject k+1's load overlaps subject k's fit/save.  (run() gates
+        prefetch off when doDebiasSignal is set -- that load_data stage
+        runs on the device and must not race the active fit.)"""
         out_base = self.config.get('OUTPUT_path')
         ev = Evaluation(self.study_path, subject,
                         output_path=None if out_base is None
@@ -101,27 +103,47 @@ class SubjectSweep:
         """Process all subjects; returns {subject: results_path}."""
         # prefetch pipeline: while subject k fits/saves, subject k+1's
         # NIfTI load + preprocessing run on a background thread (the
-        # native pass releases the GIL).  Disabled for distributed runs:
+        # native pass releases the GIL).  Costs: peak host memory holds
+        # TWO preprocessed subject volumes, and at verbosity >= 2 the
+        # prefetched subject's load messages interleave with the current
+        # subject's fit output.  Disabled when (a) distributed --
         # _is_done's coordinator broadcast and load-order collectives
-        # must stay on the main thread in SPMD programs.
+        # must stay on the main thread in SPMD programs -- or (b) the
+        # Rician debias is on: debiasRician runs on the DEVICE inside
+        # load_data, and a background device allocation would race the
+        # active fit for HBM.  Opt out: config={'prefetch': False}.
         prefetch_on = bool(self.config.get('prefetch', True)) \
-            and not self.config.get('distributed')
+            and not self.config.get('distributed') \
+            and not self.config.get('doDebiasSignal')
         ex = None
         pending = {}            # subject -> Future
-        todo = [s for s in self.subjects]
-        if prefetch_on and len(todo) > 1:
+        if prefetch_on and len(self.subjects) > 1:
             from concurrent.futures import ThreadPoolExecutor
             ex = ThreadPoolExecutor(max_workers=1,
                                     thread_name_prefix='sweep-prefetch')
 
         def start_prefetch(idx):
-            for s in todo[idx:]:
+            for s in self.subjects[idx:]:
                 if s not in pending and not (resume and self._is_done(s)):
                     pending[s] = ex.submit(self._prepare, s)
                     return
 
         if ex is not None:
             start_prefetch(0)
+        try:
+            self._run_subjects(resume, checkpoint, ex, pending,
+                               start_prefetch)
+        finally:
+            # also on KeyboardInterrupt/SystemExit: an uncancelled future
+            # would keep the non-daemon worker loading for minutes and
+            # block interpreter exit at the atexit join
+            if ex is not None:
+                for fut in pending.values():
+                    fut.cancel()
+                ex.shutdown(wait=True)
+        return self.results
+
+    def _run_subjects(self, resume, checkpoint, ex, pending, start_prefetch):
         for si, subject in enumerate(self.subjects):
             if resume and self._is_done(subject):
                 LOG(f'-> [{subject}] already fitted, skipping (resume)')
@@ -172,8 +194,3 @@ class SubjectSweep:
                     raise
                 WARNING(f'[{subject}] failed: {e}')  # else keep sweeping
                 self.results[subject] = f'FAILED: {e}'
-        if ex is not None:
-            for fut in pending.values():   # a trailing prefetch may exist
-                fut.cancel()
-            ex.shutdown(wait=True)
-        return self.results

@@ -589,7 +589,8 @@ def bench_pipeline(n_vox, y, scheme_tab, trace, reps=2):
     # alone then feeds the small volume to the full-size bench and
     # inflates pipeline_voxps ~50x (caught in round 5)
     import glob as _glob
-    stale = [m for m in _glob.glob(os.path.join(study, '.shape_*'))
+    stale = [m for m in _glob.glob(
+                 os.path.join(_glob.escape(study), '.shape_*'))
              if m != marker]
     if stale or not (os.path.isfile(marker) and os.path.isfile(dwi_path)):
         for m in stale:
