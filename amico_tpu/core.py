@@ -108,6 +108,11 @@ def _default_config(study_path, subject, output_path) -> dict:
         # driver streams host-tiled chunks instead of device-gathering
         # the whole volume.  None = 4 GiB (models/base.py)
         max_device_bytes=None,
+        # SubjectSweep only: overlap the next subject's NIfTI load +
+        # preprocessing with the current subject's fit on a background
+        # thread (sweep.py; auto-off for distributed / doDebiasSignal;
+        # peak host memory holds two subject volumes while on)
+        prefetch=True,
     )
     cfg['DWI-SNR'] = None
     return cfg
